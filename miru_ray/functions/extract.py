@@ -1,0 +1,77 @@
+"""HTML → text extraction — pure function + the byte-identity contract.
+
+The reference has no HTML stage (values arrive pre-fielded as strings,
+miru-api/.../activity/MiruActivity.java:41); the north-rule adds it for
+Common-Crawl-style pages. Contract (BASELINE.json input_hint): extraction
+must be **byte-identical per url** to the golden ``text`` column —
+verified by pytest at fixture-generation time and per build.
+
+Design: a single pure function ``extract_text`` (stdlib HTMLParser, no
+regexes over markup) shared by the fixture generator, the distributed
+actor-pool stage (stages/extract.py) and the oracle. Boilerplate elements
+(script/style/nav/header/footer/noscript/template) are dropped; block
+elements contribute text separated by a single newline; inline whitespace
+is collapsed.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+__all__ = ["extract_text", "EXTRACTOR_VERSION"]
+
+# Bump when extraction semantics change; recorded in index manifests so a
+# resume never mixes extractor versions.
+EXTRACTOR_VERSION = 1
+
+_SKIP = {"script", "style", "nav", "header", "footer", "noscript", "template"}
+_BLOCK = {
+    "p", "div", "title", "h1", "h2", "h3", "h4", "h5", "h6", "li", "br",
+    "tr", "td", "th", "table", "ul", "ol", "article", "section", "body",
+    "blockquote", "pre",
+}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._chunks: list[str] = []   # collected block texts
+        self._cur: list[str] = []      # inline pieces of the current block
+
+    def _flush_block(self) -> None:
+        text = " ".join(" ".join(self._cur).split())
+        self._cur = []
+        if text:
+            self._chunks.append(text)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP:
+            self._skip_depth += 1
+        elif tag in _BLOCK:
+            self._flush_block()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+        elif tag in _BLOCK:
+            self._flush_block()
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self._cur.append(data)
+
+    def result(self) -> str:
+        self._flush_block()
+        return "\n".join(self._chunks)
+
+
+def extract_text(html: bytes | str) -> str:
+    """Pure, deterministic HTML → text. bytes are decoded utf-8 (replace)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _TextExtractor()
+    parser.feed(html)  # convert_charrefs=True unescapes entities in handle_data
+    parser.close()
+    return parser.result()

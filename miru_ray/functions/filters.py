@@ -1,0 +1,187 @@
+"""Boolean filter tree + query-string parser.
+
+Reference semantics reimplemented:
+
+- ``MiruFilter{operation ∈ and|or|pButNotQ, fieldFilters, subFilters}``
+  evaluated recursively over posting bitmaps
+  (miru-plugin/.../solution/MiruAggregateUtil.java:1098-1241);
+  ``pButNotQ`` = first operand AND NOT (OR of the rest)
+  (miru-api/.../query/filter/MiruFilterOperation.java:10-22).
+- AND short-circuits to the empty set when any term has no postings
+  (MiruAggregateUtil.java:1175-1177).
+- Wildcard (prefix) values expand via a term-range scan capped by
+  ``max_wildcard_expansion`` (MiruAggregateUtil.java:1154-1167).
+- Query strings parse with AND as the default operator like the
+  reference's Lucene parser config (miru-plugin/.../query/
+  LuceneBackedQueryParser.java:48-144): bare terms are MUST, ``OR``
+  makes a SHOULD group, ``-term`` is MUST_NOT, ``term*`` is a prefix.
+
+The tree is evaluated against a ``PostingsProvider`` protocol —
+implemented by both the distributed IndexReader and the brute-force
+oracle, so semantics are tested once and shared.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from miru_ray.functions.postings import diff_sorted, intersect_sorted, union_sorted
+from miru_ray.functions.tokenize import tokenize
+
+__all__ = [
+    "Term", "Prefix", "And", "Or", "PButNotQ", "Filter",
+    "parse_query", "evaluate", "query_terms", "MAX_WILDCARD_EXPANSION",
+]
+
+MAX_WILDCARD_EXPANSION = 100  # cap like MiruAggregateUtil.java:1154-1167
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+
+
+@dataclass(frozen=True)
+class Prefix:
+    prefix: str
+    max_expansion: int = MAX_WILDCARD_EXPANSION
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple = ()
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple = ()
+
+
+@dataclass(frozen=True)
+class PButNotQ:
+    """children[0] AND NOT (children[1] OR children[2] …)."""
+    children: tuple = ()
+
+
+Filter = Term | Prefix | And | Or | PButNotQ
+
+
+def parse_query(q: str) -> Filter:
+    """Query string → filter tree. AND-default; ``OR`` flips the current
+    group to a union; ``-tok`` excludes; trailing ``*`` is a prefix."""
+    raw = q.split()
+    must: list[Filter] = []
+    should: list[Filter] = []
+    must_not: list[Filter] = []
+    use_or = False
+    for tok in raw:
+        if tok.upper() == "OR":
+            use_or = True
+            continue
+        neg = tok.startswith("-")
+        if neg:
+            tok = tok[1:]
+        is_prefix = tok.endswith("*")
+        if is_prefix:
+            tok = tok[:-1]
+        toks = tokenize(tok)   # normalize through the ONE tokenizer
+        if not toks:
+            continue
+        node: Filter
+        if is_prefix:
+            node = Prefix(toks[0])
+        elif len(toks) == 1:
+            node = Term(toks[0])
+        else:
+            node = And(tuple(Term(t) for t in toks))
+        (must_not if neg else (should if use_or else must)).append(node)
+    pos: Filter
+    if use_or:
+        pos = Or(tuple(must + should)) if (must or should) else Or(())
+    else:
+        pos = And(tuple(must)) if must else And(())
+    if must_not:
+        return PButNotQ((pos, *must_not))
+    return pos
+
+
+def query_terms(f: Filter) -> list[str]:
+    """All positive Term leaves, sorted — the BM25 scoring terms."""
+    out: set[str] = set()
+
+    def walk(node: Filter, positive: bool) -> None:
+        if isinstance(node, Term):
+            if positive:
+                out.add(node.term)
+        elif isinstance(node, Prefix):
+            pass  # prefix matches filter but don't contribute BM25 terms here
+        elif isinstance(node, PButNotQ):
+            if node.children:
+                walk(node.children[0], positive)
+                for c in node.children[1:]:
+                    walk(c, False)
+        else:
+            for c in node.children:
+                walk(c, positive)
+
+    walk(f, True)
+    return sorted(out)
+
+
+def evaluate(f: Filter, provider, domain: np.ndarray | None = None) -> np.ndarray:
+    """Evaluate a filter tree → sorted uint64 docID array.
+
+    ``provider`` must expose:
+        ids(term) -> sorted uint64 array (empty if absent)
+        expand_prefix(prefix, cap) -> list[str] of matching terms
+        all_ids() -> sorted uint64 array of every live doc (for pure-NOT)
+    ``domain`` optionally intersects the result (time/lang masks).
+    """
+    res = _eval(f, provider)
+    if domain is not None:
+        res = intersect_sorted(res, domain)
+    return res
+
+
+def _eval(f: Filter, provider) -> np.ndarray:
+    if isinstance(f, Term):
+        return provider.ids(f.term)
+    if isinstance(f, Prefix):
+        terms = provider.expand_prefix(f.prefix, f.max_expansion)
+        out = np.empty(0, dtype=np.uint64)
+        for t in terms:
+            out = union_sorted(out, provider.ids(t))
+        return out
+    if isinstance(f, And):
+        if not f.children:
+            return provider.all_ids()
+        parts = []
+        for c in f.children:
+            ids = _eval(c, provider)
+            if len(ids) == 0:
+                return np.empty(0, dtype=np.uint64)  # AND short-circuit (:1175)
+            parts.append(ids)
+        parts.sort(key=len)  # intersect smallest-first (list-intersection opt)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = intersect_sorted(acc, p)
+            if len(acc) == 0:
+                return acc
+        return acc
+    if isinstance(f, Or):
+        acc = np.empty(0, dtype=np.uint64)
+        for c in f.children:
+            acc = union_sorted(acc, _eval(c, provider))
+        return acc
+    if isinstance(f, PButNotQ):
+        if not f.children:
+            return np.empty(0, dtype=np.uint64)
+        acc = _eval(f.children[0], provider)
+        for c in f.children[1:]:
+            if len(acc) == 0:
+                return acc
+            acc = diff_sorted(acc, _eval(c, provider))
+        return acc
+    raise TypeError(f"unknown filter node: {f!r}")

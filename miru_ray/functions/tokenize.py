@@ -1,0 +1,64 @@
+"""Deterministic tokenizer — the single code path for index AND query sides.
+
+The reference tokenizes with per-locale Lucene analyzer chains
+(miru-plugin/.../query/TermTokenizer.java:34-54, TermAnalyzers.java:45-138).
+Bit-stability between the index build and the query parser is what matters
+for rank-identical results, so we fix ONE pure function used everywhere,
+including the DuckDB oracle:
+
+    tokens(text) == regexp_extract_all(lower(text), '[a-z0-9]+')   (ANSI SQL)
+
+No stopword removal at index time (terms stay queryable; quality scoring
+has its own stopword list in ``textstats``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["TOKEN_RE", "tokenize", "tokenize_column", "term_frequencies"]
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+# SQL-equivalent pattern for oracle parity (DuckDB regexp_extract_all).
+TOKEN_RE_SQL = "[a-z0-9]+"
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase alnum-run tokenizer. Pure; used by oracle and query parser."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def tokenize_column(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    """Vectorized tokenize of a string column → list<string>.
+
+    Uses Arrow kernels: utf8_lower + split on the complement pattern.
+    ``extract_regex`` has no "all" variant in pyarrow, so we split on
+    non-token runs and drop empty strings — equivalent for this grammar.
+    """
+    lowered = pc.utf8_lower(texts)
+    # split_pattern_regex splits on every [^a-z0-9]+ run; leading/trailing
+    # separators produce empty strings which we strip per-list below.
+    split = pc.split_pattern_regex(lowered, "[^a-z0-9]+")
+    # Drop empty tokens: flatten, mask, rebuild list array with corrected offsets.
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.flatten()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    offsets = split.offsets.to_numpy(zero_copy_only=False)
+    # new offsets = cumulative count of kept tokens at each old offset
+    kept_cum = np.concatenate([[0], np.cumsum(keep_np)])
+    new_offsets = kept_cum[offsets]
+    new_flat = flat.filter(keep)
+    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), new_flat)
+
+
+def term_frequencies(tokens: list[str]) -> Counter:
+    """Per-document term → tf map (the reference's ``cardinality`` feature,
+    miru-plugin/.../index/MiruFieldIndex.java:37-41)."""
+    return Counter(tokens)

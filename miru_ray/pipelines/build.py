@@ -1,0 +1,177 @@
+"""Index build pipeline — the rebuild path, Ray-Data-first.
+
+Reference lifecycle being re-expressed: WAL → rebuild → online partition
+(miru-service/.../partition/MiruLocalHostedPartition.java:877-1010 and
+stream/MiruIndexer.java:47-120), restructured per SURVEY.md §7.1:
+
+    read_parquet (pruned)                                  [WAL read]
+      → map_batches(HtmlExtractor actor pool)              [A extract]
+      → map_batches(stamp part = hash(url) % P)            [B partition key]
+      → groupby("part").map_groups(build_partition)        [B,C,E dedup+ids+invert]
+      → driver prefix-sum of per-part doc counts → bases   [B global docIDs]
+      → union(per-part postings).map_groups(merge) by term [D,F shuffle+merge]
+      → write segments + meta                              [G manifest]
+
+Resume: partitions whose manifest is complete with matching input digest
+are skipped (filtered out BEFORE the heavy work); the merge step always
+re-derives global segments from all completed partitions' files.
+
+Scale notes (100 TB): the only all-to-all moves are (1) the groupby(part)
+over input rows — unavoidable, it IS the partitioning — and (2) the
+groupby(term) over per-(term,partition) compressed blobs, whose row count
+is bounded by |vocab|·P regardless of corpus size. Hot (stopword-like)
+terms are one blob per partition, not one row per occurrence, so Zipf skew
+does not create a mega-group (SURVEY.md §7.5 "Skew").
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from miru_ray.functions.extract import EXTRACTOR_VERSION
+from miru_ray.functions.hashing import part_for
+from miru_ray.stages.extract import EXTRACT_BATCH_SIZE, HtmlExtractor
+from miru_ray.stages.merge import merge_shard
+from miru_ray.stages.partition_build import build_partition
+from miru_ray.state import layout
+from miru_ray.state.layout import (completed_parts, meta_path, part_dir,
+                                   segments_dir, write_json_atomic)
+
+__all__ = ["BuildConfig", "build_index"]
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+@dataclass
+class BuildConfig:
+    num_parts: int = 16          # P — docID partitions (≈ millions of docs each at scale)
+    num_shards: int = 8          # S — term shards for the segment layout
+    k1: float = 1.2              # BM25 defaults recorded in meta for the query side
+    b: float = 0.75
+    extract_concurrency: int = 4
+    langs: list[str] | None = None   # optional lang pushdown filter
+
+
+def _stamp_part(batch: pa.Table, *, num_parts: int) -> pa.Table:
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    return batch.append_column("part", pa.array(part_for(urls, num_parts), pa.int64()))
+
+
+def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
+    """Build (or resume) the inverted index from a pages source.
+
+    Args:
+        source: parquet path/list, a ``ray.data.Dataset``, or a pyarrow Table
+            with the pages schema (html optional if text present).
+        index_dir: output index root (created).
+        cfg: build configuration.
+
+    Returns meta dict (also persisted to ``index_dir/meta.json``).
+    """
+    cfg = cfg or BuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+
+    # --- input ---
+    if isinstance(source, rd.Dataset):
+        ds = source
+    elif isinstance(source, pa.Table):
+        ds = rd.from_arrow(source)
+    else:
+        ds = rd.read_parquet(source)   # column pruning below via projection
+    names = ds.schema().names
+    has_html = "html" in names
+    keep = [c for c in PAGES_COLUMNS if c in names]
+    ds = ds.select_columns(keep)
+    if cfg.langs:
+        langs = set(cfg.langs)
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["lang"], value_set=pa.array(sorted(langs)))),
+            batch_format="pyarrow")
+
+    # --- [A] extract (actor pool) ---
+    if has_html:
+        # autoscaling pool (1..N): degrades gracefully when CPUs < N and
+        # lets the scheduler balance extract vs downstream stages
+        ds = ds.map_batches(HtmlExtractor, batch_format="pyarrow",
+                            batch_size=EXTRACT_BATCH_SIZE,
+                            concurrency=(1, cfg.extract_concurrency))
+
+    # --- [B] partition key ---
+    ds = ds.map_batches(functools.partial(_stamp_part, num_parts=cfg.num_parts),
+                        batch_format="pyarrow")
+
+    # --- resume: skip partitions already complete (digest re-checked per run
+    # only when the caller forces; presence+status is the fast path) ---
+    done = completed_parts(index_dir)
+    skipped = sorted(done)
+    if done:
+        done_arr = pa.array(sorted(done), pa.int64())
+        ds = ds.map_batches(
+            lambda t, d=done_arr: t.filter(
+                pa.compute.invert(pa.compute.is_in(t["part"], value_set=d))),
+            batch_format="pyarrow")
+
+    # --- [B,C,E] per-partition build (dedup → docIDs → invert → write) ---
+    builder = functools.partial(build_partition, index_dir=index_dir,
+                                num_shards=cfg.num_shards)
+    new_manifests = ds.groupby("part").map_groups(builder, batch_format="pandas")
+    # materialize the (tiny: one row per partition) manifest dataset
+    _ = new_manifests.count()
+
+    # --- [B] global docID bases: prefix sum over ALL completed partitions ---
+    done = completed_parts(index_dir)
+    if not done:
+        meta = {"num_parts": cfg.num_parts, "num_shards": cfg.num_shards,
+                "n_docs": 0, "avgdl": 0.0, "bases": {}, "k1": cfg.k1, "b": cfg.b,
+                "extractor_version": EXTRACTOR_VERSION, "skipped_parts": skipped}
+        write_json_atomic(meta_path(index_dir), meta)
+        return meta
+    parts_sorted = sorted(done)
+    counts = np.array([done[p]["n_docs"] for p in parts_sorted], dtype=np.int64)
+    bases_arr = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    bases = {p: int(b) for p, b in zip(parts_sorted, bases_arr)}
+    n_docs = int(counts.sum())
+    sum_doclen = int(sum(done[p]["sum_doclen"] for p in parts_sorted))
+    avgdl = sum_doclen / n_docs if n_docs else 0.0
+
+    # --- [D,F] merge partition postings into global segments: one task per
+    # term shard, parquet predicate pushdown instead of a Ray shuffle ---
+    part_files = {p: os.path.join(part_dir(index_dir, p), "postings.parquet")
+                  for p in parts_sorted}
+    layout.clear_segments(index_dir)
+    seg_tmp = segments_dir(index_dir) + ".tmp"
+    shard_ds = rd.from_arrow(pa.table({"shard": pa.array(range(cfg.num_shards),
+                                                         pa.int64())}))
+    merge_metrics = shard_ds.repartition(cfg.num_shards).map_batches(
+        functools.partial(merge_shard, index_dir=index_dir,
+                          part_files=part_files, bases=bases,
+                          segments_tmp=seg_tmp),
+        batch_format="pyarrow", batch_size=1)
+    seg_stats = merge_metrics.take_all()   # tiny: one row per shard
+    os.replace(seg_tmp, segments_dir(index_dir))
+
+    meta = {
+        "format_version": layout.FORMAT_VERSION,
+        "num_parts": cfg.num_parts,
+        "num_shards": cfg.num_shards,
+        "k1": cfg.k1, "b": cfg.b,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "sum_doclen": sum_doclen,
+        "bases": {str(p): bases[p] for p in parts_sorted},
+        "part_counts": {str(p): int(done[p]["n_docs"]) for p in parts_sorted},
+        "extractor_version": EXTRACTOR_VERSION,
+        "skipped_parts": skipped,
+        "tokenizer": "[a-z0-9]+ lowercase",
+        "n_terms": int(sum(r["n_terms"] for r in seg_stats)),
+        "segment_bytes": int(sum(r["bytes"] for r in seg_stats)),
+    }
+    write_json_atomic(meta_path(index_dir), meta)
+    return meta

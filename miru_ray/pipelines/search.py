@@ -1,0 +1,107 @@
+"""BM25 query path — filter → score → top-k, plus the Ray-native batch scorer.
+
+Reference flow re-expressed (SURVEY.md §3.3): parse → filter tree over
+posting bitmaps (MiruAggregateUtil.filter) → FullText score+top-k
+(miru-stream-plugins/.../fulltext/FullText.java:99-220) → answer merge
+(MiruService.askAndMerge:101-194). Here a single candidate set is scored
+vectorized; the per-partition scatter/gather of the reference becomes
+either (a) one driver-side call for interactive queries, or (b) an
+actor-pool ``map_batches`` over a *dataset of queries* for throughput —
+each actor holds one IndexReader (model-in-__init__ pattern,
+StrutModelScorer.java).
+
+Determinism: terms scored in sorted order, float64, final order
+(score desc, docID desc) — FullText.RawBitScore comparator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from miru_ray.functions.bm25 import bm25_term_scores, topk_order
+from miru_ray.functions.filters import evaluate, parse_query, query_terms
+from miru_ray.functions.postings import intersect_sorted
+from miru_ray.state.reader import IndexReader
+
+__all__ = ["search", "BatchSearcher", "score_candidates"]
+
+
+def score_candidates(reader: IndexReader, terms: list[str],
+                     candidates: np.ndarray) -> np.ndarray:
+    """BM25 scores (float64) for candidate docIDs, accumulating terms in
+    sorted order. Docs missing a term simply contribute nothing (OR care)."""
+    scores = np.zeros(len(candidates), dtype=np.float64)
+    if len(candidates) == 0:
+        return scores
+    doclen = reader.doclens(candidates)
+    postings = reader.load_postings(sorted(set(terms)))
+    for term in sorted(postings):
+        ids, tfs, df = postings[term]
+        idx = np.searchsorted(ids, candidates)
+        idx_c = np.minimum(idx, len(ids) - 1)
+        present = ids[idx_c] == candidates
+        if not present.any():
+            continue
+        scores[present] += bm25_term_scores(
+            tfs[idx_c[present]], doclen[present], df,
+            reader.n_docs, reader.avgdl, reader.k1, reader.b)
+    return scores
+
+
+def search(reader: IndexReader, query: str, k: int = 10,
+           time_range: tuple[int | None, int | None] | None = None,
+           langs: list[str] | None = None) -> pa.Table:
+    """Top-k BM25 search. Returns (doc_id, score, url, warc_ts, lang)."""
+    tree = parse_query(query)
+    domain = None
+    if time_range is not None:
+        domain = reader.time_range_domain(*time_range)
+    if langs:
+        lang_dom = reader.lang_domain(langs)
+        domain = lang_dom if domain is None else intersect_sorted(domain, lang_dom)
+    candidates = evaluate(tree, reader, domain)
+    terms = query_terms(tree)
+    scores = score_candidates(reader, terms, candidates)
+    top = topk_order(scores, candidates, k)
+    top_ids = candidates[top]
+    meta = reader.gather_docs(top_ids)
+    return pa.table({
+        "doc_id": meta["doc_id"],
+        "score": pa.array(scores[top], pa.float64()),
+        "url": meta["url"],
+        "warc_ts": meta["warc_ts"],
+        "lang": meta["lang"],
+    })
+
+
+class BatchSearcher:
+    """Actor-pool stage: a batch of queries in, top-k rows out.
+
+    Usage::
+
+        queries = ray.data.from_items([{"qid": 0, "query": "w00001 w00002"}, ...])
+        hits = queries.map_batches(BatchSearcher, fn_constructor_kwargs={
+                   "index_dir": idx, "k": 10},
+                   batch_format="pandas", concurrency=4, batch_size=64)
+
+    The IndexReader (segment handles, postings/docs caches) is built once
+    per actor; each query reuses the warm caches — the reference's
+    partition-handle + model-cache shape.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, q in zip(batch["qid"], batch["query"]):
+            hits = search(self.reader, q, self.k).to_pandas()
+            hits.insert(0, "qid", qid)
+            hits.insert(2, "rank", np.arange(len(hits), dtype=np.int64))
+            out.append(hits)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"qid": [], "doc_id": [], "rank": [], "score": [], "url": [],
+             "warc_ts": [], "lang": []})

@@ -1,0 +1,115 @@
+"""Per-partition index build — the map_groups body of stage [B]+[C]+[E].
+
+One call handles ALL rows of one partition (``part = hash(url) % P``, the
+explicit horizontal-partitioning key, SURVEY.md §4 row 1):
+
+1. latest-wins dedup by url (reference: timestamp/version-checked repair,
+   miru-service/.../partition/MiruPartitionAccessor.java:594-650);
+2. deterministic local docID assignment: sort by (warc_ts, url) — the
+   reference's "prime ordering" time index (README.md:6,
+   miru-plugin/.../index/MiruTimeIndex.java:22-55). Ordering derives from
+   DATA, never from task arrival order, so ids are identical at any
+   parallelism level;
+3. inversion → local-id postings (stages/invert.py);
+4. atomic write of docs.parquet + postings.parquet + manifest.json into
+   ``partitions/part=K/`` — the checkpoint unit for resume.
+
+Returns a one-row manifest record (the lineage+metrics contract,
+SURVEY.md §4 "Metrics/lineage").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from miru_ray.functions.extract import EXTRACTOR_VERSION
+from miru_ray.functions.hashing import hash_strings, shard_for
+from miru_ray.stages.invert import invert_docs
+from miru_ray.state.layout import part_dir, write_manifest
+
+__all__ = ["build_partition", "input_digest"]
+
+MANIFEST_SCHEMA = {
+    "part": np.int64, "n_rows_in": np.int64, "n_docs": np.int64,
+    "n_terms": np.int64, "sum_doclen": np.int64, "elapsed_s": np.float64,
+}
+
+
+def input_digest(urls, warc_ts_us: np.ndarray) -> int:
+    """Order-independent digest of a partition's input rows (resume guard):
+    XOR of per-row siphashes. Cheap, deterministic, commutative."""
+    h = hash_strings(urls) ^ warc_ts_us.astype(np.uint64)
+    return int(np.bitwise_xor.reduce(h)) if len(h) else 0
+
+
+def build_partition(group: pd.DataFrame, *, index_dir: str,
+                    num_shards: int) -> pd.DataFrame:
+    """map_groups body: one partition in, one manifest row out."""
+    t0 = time.perf_counter()
+    part = int(group["part"].iloc[0])
+    n_rows_in = len(group)
+    ts_us = group["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    digest = input_digest(group["url"].to_numpy(dtype=object), ts_us)
+
+    # [dedup] latest-wins by url; deterministic tie-break via stable sort on
+    # (url, warc_ts, text) then keep-last.
+    df = pd.DataFrame({
+        "url": group["url"].to_numpy(dtype=object),
+        "ts": ts_us,
+        "text": group["text"].to_numpy(dtype=object),
+        "lang": group["lang"].to_numpy(dtype=object),
+    })
+    df = df.sort_values(["url", "ts", "text"], kind="stable")
+    df = df.drop_duplicates("url", keep="last")
+
+    # [docID] local ids by (warc_ts, url) ascending
+    df = df.sort_values(["ts", "url"], kind="stable").reset_index(drop=True)
+    n_docs = len(df)
+    local_ids = np.arange(n_docs, dtype=np.int64)
+
+    texts = pa.array(df["text"].tolist(), pa.string())
+    postings, doclens = invert_docs(texts, local_ids)
+    postings = postings.append_column(
+        "shard", pa.array(shard_for(postings["term"].to_numpy(zero_copy_only=False),
+                                    num_shards), pa.int64()))
+
+    docs = pa.table({
+        "local_id": pa.array(local_ids, pa.int64()),
+        "url": pa.array(df["url"].tolist(), pa.string()),
+        "warc_ts": pa.array(df["ts"].to_numpy(), pa.timestamp("us")),
+        "lang": pa.array(df["lang"].tolist(), pa.string()),
+        "doclen": pa.array(doclens, pa.int64()),
+    })
+
+    # [atomic write] tmp files then rename; manifest last (commit point)
+    pdir = part_dir(index_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    for name, tbl in (("docs.parquet", docs), ("postings.parquet", postings)):
+        tmp = os.path.join(pdir, name + ".tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(pdir, name))
+
+    elapsed = time.perf_counter() - t0
+    manifest = {
+        "part": part,
+        "status": "complete",
+        "input_digest": digest,
+        "extractor_version": EXTRACTOR_VERSION,
+        "n_rows_in": n_rows_in,
+        "n_docs": n_docs,
+        "n_terms": postings.num_rows,
+        "sum_doclen": int(doclens.sum()),
+        "elapsed_s": round(elapsed, 4),
+    }
+    write_manifest(index_dir, part, manifest)
+    return pd.DataFrame({
+        "part": [part], "n_rows_in": [n_rows_in], "n_docs": [n_docs],
+        "n_terms": [postings.num_rows], "sum_doclen": [int(doclens.sum())],
+        "elapsed_s": [elapsed],
+    })

@@ -1,0 +1,105 @@
+"""Index directory layout + per-partition manifests (lineage & resume).
+
+Mirrors the reference's checkpoint surfaces — rebuild/sip cursors persisted
+per partition (miru-api/.../wal/RCVSSipCursor.java:10-49,
+miru-service/.../partition/MiruLocalHostedPartition.java:877-912) and sync
+progress keys (miru-sync-deployable/.../MiruSyncSender.java:226-295) — as
+atomic JSON manifests per partition directory:
+
+    index_dir/
+      meta.json                     # build config + global stats (N, avgdl, bases)
+      partitions/part=K/
+        docs.parquet                # local_id, url, warc_ts, lang, doclen  (sorted by (warc_ts,url))
+        postings.parquet            # term, shard, df, cf, docids, tfs      (sorted by term; LOCAL ids)
+        manifest.json               # lineage + metrics; presence+status == checkpoint
+      segments/
+        shard=S/postings.parquet    # merged GLOBAL-id postings per term
+      segments_manifest.json
+
+A partition is complete iff its manifest exists with status "complete" and
+matches the current input digest + extractor version; resume skips it
+(SURVEY.md §4 checkpoint row). All writes are write-temp-then-rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+__all__ = [
+    "part_dir", "manifest_path", "read_manifest", "write_manifest",
+    "completed_parts", "write_json_atomic", "read_json", "meta_path",
+    "segments_dir", "partitions_root",
+]
+
+FORMAT_VERSION = 1
+
+
+def partitions_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "partitions")
+
+
+def part_dir(index_dir: str, part: int) -> str:
+    return os.path.join(index_dir, "partitions", f"part={part:05d}")
+
+
+def manifest_path(index_dir: str, part: int) -> str:
+    return os.path.join(part_dir(index_dir, part), "manifest.json")
+
+
+def meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "meta.json")
+
+
+def segments_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def write_json_atomic(path: str, obj: dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_json(path: str) -> dict[str, Any] | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_manifest(index_dir: str, part: int) -> dict[str, Any] | None:
+    return read_json(manifest_path(index_dir, part))
+
+
+def write_manifest(index_dir: str, part: int, manifest: dict[str, Any]) -> None:
+    manifest = {"format_version": FORMAT_VERSION, **manifest}
+    write_json_atomic(manifest_path(index_dir, part), manifest)
+
+
+def completed_parts(index_dir: str) -> dict[int, dict[str, Any]]:
+    """part → manifest for every partition marked complete."""
+    root = partitions_root(index_dir)
+    out: dict[int, dict[str, Any]] = {}
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=", 1)[1])
+        m = read_manifest(index_dir, part)
+        if m and m.get("status") == "complete":
+            out[part] = m
+    return out
+
+
+def clear_segments(index_dir: str) -> None:
+    seg = segments_dir(index_dir)
+    if os.path.isdir(seg):
+        shutil.rmtree(seg)

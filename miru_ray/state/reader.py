@@ -1,0 +1,204 @@
+"""IndexReader — query-side access to a built index.
+
+The reference's query handle bundle: field index (postings by term,
+miru-plugin/.../index/MiruFieldIndex.java:12-43), activity index (doc
+gather, MiruActivityIndex.java:16-135), time index (timestamp↔docID,
+MiruTimeIndex.java:15-56) and global stats (getGlobalCardinality,
+MiruFieldIndex.java:41). Here:
+
+- postings: parquet segments with predicate pushdown on ``term`` (row
+  groups are term-sorted per shard file, so an `isin`/range filter touches
+  few row groups);
+- doc metadata: per-partition docs.parquet, loaded lazily per partition and
+  cached (global docID → partition via searchsorted over bases);
+- time range → docID domain: within a partition docIDs ascend with
+  (warc_ts, url), so a timestamp range is resolved per partition by binary
+  search over its warc_ts column, tolerating the small disorder the fixture
+  plants (like LabTimeIndex.getClosestId, miru-service/.../index/lab/
+  LabTimeIndex.java:139-189, we resolve against the sorted view).
+
+An actor-pool scorer holds ONE IndexReader per actor (stages/search.py) —
+the StrutModelScorer pattern (miru-stream-plugins/.../strut/
+StrutModelScorer.java).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from miru_ray.functions.hashing import shard_for
+from miru_ray.state.layout import meta_path, part_dir, read_json, segments_dir
+
+__all__ = ["IndexReader"]
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        meta = read_json(meta_path(index_dir))
+        if meta is None:
+            raise FileNotFoundError(f"no meta.json under {index_dir}")
+        self.meta = meta
+        self.n_docs: int = meta["n_docs"]
+        self.avgdl: float = meta["avgdl"]
+        self.k1: float = meta.get("k1", 1.2)
+        self.b: float = meta.get("b", 0.75)
+        self.num_shards: int = meta["num_shards"]
+        self.parts: list[int] = sorted(int(p) for p in meta["bases"])
+        self.bases = np.array([meta["bases"][str(p)] for p in self.parts],
+                              dtype=np.int64)
+        self.counts = np.array([meta["part_counts"][str(p)] for p in self.parts],
+                               dtype=np.int64)
+        self._seg_files = {
+            int(os.path.basename(f).split("=")[1].split(".")[0]): f
+            for f in glob.glob(os.path.join(segments_dir(index_dir), "shard=*.parquet"))
+        }
+        self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        self._docs_cache: dict[int, pa.Table] = {}
+        self._terms_cache: dict[int, np.ndarray] = {}
+
+    # --- postings ---
+
+    def load_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, int]]:
+        """term → (sorted global ids uint64, aligned tfs int64, df).
+        Missing terms are absent from the result."""
+        from miru_ray.functions.postings import decode_ids, decode_tfs
+        need = [t for t in terms if t not in self._postings_cache]
+        if need:
+            by_shard: dict[int, list[str]] = {}
+            for t, s in zip(need, shard_for(np.array(need, dtype=object),
+                                            self.num_shards)):
+                by_shard.setdefault(int(s), []).append(t)
+            for s, ts in by_shard.items():
+                f = self._seg_files.get(s)
+                if f is None:
+                    continue
+                tbl = pq.read_table(
+                    f, columns=["term", "df", "docids", "tfs"],
+                    filters=pads.field("term").isin(ts))
+                for i in range(tbl.num_rows):
+                    term = tbl["term"][i].as_py()
+                    self._postings_cache[term] = (
+                        decode_ids(tbl["docids"][i].as_py()),
+                        decode_tfs(tbl["tfs"][i].as_py()),
+                        int(tbl["df"][i].as_py()),
+                    )
+        return {t: self._postings_cache[t] for t in terms if t in self._postings_cache}
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, cf) without decoding postings (global cardinality,
+        MiruFieldIndex.getGlobalCardinality:41)."""
+        out: dict[str, tuple[int, int]] = {}
+        by_shard: dict[int, list[str]] = {}
+        for t, s in zip(terms, shard_for(np.array(terms, dtype=object), self.num_shards)):
+            by_shard.setdefault(int(s), []).append(t)
+        for s, ts in by_shard.items():
+            f = self._seg_files.get(s)
+            if f is None:
+                continue
+            tbl = pq.read_table(f, columns=["term", "df", "cf"],
+                                filters=pads.field("term").isin(ts))
+            for term, df, cf in zip(tbl["term"].to_pylist(),
+                                    tbl["df"].to_pylist(), tbl["cf"].to_pylist()):
+                out[term] = (df, cf)
+        return out
+
+    def expand_prefix(self, prefix: str, cap: int) -> list[str]:
+        """Term-range scan over all shards, capped (wildcard expansion,
+        MiruAggregateUtil.java:1154-1167). Returns sorted terms."""
+        hi = prefix + "￿"
+        found: list[str] = []
+        for s in sorted(self._seg_files):
+            tbl = pq.read_table(
+                self._seg_files[s], columns=["term"],
+                filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
+            found.extend(tbl["term"].to_pylist())
+        return sorted(found)[:cap]
+
+    # --- PostingsProvider protocol (functions/filters.py) ---
+
+    def ids(self, term: str) -> np.ndarray:
+        got = self.load_postings([term])
+        if term in got:
+            return got[term][0]
+        return np.empty(0, dtype=np.uint64)
+
+    def all_ids(self) -> np.ndarray:
+        return np.arange(self.n_docs, dtype=np.uint64)
+
+    # --- doc metadata ---
+
+    def part_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Global docID → index into self.parts."""
+        return np.searchsorted(self.bases, doc_ids.astype(np.int64), side="right") - 1
+
+    def docs_table(self, part: int) -> pa.Table:
+        if part not in self._docs_cache:
+            f = os.path.join(part_dir(self.index_dir, part), "docs.parquet")
+            self._docs_cache[part] = pq.read_table(f)
+        return self._docs_cache[part]
+
+    def doclens(self, doc_ids: np.ndarray) -> np.ndarray:
+        """doclen per global docID (gather across partitions)."""
+        out = np.empty(len(doc_ids), dtype=np.int64)
+        pidx = self.part_of(doc_ids)
+        for pi in np.unique(pidx):
+            part = self.parts[pi]
+            mask = pidx == pi
+            local = doc_ids[mask].astype(np.int64) - self.bases[pi]
+            dl = self.docs_table(part)["doclen"].to_numpy()
+            out[mask] = dl[local]
+        return out
+
+    def gather_docs(self, doc_ids: np.ndarray,
+                    columns: list[str] = ("url", "warc_ts", "lang")) -> pa.Table:
+        """docID → stored fields (the reference's activity-index gather,
+        MiruActivityIndex.getAll:63-96). Preserves input order."""
+        pidx = self.part_of(doc_ids)
+        cols: dict[str, list] = {c: [None] * len(doc_ids) for c in columns}
+        for pi in np.unique(pidx):
+            part = self.parts[pi]
+            sel = np.flatnonzero(pidx == pi)
+            local = doc_ids[sel].astype(np.int64) - self.bases[pi]
+            tbl = self.docs_table(part)
+            for c in columns:
+                vals = tbl[c].take(pa.array(local)).to_pylist()
+                for j, v in zip(sel, vals):
+                    cols[c][j] = v
+        out = {"doc_id": pa.array(doc_ids.astype(np.int64), pa.int64())}
+        for c in columns:
+            typ = self.docs_table(self.parts[0]).schema.field(c).type
+            out[c] = pa.array(cols[c], typ)
+        return pa.table(out)
+
+    # --- time & lang domains ---
+
+    def time_range_domain(self, lo_us: int | None, hi_us: int | None) -> np.ndarray:
+        """Sorted docIDs with lo_us <= warc_ts < hi_us (resolved per
+        partition; exact even with locally-disordered timestamps because we
+        test the actual column, not just the boundaries)."""
+        doms = []
+        for pi, part in enumerate(self.parts):
+            ts = self.docs_table(part)["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            mask = np.ones(len(ts), dtype=bool)
+            if lo_us is not None:
+                mask &= ts >= lo_us
+            if hi_us is not None:
+                mask &= ts < hi_us
+            doms.append((np.flatnonzero(mask) + self.bases[pi]).astype(np.uint64))
+        return np.concatenate(doms) if doms else np.empty(0, dtype=np.uint64)
+
+    def lang_domain(self, langs: list[str]) -> np.ndarray:
+        keep = set(langs)
+        doms = []
+        for pi, part in enumerate(self.parts):
+            lg = self.docs_table(part)["lang"].to_numpy(zero_copy_only=False)
+            mask = np.isin(lg, sorted(keep))
+            doms.append((np.flatnonzero(mask) + self.bases[pi]).astype(np.uint64))
+        return np.concatenate(doms) if doms else np.empty(0, dtype=np.uint64)

@@ -1,0 +1,87 @@
+"""Index-build correctness: postings vs oracle, dedup, stats, resume."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from miru_ray.sources.fixtures import NEEDLES
+
+
+@pytest.fixture(scope="module")
+def segments(index_dir):
+    files = sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet")))
+    return pq.read_table(files)
+
+
+def test_doc_count_after_dedup(oracle, reader):
+    assert reader.n_docs == oracle.n_docs
+    assert reader.n_docs < 900  # duplicates existed and were removed
+
+
+def test_avgdl_matches_oracle(oracle, reader):
+    assert reader.avgdl == pytest.approx(oracle.avgdl, rel=0, abs=1e-12)
+
+
+def test_needle_df_exact(segments):
+    d = {t: df for t, df in zip(segments["term"].to_pylist(),
+                                segments["df"].to_pylist())}
+    for k, term in NEEDLES.items():
+        # fixture plants needle{k} in docs 29*j (j<k); with 900 rows all
+        # k occurrences exist for k <= 31 (29*30=870 < 900)
+        assert d[term] == k, term
+
+
+def test_postings_identical_to_oracle(segments, oracle):
+    """Invariant 2 (FIXTURES.md): per-term docID lists + df/cf match the
+    brute-force dict index exactly."""
+    from miru_ray.functions.postings import decode_ids, decode_tfs
+    terms = segments["term"].to_pylist()
+    n_checked = 0
+    for i in range(0, len(terms), 17):   # sampled sweep + all needles below
+        t = terms[i]
+        ids = decode_ids(segments["docids"][i].as_py())
+        tfs = decode_tfs(segments["tfs"][i].as_py())
+        op = oracle.postings.get(t)
+        assert op is not None, t
+        o_ids = np.array(sorted(op), dtype=np.uint64)
+        assert np.array_equal(ids, o_ids), t
+        assert np.array_equal(tfs, np.array([op[int(d)] for d in o_ids])), t
+        assert segments["df"][i].as_py() == len(op)
+        assert segments["cf"][i].as_py() == sum(op.values())
+        n_checked += 1
+    assert n_checked > 100
+
+
+def test_total_term_space(segments, oracle):
+    assert set(segments["term"].to_pylist()) == set(oracle.postings)
+
+
+def test_docid_assignment_sorted_by_time_within_partition(index_dir, reader):
+    for part in reader.parts:
+        docs = reader.docs_table(part)
+        ts = docs["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        urls = docs["url"].to_pylist()
+        keys = list(zip(ts.tolist(), urls))
+        assert keys == sorted(keys)
+
+
+def test_manifest_lineage(index_dir, reader):
+    from miru_ray.state.layout import completed_parts
+    done = completed_parts(index_dir)
+    assert sorted(done) == reader.parts
+    for p, m in done.items():
+        assert m["status"] == "complete"
+        assert m["n_docs"] > 0
+        assert m["n_terms"] > 0
+        assert "input_digest" in m and "elapsed_s" in m
+
+
+def test_resume_skips_completed(pages, index_dir):
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    meta = build_index(pages, index_dir, BuildConfig(num_parts=4, num_shards=2))
+    assert meta["skipped_parts"] == [0, 1, 2, 3]

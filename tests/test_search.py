@@ -1,0 +1,88 @@
+"""Query-path correctness: rank-identical top-k vs brute-force oracle on
+the reference query set (FIXTURES.md invariant 3), filter semantics, and
+the Ray-native batch scorer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from miru_ray.pipelines.search import BatchSearcher, search
+from miru_ray.sources.queryset import reference_queries
+from tests.conftest import N_FIXTURE_ROWS
+
+
+def test_reference_queryset_rank_identical(reader, oracle):
+    qs = reference_queries(N_FIXTURE_ROWS)
+    assert len(qs) == 50
+    for q in qs:
+        oid, osc = oracle.search(q["query"], k=10, time_range=q["time_range"],
+                                 langs=q["langs"])
+        hits = search(reader, q["query"], k=10, time_range=q["time_range"],
+                      langs=q["langs"])
+        assert np.array_equal(hits["doc_id"].to_numpy(), oid), q
+        # scores must be exactly equal (same float64 ops, same order)
+        assert np.array_equal(hits["score"].to_numpy(), osc), q
+
+
+def test_filter_semantics_vs_oracle(reader, oracle):
+    from miru_ray.functions.filters import (And, Or, PButNotQ, Prefix, Term,
+                                            evaluate)
+    trees = [
+        And((Term("w00001"), Term("w00002"))),
+        Or((Term("needle7"), Term("needle13"))),
+        PButNotQ((Term("w00001"), Term("w00002"), Term("w00003"))),
+        And((Prefix("w0001"), Term("w00001"))),
+        PButNotQ((Or((Term("w00004"), Term("w00005"))), Prefix("w0000"))),
+        And(()),   # match-all
+    ]
+    for t in trees:
+        a = evaluate(t, reader)
+        b = evaluate(t, oracle)
+        assert np.array_equal(a, b), t
+
+
+def test_and_shortcircuit_on_missing_term(reader):
+    hits = search(reader, "w00001 zzz_not_a_term")
+    assert hits.num_rows == 0
+
+
+def test_prefix_expansion_cap(reader):
+    from miru_ray.functions.filters import MAX_WILDCARD_EXPANSION
+    terms = reader.expand_prefix("w0", 10**9)
+    assert len(terms) > MAX_WILDCARD_EXPANSION  # cap must actually bite below
+    capped = reader.expand_prefix("w0", MAX_WILDCARD_EXPANSION)
+    assert len(capped) == MAX_WILDCARD_EXPANSION
+    assert capped == sorted(terms)[:MAX_WILDCARD_EXPANSION]
+
+
+def test_empty_query_matches_all(reader, oracle):
+    hits = search(reader, "", k=5)
+    assert hits.num_rows == 5
+    # match-all scored 0 → top-k = highest doc ids (latest first)
+    assert hits["doc_id"].to_numpy().tolist() == [
+        oracle.n_docs - 1 - i for i in range(5)]
+
+
+def test_gather_returns_stored_fields(reader, oracle):
+    hits = search(reader, "needle7", k=7)
+    assert hits.num_rows == 7
+    by_id = {d[0]: d for d in oracle.docs}
+    for row in hits.to_pylist():
+        odoc = by_id[row["doc_id"]]
+        assert row["url"] == odoc[1]
+        assert "needle7" in odoc[3]
+
+
+def test_batch_searcher_matches_driver_search(index_dir, reader):
+    import ray.data as rd
+    qs = [{"qid": i, "query": q} for i, q in
+          enumerate(["needle7", "w00001 w00002", "w00003 OR needle13"])]
+    hits = rd.from_items(qs).map_batches(
+        BatchSearcher, fn_constructor_kwargs={"index_dir": index_dir, "k": 5},
+        batch_format="pandas", concurrency=1, batch_size=8).to_pandas()
+    for i, q in enumerate(qs):
+        mine = hits[hits["qid"] == i]
+        ref = search(reader, q["query"], k=5)
+        assert mine["doc_id"].tolist() == ref["doc_id"].to_pylist()
+        assert np.array_equal(mine["score"].to_numpy(), ref["score"].to_numpy())
