@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``  — flagship: build the inverted index over sf0.001
+  documents-as-pages and run a BM25 query batch through the actor-pool
+  searcher.
+- ``queries()`` — one entry per implemented operator family
+  (SURVEY.md §2): fulltext/BM25, term stats, distincts, events analytics
+  (waveform/metrics/distinct-count/aggregate-counts/trending/sessions),
+  relational (partial+final agg, sort+limit, broadcast semi-join), dedup
+  (exact, minhash-LSH, simhash), text stats (tokens/quality/fingerprint/
+  lang-id), ANN (brute-force + LSH).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible;
+  float columns rounded to 6 (money to 2) dp on BOTH sides so fp
+  summation-order drift cannot flip the value hash.
 """
 
 from __future__ import annotations
@@ -18,27 +22,203 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+TOKEN_SQL = "[a-z0-9]+"
+_STOP_SQL = "('a','and','are','as','at','by','for','from','in','is','it','of','on','or','that','the','to','with')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+    from miru_ray.pipelines.fulltext import documents_index
+    from miru_ray.pipelines.search import BatchSearcher
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = documents_index(sf_dir)
+    qs = [{"qid": i, "query": q} for i, q in enumerate(
+        ["sort merge", "vector OR window", "table scan", "spark -join", "bat*"])]
+    hits = rd.from_items(qs).map_batches(
+        BatchSearcher, fn_constructor_kwargs={"index_dir": idx, "k": 10},
+        batch_format="pandas", concurrency=2, batch_size=4)
+    return hits.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from miru_ray.pipelines import ann, dedup, events, fulltext, relational, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- fulltext / BM25 (flagship family) ---
+        "fulltext_topk": lambda sf: fulltext.fulltext_topk(sf, "sort merge", 20),
+        "fulltext_or": lambda sf: fulltext.needle_search(sf, "vector OR window", 50),
+        "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
+        "distinct_terms": lambda sf: fulltext.distinct_terms(sf, "b", 100),
+        # --- events analytics (Miru plugin family) ---
+        "analytics_waveform": events.analytics_waveform,
+        "metrics_sum": events.metrics_sum,
+        "distinct_count_users": events.distinct_count_users,
+        "aggregate_counts": events.aggregate_counts,
+        "trending": events.trending,
+        "user_sessions": events.user_sessions,
+        # --- relational / generic operators ---
+        "pricing_summary": relational.pricing_summary,
+        "top_orders": relational.top_orders,
+        "region_orders": relational.region_orders,
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_near_dups": dedup.minhash_near_dups,
+        "simhash64": dedup.simhash64,
+        # --- text analysis ---
+        "token_counts": textstats.token_counts,
+        "quality_scores": textstats.quality_scores,
+        "doc_fingerprints": textstats.doc_fingerprints,
+        "lang_id": textstats.lang_id,
+        # --- similarity search ---
+        "ann_topk": ann.ann_topk_bruteforce,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+    }
+
+
+def _bm25_sql(terms: list[str], k: int, require_all: bool) -> str:
+    termlist = ", ".join(f"'{t}'" for t in terms)
+    nterms_clause = f"WHERE nterms = {len(terms)}" if require_all else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({termlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ) AS raw,
+         count(*) AS nterms
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 6) AS score FROM scores {nterms_clause}
+ORDER BY raw DESC, doc_id DESC LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fulltext_topk": _bm25_sql(["merge", "sort"], 20, require_all=True),
+        "fulltext_or": _bm25_sql(["vector", "window"], 50, require_all=False),
+        "term_stats": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf WHERE term LIKE 's%' GROUP BY term ORDER BY term
+""",
+        "distinct_terms": f"""
+SELECT DISTINCT term FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM documents
+) WHERE term LIKE 'b%' ORDER BY term LIMIT 100
+""",
+        "analytics_waveform": """
+SELECT event_type, date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS n
+FROM events GROUP BY event_type, bucket
+""",
+        "metrics_sum": """
+SELECT date_trunc('hour', ts) AS bucket,
+       round(sum(value), 6) AS sum_value, count(*)::BIGINT AS n
+FROM events GROUP BY bucket
+""",
+        "distinct_count_users": """
+SELECT count(DISTINCT user_id)::BIGINT AS n_users
+FROM events WHERE event_type = 'click'
+""",
+        "aggregate_counts": """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+        "user_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_orders": """
+SELECT o_orderkey::BIGINT AS o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+        "region_orders": """
+SELECT n.n_name AS n_name, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+        "dedup_exact": """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text
+""",
+        "token_counts": f"""
+SELECT doc_id, len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT AS n_tokens
+FROM documents
+""",
+        "quality_scores": f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       n_chars::BIGINT AS n_chars,
+       round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+             / greatest(len(toks), 1), 6) AS stop_ratio,
+       round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+             / greatest(len(toks), 1), 6) AS mean_token_len
+FROM t
+""",
+        "doc_fingerprints": """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT 20
+""",
+        # lang_id, minhash_near_dups, simhash64, trending, ann_topk_lsh:
+        # non-SQL-expressible (heuristic models / LSH / peak detection) →
+        # rows-only driver check; python oracles live in tests/.
+    }

@@ -1,0 +1,177 @@
+"""Analytics operator family over the driver's ``events`` table.
+
+Re-expresses the reference's activity-stream analytics plugins as Ray Data
+aggregations (each cites its reference semantics):
+
+- waveform  — Analytics: per-term time-bucketed cardinalities
+  (miru-analytics-plugins/.../analytics/Analytics.java:57-201) →
+  groupby(event_type, bucket).count, with per-batch PARTIAL aggregation
+  before the shuffle (combiner pattern — at 100 TB the shuffle moves one
+  row per (type, bucket) per batch, not one per event).
+- metrics   — Metrics: per-bucket sums (miru-analytics-plugins/.../metrics/
+  Metrics.java) → groupby(bucket).sum/count.
+- distinct-count — DistinctCount (miru-stream-plugins/.../count/
+  DistinctCount.java:30-113) → filtered distinct user_ids.
+- aggregate-counts — AggregateCounts rollup (miru-stream-plugins/.../filter/
+  AggregateCounts.java:49-404): latest-activity-per-key + collapsed counts.
+- trending — Trending/PeakDet (miru-reco-plugins/.../trending/PeakDet.java:22-83):
+  waveforms ranked by peak score (driver-side peak detection over the
+  small waveform result).
+- sessions — streaming-shaped: per-user session windows over the ordered
+  log (gap > 30 min splits), via groupby(user).map_groups with in-group
+  ts sort (SURVEY.md §2.10 ordering note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from miru_ray.sources.tables import read_table
+
+__all__ = ["analytics_waveform", "metrics_sum", "distinct_count_users",
+           "aggregate_counts", "trending", "user_sessions"]
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _bucket_partial(batch: pa.Table) -> pa.Table:
+    ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    bucket = (ts // HOUR_US) * HOUR_US
+    df = pd.DataFrame({"event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                       "bucket_us": bucket})
+    part = df.groupby(["event_type", "bucket_us"], sort=False).size().reset_index(name="n")
+    return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def analytics_waveform(sf_dir: str) -> pa.Table:
+    """(event_type, bucket hour-timestamp, n) — the Analytics waveform."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    out = (ds.map_batches(_bucket_partial, batch_format="pyarrow")
+             .groupby(["event_type", "bucket_us"]).aggregate(Sum("n", alias_name="n")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    bucket = t["bucket_us"].cast(pa.int64()).cast(pa.timestamp("us"))
+    return pa.table({"event_type": t["event_type"], "bucket": bucket,
+                     "n": t["n"].cast(pa.int64())})
+
+
+def metrics_sum(sf_dir: str) -> pa.Table:
+    """(bucket, sum_value, n) per hour — the Metrics plugin shape."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bucket = (ts // HOUR_US) * HOUR_US
+        df = pd.DataFrame({"bucket_us": bucket,
+                           "value": batch["value"].to_numpy()})
+        g = df.groupby("bucket_us", sort=False).agg(
+            sum_value=("value", "sum"), n=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket_us")
+             .aggregate(Sum("sum_value", alias_name="sum_value"),
+                        Sum("n", alias_name="n")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table({
+        "bucket": t["bucket_us"].cast(pa.int64()).cast(pa.timestamp("us")),
+        "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        "n": t["n"].cast(pa.int64()),
+    })
+
+
+def distinct_count_users(sf_dir: str, event_type: str = "click") -> pa.Table:
+    """1-row (n_users) — DistinctCount of user_id among matching events."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["event_type"], event_type))
+                   .select(["user_id"]),
+        batch_format="pyarrow")
+    # partial distinct per batch → tiny global distinct
+    ds = ds.map_batches(
+        lambda t: pa.table({"user_id": pa.compute.unique(t["user_id"])}),
+        batch_format="pyarrow")
+    n = ds.unique("user_id")
+    return pa.table({"n_users": pa.array([len(n)], pa.int64())})
+
+
+def aggregate_counts(sf_dir: str) -> pa.Table:
+    """(user_id, n_events, last_ts) — AggregateCounts rollup: collapsed
+    count + latest activity per aggregate key."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"),
+                                          Max("ts", alias_name="last_ts"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                     "n_events": t["n_events"].cast(pa.int64()),
+                     "last_ts": t["last_ts"].cast(pa.timestamp("us"))})
+
+
+def _peakdet(series: np.ndarray, delta: float) -> list[tuple[int, float]]:
+    """Public-domain peakdet (Billauer) as used by the reference
+    (miru-reco-plugins/.../trending/PeakDet.peakdet:22-83): local maxima
+    that rise then fall by at least delta."""
+    maxima = []
+    mn, mx = np.inf, -np.inf
+    mxpos = -1
+    look_for_max = True
+    for i, v in enumerate(series):
+        if v > mx:
+            mx, mxpos = v, i
+        if v < mn:
+            mn = v
+        if look_for_max:
+            if v < mx - delta:
+                maxima.append((mxpos, mx))
+                mn = v
+                look_for_max = False
+        else:
+            if v > mn + delta:
+                mx, mxpos = v, i
+                look_for_max = True
+    return maxima
+
+
+def trending(sf_dir: str, delta_ratio: float = 0.25) -> pa.Table:
+    """(event_type, n_peaks, peak_sum) — waveforms ranked by peak activity.
+    Waveform is distributed; peak detection runs on the small result."""
+    wf = analytics_waveform(sf_dir).to_pandas()
+    rows = {"event_type": [], "n_peaks": [], "peak_sum": []}
+    for et, g in wf.groupby("event_type", sort=True):
+        g = g.sort_values("bucket")
+        series = g["n"].to_numpy().astype(np.float64)
+        delta = max(1.0, delta_ratio * float(series.max()))
+        peaks = _peakdet(series, delta)
+        rows["event_type"].append(et)
+        rows["n_peaks"].append(len(peaks))
+        rows["peak_sum"].append(float(sum(v for _, v in peaks)))
+    return pa.table({"event_type": pa.array(rows["event_type"], pa.string()),
+                     "n_peaks": pa.array(rows["n_peaks"], pa.int64()),
+                     "peak_sum": pa.array(rows["peak_sum"], pa.float64())})
+
+
+def _sessionize(group: pd.DataFrame) -> pd.DataFrame:
+    g = group.sort_values("ts", kind="stable")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_session = np.concatenate([[True], np.diff(ts) > SESSION_GAP_US])
+    sid = np.cumsum(new_session) - 1
+    out = (pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid})
+           .groupby(["user_id", "session_id"], sort=True)
+           .size().reset_index(name="n_events"))
+    return out
+
+
+def user_sessions(sf_dir: str) -> pa.Table:
+    """(user_id, session_id, n_events) — 30-min-gap session windows per
+    user over the ordered event log (groupby key, sort-in-group)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    out = ds.groupby("user_id").map_groups(_sessionize, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                     "session_id": t["session_id"].cast(pa.int64()),
+                     "n_events": t["n_events"].cast(pa.int64())})

@@ -1,0 +1,101 @@
+"""Fulltext operator family over the driver's ``documents`` table.
+
+The flagship path (SURVEY.md §2.6 FullText → BM25): build the inverted
+index over documents-as-pages, then answer BM25 top-k / term-stats /
+distincts queries. Each public function is a ``queries()`` entry with an
+exact ANSI-SQL oracle (see __ray_entry__.py) — rank/value-identical modulo
+round(…, 6) on float columns (fp summation order differs between numpy
+and SQL SUM; 1e-6 rounding absorbs ulp-level drift).
+
+Index builds are cached under /tmp keyed by source path + file stats, so
+the many query entries share one build per scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from miru_ray.pipelines.build import BuildConfig, build_index
+from miru_ray.pipelines.search import search
+from miru_ray.sources.tables import documents_as_pages, orig_doc_ids
+from miru_ray.state.layout import read_json
+from miru_ray.state.reader import IndexReader
+
+__all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
+           "distinct_terms", "needle_search"]
+
+_CACHE_ROOT = "/tmp/miru_ray_idx"
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (cached) the inverted index over documents_as_pages(sf_dir).
+
+    num_parts=1: the corpus is small and single-partition makes internal
+    docID order == driver doc_id order, aligning tie-breaks with the SQL
+    oracle. (The multi-partition path is exercised by the pages-fixture
+    tests; partition count scales with corpus size.)
+    """
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = {"src": os.path.abspath(src), "size": st.st_size,
+           "mtime_ns": st.st_mtime_ns, "layout": 2}
+    slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
+    idx = os.path.join(_CACHE_ROOT, slug)
+    tag_path = os.path.join(idx, "source_tag.json")
+    if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
+        return idx
+    import shutil
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(documents_as_pages(sf_dir), idx,
+                BuildConfig(num_parts=1, num_shards=2))
+    from miru_ray.state.layout import write_json_atomic
+    write_json_atomic(tag_path, tag)
+    return idx
+
+
+def fulltext_topk(sf_dir: str, query: str = "sort merge", k: int = 20) -> pa.Table:
+    """BM25 top-k (AND semantics). Returns (doc_id, score) with the
+    driver's doc_id and round(score, 6)."""
+    reader = IndexReader(documents_index(sf_dir))
+    hits = search(reader, query, k=k)
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })
+
+
+def needle_search(sf_dir: str, query: str = "vector OR window", k: int = 50) -> pa.Table:
+    """OR-query variant exercising union + scoring of partial matches."""
+    reader = IndexReader(documents_index(sf_dir))
+    hits = search(reader, query, k=k)
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })
+
+
+def term_stats_prefix(sf_dir: str, prefix: str = "s") -> pa.Table:
+    """(term, df, cf) for terms with the given prefix — the reference's
+    global-cardinality surface (MiruFieldIndex.getGlobalCardinality:41)
+    exposed as a scan."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import glob
+    idx = documents_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))
+    hi = prefix + "￿"
+    t = pq.read_table(files, columns=["term", "df", "cf"],
+                      filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
+    return t.sort_by("term")
+
+
+def distinct_terms(sf_dir: str, prefix: str = "b", limit: int = 100) -> pa.Table:
+    """Distincts operator (miru-reco-plugins/.../distincts/Distincts.java:41-170):
+    enumerate distinct terms by prefix range scan, capped."""
+    t = term_stats_prefix(sf_dir, prefix)
+    return t.select(["term"]).slice(0, limit)

@@ -1,0 +1,125 @@
+"""Text-analysis operators over ``documents`` — the training-data-pipeline
+family (language-ID, quality scoring, token counting, fingerprinting).
+
+All per-doc computation is a stateless/stateful ``map_batches`` with the
+shared deterministic tokenizer; md5 fingerprints match SQL ``md5(text)``
+exactly so the DuckDB oracle can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from miru_ray.functions.tokenize import tokenize_column
+from miru_ray.sources.tables import read_table
+
+__all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id"]
+
+# Small English stopword list (fixed; mirrored verbatim in the SQL oracle).
+STOPWORDS = ("a", "and", "are", "as", "at", "by", "for", "from", "in", "is",
+             "it", "of", "on", "or", "that", "the", "to", "with")
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens) via the index tokenizer."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"].combine_chunks())
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    out = ds.map_batches(f, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def quality_scores(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens, n_chars, stop_ratio, mean_token_len) — quality
+    heuristics (length / stopword-density), rounded to 6 dp."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks()
+        toks = tokenize_column(texts)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        n = np.diff(offsets).astype(np.int64)
+        flat = toks.flatten()
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        is_stop = np.isin(flat_np, sorted(stop))
+        tok_len = pa.compute.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+        stops = np.add.reduceat(is_stop.astype(np.int64), offsets[:-1]) \
+            if len(flat_np) else np.zeros(len(n), dtype=np.int64)
+        sum_len = np.add.reduceat(tok_len, offsets[:-1]) if len(flat_np) else np.zeros(len(n))
+        # reduceat quirk: empty slices copy the next element — zero them
+        stops = np.where(n > 0, stops, 0)
+        sum_len = np.where(n > 0, sum_len, 0.0)
+        nn = np.maximum(n, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_chars": pa.array(pa.compute.utf8_length(texts).to_numpy(
+                zero_copy_only=False).astype(np.int64), pa.int64()),
+            "stop_ratio": pa.array(np.round(stops / nn, 6), pa.float64()),
+            "mean_token_len": pa.array(np.round(sum_len / nn, 6), pa.float64()),
+        })
+
+    out = ds.map_batches(f, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def doc_fingerprints(sf_dir: str) -> pa.Table:
+    """(doc_id, fingerprint) with fingerprint = md5(text) hex — matches SQL
+    md5() exactly (document-fingerprinting primitive for exact dedup)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array(fps, pa.string())})
+
+    out = ds.map_batches(f, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# character classes whose frequency ratios separate the fixture languages;
+# a deliberately simple, deterministic n-gram-free heuristic (the real
+# engine would hold a fastText-style model in an actor pool).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "est", "une"),
+    "es": ("el", "los", "es", "una", "que"),
+    "en": ("the", "is", "and", "of", "a"),
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: marker tables built once per actor."""
+
+    def __init__(self) -> None:
+        self.markers = {lang: set(ws) for lang, ws in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from miru_ray.functions.tokenize import tokenize
+        preds = []
+        for text in batch["text"]:
+            toks = set(tokenize(text)[:200])
+            scores = {lang: len(toks & ws) for lang, ws in self.markers.items()}
+            best = max(sorted(scores), key=lambda l: scores[l])
+            preds.append(best if scores[best] > 0 else "unknown")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """(doc_id, lang_pred) — heuristic language ID via actor pool."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pandas", batch_size=1024,
+                         concurrency=(1, 2))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

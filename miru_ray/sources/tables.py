@@ -1,0 +1,61 @@
+"""Driver-testdata readers + the documents→pages adapter (FIXTURES.md §2).
+
+The reference ingests JSON activities whose fields are all strings
+(miru-api/.../activity/MiruActivity.java:34-60); our driver testdata is
+typed parquet. ``read_table`` prunes columns AT THE READ (row groups never
+ship unused columns). ``documents_as_pages`` maps the driver's
+``documents`` table into the authoritative pages shape:
+
+    url     := 'doc://' || source || '/' || doc_id
+    warc_ts := 2024-01-01T00:00:00Z + doc_id seconds   (deterministic)
+    text    := text (extraction bypassed — no html)
+    lang    := lang
+
+With this mapping, warc_ts order == doc_id order, so a single-partition
+index assigns internal docIDs monotone in the original doc_id — making
+engine tie-breaks (internal id) and SQL tie-breaks (doc_id) coincide.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+__all__ = ["read_table", "documents_as_pages", "DOC_TS_BASE_US", "orig_doc_ids"]
+
+DOC_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _to_pages(batch: pa.Table) -> pa.Table:
+    doc_id = batch["doc_id"]
+    url = pc.binary_join_element_wise(
+        pa.scalar("doc://"), batch["source"], pa.scalar("/"),
+        pc.cast(doc_id, pa.string()), pa.scalar(""))
+    ts = pc.add(pc.multiply(pc.cast(doc_id, pa.int64()), 1_000_000),
+                DOC_TS_BASE_US).cast(pa.timestamp("us"))
+    return pa.table({
+        "url": url,
+        "warc_ts": ts,
+        "text": batch["text"],
+        "lang": batch["lang"],
+    })
+
+
+def documents_as_pages(sf_dir: str) -> rd.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    return ds.map_batches(_to_pages, batch_format="pyarrow")
+
+
+def orig_doc_ids(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """'doc://srcN/123' → 123 (int64) — recover the driver's doc_id."""
+    import numpy as np
+    arr = urls.to_pylist()
+    return pa.array([int(u.rsplit("/", 1)[1]) for u in arr], pa.int64())
