@@ -42,7 +42,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from miru_ray.pipelines import ann, dedup, events, fulltext, relational, textstats
+    from miru_ray.pipelines import (ann, dedup, events, fulltext, reco,
+                                    relational, textstats)
 
     return {
         # --- fulltext / BM25 (flagship family) ---
@@ -73,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "embedding_near_dups": ann.embedding_near_dups,
+        # --- reco / model scoring ---
+        "cf_recommend": reco.cf_recommend,
+        "strut_scores": reco.strut_scores,
     }
 
 
@@ -217,6 +222,44 @@ FROM embeddings e CROSS JOIN q
 WHERE e.vec_id != 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT 20
+""",
+        "embedding_near_dups": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+        "cf_recommend": """
+WITH my_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+my_parts AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  JOIN my_orders ON l_orderkey = o_orderkey
+),
+contrib AS (
+  SELECT o.o_custkey AS custkey, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey IN (SELECT l_partkey FROM my_parts)
+    AND o.o_custkey != 1
+  GROUP BY o.o_custkey
+  ORDER BY w DESC, custkey ASC LIMIT 20
+),
+pairs AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS p_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IN (SELECT custkey FROM contrib)
+    AND l.l_partkey NOT IN (SELECT l_partkey FROM my_parts)
+)
+SELECT p.p_partkey::BIGINT AS p_partkey, sum(c.w)::BIGINT AS score
+FROM pairs p JOIN contrib c ON p.custkey = c.custkey
+GROUP BY p.p_partkey ORDER BY score DESC, p_partkey LIMIT 20
+""",
+        "strut_scores": """
+SELECT user_id::BIGINT AS user_id,
+       round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS score
+FROM events GROUP BY user_id
+ORDER BY score DESC, user_id LIMIT 50
 """,
         # lang_id, minhash_near_dups, simhash64, trending, ann_topk_lsh:
         # non-SQL-expressible (heuristic models / LSH / peak detection) →

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: build the inverted index over a generated Common-Crawl-style
+pages fixture (100k pages with html), then answer the 50-query reference
+set — reporting build docs/sec and query p50/p99. Secondary: wall time of
+every driver-contract query over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline pipeline in fresh processes at num_cpus=8
+and num_cpus=32 on the SAME input and reports both throughputs plus
+scaling efficiency (the sandbox proxy for the N→4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
+PAGES_DIR = f"/tmp/miru_bench_pages_{BENCH_PAGES}"
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def ensure_pages(n: int) -> str:
+    """Generate the bench pages fixture in parallel (cached across runs)."""
+    import ray
+    done_marker = os.path.join(PAGES_DIR, "_DONE")
+    if os.path.exists(done_marker):
+        return PAGES_DIR
+    shutil.rmtree(PAGES_DIR, ignore_errors=True)
+    os.makedirs(PAGES_DIR, exist_ok=True)
+
+    @ray.remote
+    def gen(fidx: int, lo: int, hi: int) -> int:
+        import pyarrow.parquet as pq
+        from miru_ray.sources.fixtures import generate_pages
+        out = os.path.join(PAGES_DIR, f"part-{fidx:05d}.parquet")
+        pq.write_table(generate_pages(lo, hi), out + ".tmp")
+        os.replace(out + ".tmp", out)
+        return hi - lo
+
+    rows_per_file = 10_000
+    futs = [gen.remote(i, lo, min(lo + rows_per_file, n))
+            for i, lo in enumerate(range(0, n, rows_per_file))]
+    ray.get(futs)
+    with open(done_marker, "w") as f:
+        f.write(str(n))
+    return PAGES_DIR
+
+
+def headline(num_cpus: int) -> dict:
+    """Index build + reference query set. Ray must already be initialised."""
+    import numpy as np
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import search
+    from miru_ray.sources.queryset import reference_queries
+    from miru_ray.state.reader import IndexReader
+
+    pages = ensure_pages(BENCH_PAGES)
+    idx = f"/tmp/miru_bench_idx_{NUM_CPUS}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    meta = build_index(pages, idx, BuildConfig(
+        num_parts=16, num_shards=8,
+        extract_concurrency=max(2, num_cpus // 2)))
+    build_s = time.perf_counter() - t0
+
+    reader = IndexReader(idx)
+    qs = reference_queries(BENCH_PAGES)
+    # warm pass: load segments/docs into reader caches (BASELINE.md measures
+    # "repeated BM25 top-k runs against built index")
+    for q in qs:
+        search(reader, q["query"], 10, q["time_range"], q["langs"])
+    lat = []
+    tq0 = time.perf_counter()
+    for q in qs:
+        t = time.perf_counter()
+        search(reader, q["query"], 10, q["time_range"], q["langs"])
+        lat.append(time.perf_counter() - t)
+    query_s = time.perf_counter() - tq0
+    lat = np.array(lat)
+    return {
+        "n_docs": meta["n_docs"],
+        "build_sec": round(build_s, 3),
+        "docs_per_sec": round(meta["n_docs"] / build_s, 1),
+        "query_set_sec": round(query_s, 3),
+        "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+        "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+        "headline_sec": round(build_s + query_s, 3),
+    }
+
+
+def operator_sweep(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as E
+    out: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        h = headline(NUM_CPUS)
+        queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else operator_sweep(SF_DIR)
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "index-build docs/sec + BM25 query p50/p99 (pages fixture) "
+                  "+ operator sweep",
+        "value": h["headline_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **h,
+    }
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    sub(8)          # untimed warm-up: generate fixture + warm page cache
+    lo = sub(8)
+    hi = sub(32)
+    tp_lo = lo["n_docs"] / lo["build_sec"]
+    tp_hi = hi["n_docs"] / hi["build_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, fresh processes, same input)",
+        "build_sec_8": lo["build_sec"], "build_sec_32": hi["build_sec"],
+        "docs_per_sec_8": round(tp_lo, 1), "docs_per_sec_32": round(tp_hi, 1),
+        "query_p50_ms_8": lo["query_p50_ms"], "query_p50_ms_32": hi["query_p50_ms"],
+        "scaling_efficiency": round(eff, 3),
+        "n_docs": lo["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

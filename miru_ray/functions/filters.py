@@ -145,15 +145,24 @@ def evaluate(f: Filter, provider, domain: np.ndarray | None = None) -> np.ndarra
     return res
 
 
+def _bulk_union(arrs: list[np.ndarray]) -> np.ndarray:
+    """Union of many sorted id arrays in one pass (concat + unique) — the
+    reference's multi-term OR, MiruBitmapsRoaring.orMultiTx:207-219."""
+    arrs = [a for a in arrs if len(a)]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    if len(arrs) == 1:
+        return arrs[0]
+    return np.unique(np.concatenate(arrs))
+
+
 def _eval(f: Filter, provider) -> np.ndarray:
     if isinstance(f, Term):
         return provider.ids(f.term)
     if isinstance(f, Prefix):
         terms = provider.expand_prefix(f.prefix, f.max_expansion)
-        out = np.empty(0, dtype=np.uint64)
-        for t in terms:
-            out = union_sorted(out, provider.ids(t))
-        return out
+        arrs = [provider.ids(t) for t in terms]
+        return _bulk_union(arrs)
     if isinstance(f, And):
         if not f.children:
             return provider.all_ids()
@@ -171,10 +180,7 @@ def _eval(f: Filter, provider) -> np.ndarray:
                 return acc
         return acc
     if isinstance(f, Or):
-        acc = np.empty(0, dtype=np.uint64)
-        for c in f.children:
-            acc = union_sorted(acc, _eval(c, provider))
-        return acc
+        return _bulk_union([_eval(c, provider) for c in f.children])
     if isinstance(f, PButNotQ):
         if not f.children:
             return np.empty(0, dtype=np.uint64)

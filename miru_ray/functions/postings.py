@@ -29,7 +29,26 @@ import numpy as np
 __all__ = [
     "encode_ids", "decode_ids", "encode_tfs", "decode_tfs",
     "merge_sorted_runs", "intersect_sorted", "union_sorted", "diff_sorted",
+    "block_max_tf", "BLOCK_SIZE",
 ]
+
+# posting entries per block-max block (WAND pruning granularity; the
+# reference's FullText batches tf lookups at 1000 ids, FullText.java:137 —
+# ours aligns with the codec's 4096-entry array containers)
+BLOCK_SIZE = 4096
+
+
+def block_max_tf(tfs: np.ndarray) -> bytes:
+    """Per-block max tf (u2, capped 65535) over BLOCK_SIZE-entry blocks of a
+    posting — the block-max skip metadata for WAND-style pruning."""
+    n = len(tfs)
+    if n == 0:
+        return b""
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = nblocks * BLOCK_SIZE - n
+    padded = np.concatenate([tfs, np.zeros(pad, dtype=tfs.dtype)]) if pad else tfs
+    mx = padded.reshape(nblocks, BLOCK_SIZE).max(axis=1)
+    return np.minimum(mx, 65535).astype("<u2").tobytes()
 
 _ARRAY, _BITMAP = 0, 1
 _ARRAY_MAX = 4096

@@ -21,7 +21,8 @@ import ray
 
 from miru_ray.sources.tables import read_table
 
-__all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "lsh_buckets"]
+__all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "lsh_buckets",
+           "embedding_near_dups"]
 
 _LSH_PLANES = 6   # 64 buckets; multi-probe Hamming<=2 → ~1/3 of space scanned
 
@@ -71,6 +72,45 @@ def ann_topk_bruteforce(sf_dir: str, vec_id: int = 0, k: int = 20) -> pa.Table:
     sel = partials.iloc[order]
     return pa.table({"vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
                      "sim": pa.array(np.round(sel["sim"].to_numpy(), 6), pa.float64())})
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """(vec_a, vec_b, sim) — embedding-cosine near-duplicate pairs
+    (vec_a < vec_b, sim ≥ threshold, rounded 6 dp; sorted by pair).
+
+    The full normalized matrix is broadcast once (ray.put); each batch does
+    one batch×corpus matmul and emits only above-threshold pairs — the
+    brute-force O(n²) tier of the dedup ladder (LSH bucketing is the scale
+    path, see ann_topk_lsh / dedup.minhash_near_dups).
+    """
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    all_ids, all_mat = _embedding_matrix(tbl)
+    norms = np.linalg.norm(all_mat, axis=1)
+    norms[norms == 0] = 1.0
+    all_n = all_mat / norms[:, None]
+    mat_ref = ray.put((all_ids.astype(np.int64), all_n))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(mat_ref)
+        ids, mat = _embedding_matrix(batch)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (mat / nrm[:, None]) @ m_all.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a = ids[rows].astype(np.int64)
+        b = ids_all[cols]
+        keep = a < b
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(b[keep], pa.int64()),
+                         "sim": pa.array(sims[rows, cols][keep], pa.float64())})
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.table({"vec_a": pa.array(out["vec_a"].to_numpy(), pa.int64()),
+                     "vec_b": pa.array(out["vec_b"].to_numpy(), pa.int64()),
+                     "sim": pa.array(np.round(out["sim"].to_numpy(), 6), pa.float64())})
 
 
 def lsh_buckets(mat: np.ndarray, dim: int) -> np.ndarray:

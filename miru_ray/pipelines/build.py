@@ -118,6 +118,18 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
                 pa.compute.invert(pa.compute.is_in(t["part"], value_set=d))),
             batch_format="pyarrow")
 
+    # coalesce oversplit blocks before the all-to-all: shuffle cost scales
+    # with block COUNT as well as bytes; never go below the natural file
+    # count (big inputs keep their size-driven blocking)
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    try:
+        n_files = len(ds.input_files() or [])
+    except Exception:
+        n_files = 0
+    target_blocks = max(2 * ncpu, cfg.num_parts, n_files)
+    ds = ds.repartition(target_blocks)
+
     # --- [B,C,E] per-partition build (dedup → docIDs → invert → write) ---
     builder = functools.partial(build_partition, index_dir=index_dir,
                                 num_shards=cfg.num_shards)

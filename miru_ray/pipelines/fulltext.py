@@ -43,7 +43,7 @@ def documents_index(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 2}
+           "mtime_ns": st.st_mtime_ns, "layout": 3}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     idx = os.path.join(_CACHE_ROOT, slug)
     tag_path = os.path.join(idx, "source_tag.json")

@@ -50,10 +50,79 @@ def score_candidates(reader: IndexReader, terms: list[str],
     return scores
 
 
+def topk_pruned(reader: IndexReader, terms: list[str], candidates: np.ndarray,
+                k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND-style top-k: per-candidate upper bounds from per-block
+    max-tf metadata eliminate docs that provably cannot reach the top-k;
+    only survivors get exact scores.
+
+    Losslessness: ub(doc) = Σ_t idf_t · bound(bmax_block(doc)) with
+    bound(tf) = tf(k1+1)/(tf + k1(1−b)) — BM25's tf-saturation evaluated at
+    the block's max tf and the minimal length norm (dl→0), which dominates
+    every exact per-term contribution; a doc pruned at ub < θ (θ = k-th
+    best exact score of the seed set) can never enter the top-k. Property-
+    tested against the exhaustive scorer (tests/test_search.py).
+
+    Replaces the reference's exhaustive newest-first walk + min-max heap
+    (FullText.java:129-220) with a two-phase vectorized scan.
+    """
+    from miru_ray.functions.bm25 import idf
+    from miru_ray.functions.postings import BLOCK_SIZE
+    postings = reader.load_postings(sorted(set(terms)))
+    if not postings or len(candidates) == 0:
+        # no scoring terms (e.g. pure-prefix query): all scores are 0 and
+        # top-k is decided by the docID tie-break alone
+        scores = np.zeros(len(candidates), dtype=np.float64)
+        top = topk_order(scores, candidates, k)
+        return candidates[top], scores[top]
+    # seed: exact-score candidates of the rarest term (highest idf — likely
+    # the score leaders), capped
+    rarest = min(postings, key=lambda t: postings[t][2])
+    seed_pool = intersect_sorted(candidates, postings[rarest][0])
+    if len(seed_pool) == 0 or len(seed_pool) > max(4 * k, 512):
+        seed_pool = seed_pool[:max(4 * k, 512)] if len(seed_pool) else candidates[:max(4 * k, 512)]
+    seed_scores = score_candidates(reader, terms, seed_pool)
+    if len(seed_pool) >= k:
+        theta = np.partition(seed_scores, len(seed_scores) - k)[len(seed_scores) - k]
+    else:
+        theta = -np.inf
+    # upper bounds for all candidates from block-max metadata
+    ub = np.zeros(len(candidates), dtype=np.float64)
+    k1, b = reader.k1, reader.b
+    for term in sorted(postings):
+        ids, _tfs, df = postings[term]
+        bmax = reader.block_max(term)
+        idx = np.searchsorted(ids, candidates)
+        idx_c = np.minimum(idx, len(ids) - 1)
+        present = ids[idx_c] == candidates
+        if not present.any():
+            continue
+        btf = bmax[idx_c[present] // BLOCK_SIZE].astype(np.float64)
+        ub[present] += float(idf(reader.n_docs, df)) * btf * (k1 + 1.0) \
+            / (btf + k1 * (1.0 - b))
+    # >= (not >): a doc whose exact score ties θ can still win on the docID
+    # tie-break, so the boundary must survive
+    survivors = candidates[ub >= theta]
+    # exact scores for survivors ∪ seed (dedup via union of sorted arrays)
+    from miru_ray.functions.postings import union_sorted
+    final_pool = union_sorted(survivors, seed_pool)
+    final_scores = score_candidates(reader, terms, final_pool)
+    top = topk_order(final_scores, final_pool, k)
+    return final_pool[top], final_scores[top]
+
+
+# pruning engages only when exhaustive scoring clearly costs more than the
+# two-phase pass (hot OR queries over large candidate sets)
+PRUNE_MIN_CANDIDATES = 4096
+
+
 def search(reader: IndexReader, query: str, k: int = 10,
            time_range: tuple[int | None, int | None] | None = None,
-           langs: list[str] | None = None) -> pa.Table:
-    """Top-k BM25 search. Returns (doc_id, score, url, warc_ts, lang)."""
+           langs: list[str] | None = None, *, prune: bool | None = None) -> pa.Table:
+    """Top-k BM25 search. Returns (doc_id, score, url, warc_ts, lang).
+
+    ``prune`` forces the block-max path on/off (None = auto heuristic).
+    """
     tree = parse_query(query)
     domain = None
     if time_range is not None:
@@ -63,13 +132,19 @@ def search(reader: IndexReader, query: str, k: int = 10,
         domain = lang_dom if domain is None else intersect_sorted(domain, lang_dom)
     candidates = evaluate(tree, reader, domain)
     terms = query_terms(tree)
-    scores = score_candidates(reader, terms, candidates)
-    top = topk_order(scores, candidates, k)
-    top_ids = candidates[top]
+    use_prune = (prune if prune is not None
+                 else len(candidates) >= PRUNE_MIN_CANDIDATES and
+                 k * 8 <= len(candidates) and len(terms) > 0)
+    if use_prune:
+        top_ids, top_scores = topk_pruned(reader, terms, candidates, k)
+    else:
+        scores = score_candidates(reader, terms, candidates)
+        top = topk_order(scores, candidates, k)
+        top_ids, top_scores = candidates[top], scores[top]
     meta = reader.gather_docs(top_ids)
     return pa.table({
         "doc_id": meta["doc_id"],
-        "score": pa.array(scores[top], pa.float64()),
+        "score": pa.array(top_scores, pa.float64()),
         "url": meta["url"],
         "warc_ts": meta["warc_ts"],
         "lang": meta["lang"],

@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from miru_ray.functions.postings import decode_ids, decode_tfs, encode_ids, encode_tfs
+from miru_ray.functions.postings import (block_max_tf, decode_ids, decode_tfs,
+                                         encode_ids, encode_tfs)
 
 __all__ = ["merge_shard", "merge_rows"]
 
@@ -40,6 +41,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
         "term": pa.array([], pa.string()), "shard": pa.array([], pa.int64()),
         "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64()),
         "docids": pa.array([], pa.binary()), "tfs": pa.array([], pa.binary()),
+        "bmax": pa.array([], pa.binary()),
     })
     if rows.num_rows == 0:
         return empty
@@ -57,7 +59,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
     cfs = df_["cf"].to_numpy()
     shards = df_["shard"].to_numpy()
 
-    out_term, out_shard, out_df, out_cf, out_ids, out_tfs = [], [], [], [], [], []
+    out_term, out_shard, out_df, out_cf, out_ids, out_tfs, out_bmax = ([], [], [], [], [], [], [])
     for s, e in zip(starts, ends):
         if e - s == 1:  # single-partition term: rebase only
             ids = decode_ids(blobs[s]) + np.uint64(bases[int(parts[s])])
@@ -72,6 +74,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
         out_cf.append(int(cfs[s:e].sum()))
         out_ids.append(encode_ids(ids))
         out_tfs.append(encode_tfs(tfs))
+        out_bmax.append(block_max_tf(tfs))
     return pa.table({
         "term": pa.array(out_term, pa.string()),
         "shard": pa.array(out_shard, pa.int64()),
@@ -79,6 +82,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
         "cf": pa.array(out_cf, pa.int64()),
         "docids": pa.array(out_ids, pa.binary()),
         "tfs": pa.array(out_tfs, pa.binary()),
+        "bmax": pa.array(out_bmax, pa.binary()),
     })
 
 

@@ -78,6 +78,9 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     postings = postings.append_column(
         "shard", pa.array(shard_for(postings["term"].to_numpy(zero_copy_only=False),
                                     num_shards), pa.int64()))
+    # sort by (shard, term) so the per-shard merge's shard-filter reads only
+    # the matching row groups (parquet min/max pruning)
+    postings = postings.sort_by([("shard", "ascending"), ("term", "ascending")])
 
     docs = pa.table({
         "local_id": pa.array(local_ids, pa.int64()),
@@ -92,7 +95,7 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     os.makedirs(pdir, exist_ok=True)
     for name, tbl in (("docs.parquet", docs), ("postings.parquet", postings)):
         tmp = os.path.join(pdir, name + ".tmp")
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=4096)
         os.replace(tmp, os.path.join(pdir, name))
 
     elapsed = time.perf_counter() - t0

@@ -34,7 +34,7 @@ __all__ = [
     "segments_dir", "partitions_root",
 ]
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: segments carry block-max (bmax) WAND metadata
 
 
 def partitions_root(index_dir: str) -> str:

@@ -60,6 +60,8 @@ class IndexReader:
             for f in glob.glob(os.path.join(segments_dir(index_dir), "shard=*.parquet"))
         }
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        self._bmax_cache: dict[str, np.ndarray] = {}
+        self._doclen_all: np.ndarray | None = None
         self._docs_cache: dict[int, pa.Table] = {}
         self._terms_cache: dict[int, np.ndarray] = {}
 
@@ -80,7 +82,7 @@ class IndexReader:
                 if f is None:
                     continue
                 tbl = pq.read_table(
-                    f, columns=["term", "df", "docids", "tfs"],
+                    f, columns=["term", "df", "docids", "tfs", "bmax"],
                     filters=pads.field("term").isin(ts))
                 for i in range(tbl.num_rows):
                     term = tbl["term"][i].as_py()
@@ -89,7 +91,15 @@ class IndexReader:
                         decode_tfs(tbl["tfs"][i].as_py()),
                         int(tbl["df"][i].as_py()),
                     )
+                    self._bmax_cache[term] = np.frombuffer(
+                        tbl["bmax"][i].as_py(), dtype="<u2").astype(np.int64)
         return {t: self._postings_cache[t] for t in terms if t in self._postings_cache}
+
+    def block_max(self, term: str) -> np.ndarray:
+        """Per-BLOCK_SIZE-entry max tf for a loaded term (WAND metadata)."""
+        if term not in self._bmax_cache:
+            self.load_postings([term])
+        return self._bmax_cache.get(term, np.empty(0, dtype=np.int64))
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, cf) without decoding postings (global cardinality,
@@ -145,16 +155,15 @@ class IndexReader:
         return self._docs_cache[part]
 
     def doclens(self, doc_ids: np.ndarray) -> np.ndarray:
-        """doclen per global docID (gather across partitions)."""
-        out = np.empty(len(doc_ids), dtype=np.int64)
-        pidx = self.part_of(doc_ids)
-        for pi in np.unique(pidx):
-            part = self.parts[pi]
-            mask = pidx == pi
-            local = doc_ids[mask].astype(np.int64) - self.bases[pi]
-            dl = self.docs_table(part)["doclen"].to_numpy()
-            out[mask] = dl[local]
-        return out
+        """doclen per global docID. Backed by one lazily-built dense int64
+        array (8 bytes/doc) — the single-node analogue of the reference's
+        per-partition time/activity sidecars; at cluster scale each scorer
+        actor holds only its partitions' slices."""
+        if self._doclen_all is None:
+            self._doclen_all = np.concatenate(
+                [self.docs_table(p)["doclen"].to_numpy() for p in self.parts]
+            ) if self.parts else np.empty(0, dtype=np.int64)
+        return self._doclen_all[doc_ids.astype(np.int64)]
 
     def gather_docs(self, doc_ids: np.ndarray,
                     columns: list[str] = ("url", "warc_ts", "lang")) -> pa.Table:

@@ -74,6 +74,26 @@ def test_gather_returns_stored_fields(reader, oracle):
         assert "needle7" in odoc[3]
 
 
+def test_blockmax_pruning_lossless(reader, oracle):
+    """Property: the block-max WAND path returns EXACTLY the exhaustive
+    result (ids and float64 scores) for every reference query — pruning
+    must be provably lossless (SURVEY.md §7.5)."""
+    qs = reference_queries(N_FIXTURE_ROWS)
+    for q in qs:
+        a = search(reader, q["query"], k=10, time_range=q["time_range"],
+                   langs=q["langs"], prune=False)
+        b = search(reader, q["query"], k=10, time_range=q["time_range"],
+                   langs=q["langs"], prune=True)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy()), q
+    # extreme k values through the pruned path
+    for k in (1, 3, 100, 10_000):
+        a = search(reader, "w00000 OR w00001", k=k, prune=False)
+        b = search(reader, "w00000 OR w00001", k=k, prune=True)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
 def test_batch_searcher_matches_driver_search(index_dir, reader):
     import ray.data as rd
     qs = [{"qid": i, "query": q} for i, q in
