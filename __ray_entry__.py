@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- fulltext / BM25 (flagship family) ---
         "fulltext_topk": lambda sf: fulltext.fulltext_topk(sf, "sort merge", 20),
         "fulltext_or": lambda sf: fulltext.needle_search(sf, "vector OR window", 50),
+        "fulltext_lang": lambda sf: fulltext.fulltext_filtered(
+            sf, "table scan", langs=["en"]),
+        "fulltext_timerange": lambda sf: fulltext.fulltext_filtered(
+            sf, "table scan", doc_id_range=(100, 400)),
+        "fulltext_highlight": fulltext.fulltext_highlighted,
         "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
         "distinct_terms": lambda sf: fulltext.distinct_terms(sf, "b", 100),
         # --- events analytics (Miru plugin family) ---
@@ -58,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_counts": events.aggregate_counts,
         "trending": events.trending,
         "user_sessions": events.user_sessions,
+        "props_k_stats": events.props_k_stats,
         # --- relational / generic operators ---
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -81,9 +87,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _bm25_sql(terms: list[str], k: int, require_all: bool) -> str:
+def _bm25_sql(terms: list[str], k: int, require_all: bool,
+              doc_filter: str = "") -> str:
+    """BM25 in ANSI SQL. ``doc_filter`` restricts CANDIDATE docs (an extra
+    predicate on documents d) while df/N/avgdl stay corpus-global —
+    exactly the engine's domain-mask semantics."""
     termlist = ", ".join(f"'{t}'" for t in terms)
-    nterms_clause = f"WHERE nterms = {len(terms)}" if require_all else ""
+    conds = [f"nterms = {len(terms)}"] if require_all else []
+    if doc_filter:
+        conds.append(f"doc_id IN (SELECT doc_id FROM documents d WHERE {doc_filter})")
+    nterms_clause = ("WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
@@ -112,6 +125,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "fulltext_topk": _bm25_sql(["merge", "sort"], 20, require_all=True),
         "fulltext_or": _bm25_sql(["vector", "window"], 50, require_all=False),
+        "fulltext_lang": _bm25_sql(["scan", "table"], 20, require_all=True,
+                                   doc_filter="d.lang = 'en'"),
+        "fulltext_timerange": _bm25_sql(["scan", "table"], 20, require_all=True,
+                                        doc_filter="d.doc_id >= 100 AND d.doc_id < 400"),
+        "props_k_stats": """
+SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+""",
         "term_stats": f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term

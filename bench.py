@@ -10,9 +10,11 @@ Prints ONE JSON line:
     {"metric": ..., "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the headline pipeline in fresh processes at num_cpus=8
-and num_cpus=32 on the SAME input and reports both throughputs plus
-scaling efficiency (the sandbox proxy for the N→4N-node criterion).
+--scaling: runs the headline pipeline in fresh processes at N and 4N
+CPUs (default 4 and 16, see BENCH_SCALE_LO/HI) on the SAME input and
+reports both throughputs plus scaling efficiency (the sandbox proxy for
+the N→4N-node criterion; beyond ~16 slots one node's memory bandwidth
+saturates — see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -71,8 +73,8 @@ def headline(num_cpus: int) -> dict:
 
     t0 = time.perf_counter()
     meta = build_index(pages, idx, BuildConfig(
-        num_parts=16, num_shards=8,
-        extract_concurrency=max(2, num_cpus // 2)))
+        num_parts=64, num_shards=32,
+        extract_concurrency=num_cpus))
     build_s = time.perf_counter() - t0
 
     reader = IndexReader(idx)
@@ -137,24 +139,31 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N vs 4N CPUs in fresh processes on the same input (N=4: at >16 slots
+    a single node's memory bandwidth saturates — see BENCH/BASELINE.md)."""
+    n_lo, n_hi = (int(os.environ.get("BENCH_SCALE_LO", "4")),
+                  int(os.environ.get("BENCH_SCALE_HI", "16")))
+    pages = os.environ.get("BENCH_SCALING_PAGES", "200000")
+
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
+                   BENCH_PAGES=pages)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    sub(8)          # untimed warm-up: generate fixture + warm page cache
-    lo = sub(8)
-    hi = sub(32)
+    sub(n_lo)       # untimed warm-up: generate fixture + warm page cache
+    lo = sub(n_lo)
+    hi = sub(n_hi)
     tp_lo = lo["n_docs"] / lo["build_sec"]
     tp_hi = hi["n_docs"] / hi["build_sec"]
-    eff = (tp_hi / tp_lo) / (32 / 8)
+    eff = (tp_hi / tp_lo) / (n_hi / n_lo)
     return {
-        "metric": "scaling efficiency (8 -> 32 CPUs, fresh processes, same input)",
-        "build_sec_8": lo["build_sec"], "build_sec_32": hi["build_sec"],
-        "docs_per_sec_8": round(tp_lo, 1), "docs_per_sec_32": round(tp_hi, 1),
-        "query_p50_ms_8": lo["query_p50_ms"], "query_p50_ms_32": hi["query_p50_ms"],
+        "metric": f"scaling efficiency ({n_lo} -> {n_hi} CPUs, fresh processes, same input)",
+        f"build_sec_{n_lo}": lo["build_sec"], f"build_sec_{n_hi}": hi["build_sec"],
+        f"docs_per_sec_{n_lo}": round(tp_lo, 1), f"docs_per_sec_{n_hi}": round(tp_hi, 1),
+        f"query_p50_ms_{n_lo}": lo["query_p50_ms"], f"query_p50_ms_{n_hi}": hi["query_p50_ms"],
         "scaling_efficiency": round(eff, 3),
         "n_docs": lo["n_docs"],
     }

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -37,7 +38,8 @@ import ray.data as rd
 
 from miru_ray.functions.extract import EXTRACTOR_VERSION
 from miru_ray.functions.hashing import part_for
-from miru_ray.stages.extract import EXTRACT_BATCH_SIZE, HtmlExtractor
+from miru_ray.stages.extract import (EXTRACT_BATCH_SIZE, HtmlExtractor,
+                                     extract_batch)
 from miru_ray.stages.merge import merge_shard
 from miru_ray.stages.partition_build import build_partition
 from miru_ray.state import layout
@@ -57,6 +59,21 @@ class BuildConfig:
     b: float = 0.75
     extract_concurrency: int = 4
     langs: list[str] | None = None   # optional lang pushdown filter
+    store_text: bool = False         # stored-field feature (activity index):
+                                     # keep text in docs.parquet for gather/
+                                     # highlight (MiruActivityIndex role)
+    extract_actors: bool = False     # actor-pool extract (use when the
+                                     # extractor has expensive init; the
+                                     # default regex extractor does not)
+
+
+def _merge_one_shard(shard: int, part_files: dict[int, str],
+                     bases: dict[int, int], segments_tmp: str) -> dict:
+    import pyarrow as pa
+    out = merge_shard(pa.table({"shard": pa.array([shard], pa.int64())}),
+                      index_dir="", part_files=part_files, bases=bases,
+                      segments_tmp=segments_tmp)
+    return {"n_terms": out["n_terms"][0].as_py(), "bytes": out["bytes"][0].as_py()}
 
 
 def _stamp_part(batch: pa.Table, *, num_parts: int) -> pa.Table:
@@ -77,6 +94,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     """
     cfg = cfg or BuildConfig()
     os.makedirs(index_dir, exist_ok=True)
+    phase_t: dict[str, float] = {}
+    t_start = time.perf_counter()
 
     # --- input ---
     if isinstance(source, rd.Dataset):
@@ -95,13 +114,17 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
             lambda t: t.filter(pa.compute.is_in(t["lang"], value_set=pa.array(sorted(langs)))),
             batch_format="pyarrow")
 
-    # --- [A] extract (actor pool) ---
+    # --- [A] extract ---
     if has_html:
-        # autoscaling pool (1..N): degrades gracefully when CPUs < N and
-        # lets the scheduler balance extract vs downstream stages
-        ds = ds.map_batches(HtmlExtractor, batch_format="pyarrow",
-                            batch_size=EXTRACT_BATCH_SIZE,
-                            concurrency=(1, cfg.extract_concurrency))
+        if cfg.extract_actors:
+            # autoscaling pool (1..N): for extractors with heavy init;
+            # degrades gracefully when CPUs < N
+            ds = ds.map_batches(HtmlExtractor, batch_format="pyarrow",
+                                batch_size=EXTRACT_BATCH_SIZE,
+                                concurrency=(1, cfg.extract_concurrency))
+        else:
+            ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                                batch_size=EXTRACT_BATCH_SIZE)
 
     # --- [B] partition key ---
     ds = ds.map_batches(functools.partial(_stamp_part, num_parts=cfg.num_parts),
@@ -132,10 +155,12 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
 
     # --- [B,C,E] per-partition build (dedup → docIDs → invert → write) ---
     builder = functools.partial(build_partition, index_dir=index_dir,
-                                num_shards=cfg.num_shards)
+                                num_shards=cfg.num_shards,
+                                store_text=cfg.store_text)
     new_manifests = ds.groupby("part").map_groups(builder, batch_format="pandas")
     # materialize the (tiny: one row per partition) manifest dataset
     _ = new_manifests.count()
+    phase_t["partition_build"] = round(time.perf_counter() - t_start, 3)
 
     # --- [B] global docID bases: prefix sum over ALL completed partitions ---
     done = completed_parts(index_dir)
@@ -159,15 +184,15 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
                   for p in parts_sorted}
     layout.clear_segments(index_dir)
     seg_tmp = segments_dir(index_dir) + ".tmp"
-    shard_ds = rd.from_arrow(pa.table({"shard": pa.array(range(cfg.num_shards),
-                                                         pa.int64())}))
-    merge_metrics = shard_ds.repartition(cfg.num_shards).map_batches(
-        functools.partial(merge_shard, index_dir=index_dir,
-                          part_files=part_files, bases=bases,
-                          segments_tmp=seg_tmp),
-        batch_format="pyarrow", batch_size=1)
-    seg_stats = merge_metrics.take_all()   # tiny: one row per shard
+    t_merge = time.perf_counter()
+    # plain task fan-out (the documented raw-Ray exception: input is a list
+    # of shard ids, not data — no Dataset semantics to preserve)
+    merge_task = _ray.remote(_merge_one_shard)
+    futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
+            for s_ in range(cfg.num_shards)]
+    seg_stats = _ray.get(futs)
     os.replace(seg_tmp, segments_dir(index_dir))
+    phase_t["segment_merge"] = round(time.perf_counter() - t_merge, 3)
 
     meta = {
         "format_version": layout.FORMAT_VERSION,
@@ -184,6 +209,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         "tokenizer": "[a-z0-9]+ lowercase",
         "n_terms": int(sum(r["n_terms"] for r in seg_stats)),
         "segment_bytes": int(sum(r["bytes"] for r in seg_stats)),
+        "phase_sec": phase_t,
     }
     write_json_atomic(meta_path(index_dir), meta)
     return meta

@@ -34,7 +34,7 @@ from ray.data.aggregate import Count, Max, Sum
 from miru_ray.sources.tables import read_table
 
 __all__ = ["analytics_waveform", "metrics_sum", "distinct_count_users",
-           "aggregate_counts", "trending", "user_sessions"]
+           "aggregate_counts", "trending", "user_sessions", "props_k_stats"]
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -153,6 +153,33 @@ def trending(sf_dir: str, delta_ratio: float = 0.25) -> pa.Table:
     return pa.table({"event_type": pa.array(rows["event_type"], pa.string()),
                      "n_peaks": pa.array(rows["n_peaks"], pa.int64()),
                      "peak_sum": pa.array(rows["peak_sum"], pa.float64())})
+
+
+def props_k_stats(sf_dir: str) -> pa.Table:
+    """(event_type, sum_k, n) — scalar-function family (SURVEY.md §2.9:
+    the reference's only scalar ops are term compose + JSON): parse the
+    ``props`` JSON column, extract key ``k``, aggregate per event_type."""
+    import json
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = np.array([json.loads(p).get("k", 0)
+                       for p in t["props"].to_pylist()], dtype=np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "k": ks})
+        g = df.groupby("event_type", sort=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("sum_k", alias_name="sum_k"),
+                        Sum("n", alias_name="n")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table({"event_type": t["event_type"],
+                     "sum_k": t["sum_k"].cast(pa.int64()),
+                     "n": t["n"].cast(pa.int64())})
 
 
 def _sessionize(group: pd.DataFrame) -> pd.DataFrame:

@@ -27,7 +27,8 @@ from miru_ray.state.layout import read_json
 from miru_ray.state.reader import IndexReader
 
 __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
-           "distinct_terms", "needle_search"]
+           "distinct_terms", "needle_search", "fulltext_filtered",
+           "fulltext_highlighted"]
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
@@ -43,7 +44,7 @@ def documents_index(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 3}
+           "mtime_ns": st.st_mtime_ns, "layout": 4}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     idx = os.path.join(_CACHE_ROOT, slug)
     tag_path = os.path.join(idx, "source_tag.json")
@@ -52,7 +53,7 @@ def documents_index(sf_dir: str) -> str:
     import shutil
     shutil.rmtree(idx, ignore_errors=True)
     build_index(documents_as_pages(sf_dir), idx,
-                BuildConfig(num_parts=1, num_shards=2))
+                BuildConfig(num_parts=1, num_shards=2, store_text=True))
     from miru_ray.state.layout import write_json_atomic
     write_json_atomic(tag_path, tag)
     return idx
@@ -99,3 +100,36 @@ def distinct_terms(sf_dir: str, prefix: str = "b", limit: int = 100) -> pa.Table
     enumerate distinct terms by prefix range scan, capped."""
     t = term_stats_prefix(sf_dir, prefix)
     return t.select(["term"]).slice(0, limit)
+
+
+def fulltext_filtered(sf_dir: str, query: str = "table scan",
+                      langs: list[str] | None = None,
+                      doc_id_range: tuple[int, int] | None = None,
+                      k: int = 20) -> pa.Table:
+    """BM25 top-k with lang / time-range domain masks. The adapter maps
+    warc_ts = base + doc_id s, so a doc_id range IS a time range."""
+    from miru_ray.sources.tables import DOC_TS_BASE_US
+    reader = IndexReader(documents_index(sf_dir))
+    tr = None
+    if doc_id_range is not None:
+        lo, hi = doc_id_range
+        tr = (DOC_TS_BASE_US + lo * 1_000_000, DOC_TS_BASE_US + hi * 1_000_000)
+    hits = search(reader, query, k=k, time_range=tr, langs=langs)
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })
+
+
+def fulltext_highlighted(sf_dir: str, query: str = "window stream",
+                         k: int = 10) -> pa.Table:
+    """Top-k with snippet highlighting from the stored-text field."""
+    from miru_ray.pipelines.search import highlight_hits
+    reader = IndexReader(documents_index(sf_dir))
+    hits = search(reader, query, k=k)
+    hl = highlight_hits(reader, hits, query)
+    return pa.table({
+        "doc_id": orig_doc_ids(hl["url"]),
+        "score": pa.array(np.round(hl["score"].to_numpy(), 6), pa.float64()),
+        "snippet": hl["snippet"],
+    })

@@ -131,6 +131,10 @@ def search(reader: IndexReader, query: str, k: int = 10,
         lang_dom = reader.lang_domain(langs)
         domain = lang_dom if domain is None else intersect_sorted(domain, lang_dom)
     candidates = evaluate(tree, reader, domain)
+    removed = reader.removed_ids()
+    if len(removed):   # removal-index ANDNOT mask (MiruRemovalIndex)
+        from miru_ray.functions.postings import diff_sorted
+        candidates = diff_sorted(candidates, removed)
     terms = query_terms(tree)
     use_prune = (prune if prune is not None
                  else len(candidates) >= PRUNE_MIN_CANDIDATES and
@@ -149,6 +153,35 @@ def search(reader: IndexReader, query: str, k: int = 10,
         "warc_ts": meta["warc_ts"],
         "lang": meta["lang"],
     })
+
+
+def highlight_hits(reader: IndexReader, hits: pa.Table, query: str,
+                   window: int = 40) -> pa.Table:
+    """Append a ``snippet`` column: ±window chars around the first query-term
+    occurrence, terms wrapped in ``**``. Requires an index built with
+    ``store_text=True`` (the stored-field feature). Reference:
+    LuceneBackedQueryParser.highlight:56-74 (Lucene highlighter over stored
+    content → here a deterministic first-match window)."""
+    import re as _re
+    terms = query_terms(parse_query(query))
+    if not terms:
+        return hits.append_column("snippet", pa.array([""] * hits.num_rows))
+    pat = _re.compile("|".join(_re.escape(t) for t in sorted(terms, key=len,
+                                                             reverse=True)),
+                      _re.IGNORECASE)
+    doc_ids = hits["doc_id"].to_numpy().astype(np.uint64)
+    texts = reader.gather_docs(doc_ids, columns=["text"])["text"].to_pylist()
+    snippets = []
+    for text in texts:
+        m = pat.search(text or "")
+        if not m:
+            snippets.append((text or "")[: 2 * window])
+            continue
+        lo = max(0, m.start() - window)
+        hi = min(len(text), m.end() + window)
+        frag = text[lo:hi]
+        snippets.append(pat.sub(lambda mm: f"**{mm.group(0)}**", frag))
+    return hits.append_column("snippet", pa.array(snippets, pa.string()))
 
 
 class BatchSearcher:

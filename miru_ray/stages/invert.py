@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from miru_ray.functions.postings import encode_ids, encode_tfs
+from miru_ray.functions.postings import encode_many_ids, encode_many_tfs
 from miru_ray.functions.tokenize import tokenize_column
 
 __all__ = ["invert_docs", "doc_lengths"]
@@ -83,8 +83,8 @@ def invert_docs(texts: pa.Array | pa.ChunkedArray,
     df = (ends - starts).astype(np.int64)
     cf = np.add.reduceat(tf, starts).astype(np.int64)
 
-    docid_blobs = [encode_ids(u_doc[s:e].astype(np.uint64)) for s, e in zip(starts, ends)]
-    tf_blobs = [encode_tfs(tf[s:e]) for s, e in zip(starts, ends)]
+    docid_blobs = encode_many_ids(u_doc.astype(np.uint64), starts, ends)
+    tf_blobs = encode_many_tfs(tf, starts, ends)
 
     postings = pa.table({
         "term": pa.array(vocab[term_codes], pa.string()),

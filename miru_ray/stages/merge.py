@@ -93,6 +93,8 @@ def merge_shard(batch: pa.Table, *, index_dir: str, part_files: dict[int, str],
 
     Returns a metrics row per shard (terms, bytes) — the lineage record.
     """
+    from miru_ray.functions.runtime import limit_worker_threads
+    limit_worker_threads()
     out_rows = {"shard": [], "n_terms": [], "bytes": []}
     for shard in batch["shard"].to_pylist():
         pieces = []

@@ -49,8 +49,10 @@ def input_digest(urls, warc_ts_us: np.ndarray) -> int:
 
 
 def build_partition(group: pd.DataFrame, *, index_dir: str,
-                    num_shards: int) -> pd.DataFrame:
+                    num_shards: int, store_text: bool = False) -> pd.DataFrame:
     """map_groups body: one partition in, one manifest row out."""
+    from miru_ray.functions.runtime import limit_worker_threads
+    limit_worker_threads()
     t0 = time.perf_counter()
     part = int(group["part"].iloc[0])
     n_rows_in = len(group)
@@ -82,13 +84,16 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     # the matching row groups (parquet min/max pruning)
     postings = postings.sort_by([("shard", "ascending"), ("term", "ascending")])
 
-    docs = pa.table({
+    doc_cols = {
         "local_id": pa.array(local_ids, pa.int64()),
         "url": pa.array(df["url"].tolist(), pa.string()),
         "warc_ts": pa.array(df["ts"].to_numpy(), pa.timestamp("us")),
         "lang": pa.array(df["lang"].tolist(), pa.string()),
         "doclen": pa.array(doclens, pa.int64()),
-    })
+    }
+    if store_text:   # "stored" field feature (MiruFieldDefinition Feature.stored)
+        doc_cols["text"] = texts
+    docs = pa.table(doc_cols)
 
     # [atomic write] tmp files then rename; manifest last (commit point)
     pdir = part_dir(index_dir, part)

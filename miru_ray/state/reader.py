@@ -62,6 +62,7 @@ class IndexReader:
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
         self._bmax_cache: dict[str, np.ndarray] = {}
         self._doclen_all: np.ndarray | None = None
+        self._removed: np.ndarray | None = None
         self._docs_cache: dict[int, pa.Table] = {}
         self._terms_cache: dict[int, np.ndarray] = {}
 
@@ -94,6 +95,17 @@ class IndexReader:
                     self._bmax_cache[term] = np.frombuffer(
                         tbl["bmax"][i].as_py(), dtype="<u2").astype(np.int64)
         return {t: self._postings_cache[t] for t in terms if t in self._postings_cache}
+
+    def removed_ids(self) -> np.ndarray:
+        """Tombstoned docIDs (removal index, resolved once and cached;
+        call refresh_tombstones() after add_tombstones)."""
+        if self._removed is None:
+            from miru_ray.state.tombstones import resolve_tombstones
+            self._removed = resolve_tombstones(self)
+        return self._removed
+
+    def refresh_tombstones(self) -> None:
+        self._removed = None
 
     def block_max(self, term: str) -> np.ndarray:
         """Per-BLOCK_SIZE-entry max tf for a loaded term (WAND metadata)."""

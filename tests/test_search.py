@@ -4,6 +4,8 @@ the Ray-native batch scorer."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -72,6 +74,50 @@ def test_gather_returns_stored_fields(reader, oracle):
         odoc = by_id[row["doc_id"]]
         assert row["url"] == odoc[1]
         assert "needle7" in odoc[3]
+
+
+def test_tombstone_removal_mask(pages, tmp_path, oracle):
+    """REMOVE semantics (MiruRemovalIndex): tombstoned urls vanish from
+    every query without touching segments; un-tombstoned results match the
+    original exactly."""
+    import shutil
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.state.reader import IndexReader
+    from miru_ray.state.tombstones import add_tombstones
+    d = str(tmp_path / "idx")
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(pages, d, BuildConfig(num_parts=4, num_shards=2))
+    reader = IndexReader(d)
+    before = search(reader, "needle7", k=10)
+    assert before.num_rows == 7
+    victims = before["url"].to_pylist()[:2]
+    add_tombstones(d, victims)
+    reader.refresh_tombstones()
+    after = search(reader, "needle7", k=10)
+    assert after.num_rows == 5
+    assert not set(victims) & set(after["url"].to_pylist())
+    surviving = [u for u in before["url"].to_pylist() if u not in victims]
+    assert after["url"].to_pylist() == surviving
+
+
+def test_highlight_snippets(index_dir):
+    """Stored-field gather + highlighter: snippet contains the marked
+    query term (needs store_text; build one small index with it)."""
+    import shutil
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import highlight_hits
+    from miru_ray.sources.fixtures import pages_table
+    from miru_ray.state.reader import IndexReader
+    d = index_dir + "_stored"
+    if not os.path.exists(d):
+        build_index(pages_table(300), d,
+                    BuildConfig(num_parts=2, num_shards=2, store_text=True))
+    reader = IndexReader(d)
+    hits = search(reader, "needle5", k=5)
+    hl = highlight_hits(reader, hits, "needle5")
+    assert hl.num_rows == hits.num_rows > 0
+    for s in hl["snippet"].to_pylist():
+        assert "**needle5**" in s
 
 
 def test_blockmax_pruning_lossless(reader, oracle):
