@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- reco / model scoring ---
         "cf_recommend": reco.cf_recommend,
         "strut_scores": reco.strut_scores,
+        "catwalk_model": reco.catwalk_model,
+        "term_first_last": fulltext.term_first_last,
     }
 
 
@@ -282,6 +284,27 @@ SELECT user_id::BIGINT AS user_id,
              / count(*), 6) AS score
 FROM events GROUP BY user_id
 ORDER BY score DESC, user_id LIMIT 50
+""",
+        "catwalk_model": """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rk
+  FROM c
+)
+SELECT event_type, user_id::BIGINT AS user_id, n::BIGINT AS n
+FROM r WHERE rk <= 5
+""",
+        "term_first_last": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM documents
+)
+SELECT term, min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term
 """,
         # lang_id, minhash_near_dups, simhash64, trending, ann_topk_lsh:
         # non-SQL-expressible (heuristic models / LSH / peak detection) →

@@ -28,7 +28,7 @@ from miru_ray.state.reader import IndexReader
 
 __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "distinct_terms", "needle_search", "fulltext_filtered",
-           "fulltext_highlighted"]
+           "fulltext_highlighted", "term_first_last"]
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
@@ -133,3 +133,31 @@ def fulltext_highlighted(sf_dir: str, query: str = "window stream",
         "score": pa.array(np.round(hl["score"].to_numpy(), 6), pa.float64()),
         "snippet": hl["snippet"],
     })
+
+
+def term_first_last(sf_dir: str, prefix: str = "s") -> pa.Table:
+    """(term, first_doc, last_doc) — the reference's first/latest index
+    semantics (MiruIndexFirst setIfEmpty / MiruIndexLatest remove-then-set,
+    miru-service/.../stream/MiruIndexFirst.java, MiruIndexLatest.java:77):
+    per term, the first and latest docID in prime order. Read straight off
+    the docID-sorted postings (ids[0] / ids[-1]); num_parts=1 makes
+    internal ids == driver doc_ids."""
+    import glob
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from miru_ray.functions.postings import decode_ids
+    idx = documents_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))
+    hi = prefix + "\uffff"
+    t = pq.read_table(files, columns=["term", "docids"],
+                      filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
+    terms, first, last = [], [], []
+    for term, blob in zip(t["term"].to_pylist(), t["docids"].to_pylist()):
+        ids = decode_ids(blob)
+        terms.append(term)
+        first.append(int(ids[0]))
+        last.append(int(ids[-1]))
+    out = pa.table({"term": pa.array(terms, pa.string()),
+                    "first_doc": pa.array(first, pa.int64()),
+                    "last_doc": pa.array(last, pa.int64())})
+    return out.sort_by("term")

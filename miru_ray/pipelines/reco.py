@@ -30,7 +30,7 @@ from ray.data.aggregate import Sum
 
 from miru_ray.sources.tables import read_table
 
-__all__ = ["cf_recommend", "strut_scores"]
+__all__ = ["cf_recommend", "strut_scores", "catwalk_model"]
 
 
 def _orderkey_to_custkey(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -121,6 +121,32 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
               .head(k))
     return pa.table({"p_partkey": pa.array(scores["p_partkey"].to_numpy(), pa.int64()),
                      "score": pa.array(scores["score"].to_numpy(), pa.int64())})
+
+
+def catwalk_model(sf_dir: str, top_n: int = 5) -> pa.Table:
+    """(event_type, user_id, n) — Catwalk model build: grouped feature
+    co-occurrence counts with top-N values kept per label
+    (miru-stream-plugins/.../catwalk/Catwalk.java:64-200: numerator counts
+    per feature-value, top-N per feature). Partial counts per batch →
+    small groupby sum → per-label top-N (count desc, user_id asc)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy()})
+        g = df.groupby(["event_type", "user_id"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
+             .aggregate(Sum("n", alias_name="n")).to_pandas())
+    out = (out.sort_values(["event_type", "n", "user_id"],
+                           ascending=[True, False, True])
+              .groupby("event_type", sort=True).head(top_n))
+    return pa.table({"event_type": pa.array(out["event_type"].tolist(), pa.string()),
+                     "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                     "n": pa.array(out["n"].to_numpy(), pa.int64())})
 
 
 def strut_scores(sf_dir: str, label: str = "purchase", k: int = 50) -> pa.Table:
