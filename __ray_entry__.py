@@ -42,8 +42,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from miru_ray.pipelines import (ann, dedup, events, fulltext, reco,
-                                    relational, textstats)
+    from miru_ray.pipelines import (ann, dedup, events, fulltext, multimodal,
+                                    reco, relational, textstats)
 
     return {
         # --- fulltext / BM25 (flagship family) ---
@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending": events.trending,
         "user_sessions": events.user_sessions,
         "props_k_stats": events.props_k_stats,
+        "aggregate_counts_page2": events.aggregate_counts_page2,
         # --- relational / generic operators ---
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strut_scores": reco.strut_scores,
         "catwalk_model": reco.catwalk_model,
         "term_first_last": fulltext.term_first_last,
+        # --- multimodal (binary media columns; decode stubbed, plumbing real) ---
+        "image_features": lambda sf: multimodal.image_features_pipeline(200),
+        "video_frame_sample": lambda sf: multimodal.frame_sample_pipeline(200),
     }
 
 
@@ -284,6 +288,19 @@ SELECT user_id::BIGINT AS user_id,
              / count(*), 6) AS score
 FROM events GROUP BY user_id
 ORDER BY score DESC, user_id LIMIT 50
+""",
+        "aggregate_counts_page2": """
+WITH a AS (
+  SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, n_events, last_ts,
+         row_number() OVER (ORDER BY last_ts DESC, user_id) AS rk
+  FROM a
+)
+SELECT user_id::BIGINT AS user_id, n_events::BIGINT AS n_events, last_ts
+FROM ranked WHERE rk > 25 AND rk <= 50
 """,
         "catwalk_model": """
 WITH c AS (

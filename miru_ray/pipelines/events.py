@@ -155,6 +155,46 @@ def trending(sf_dir: str, delta_ratio: float = 0.25) -> pa.Table:
                      "peak_sum": pa.array(rows["peak_sum"], pa.float64())})
 
 
+def aggregate_counts_paged(sf_dir: str, page_size: int = 25,
+                           cursor: tuple[int, int] | None = None) -> tuple[pa.Table, tuple[int, int] | None]:
+    """Paginated AggregateCounts — the reference's report/lastReport
+    pattern: per-query state (position in the collapsed rollup) carried
+    between calls (AggregateCounts.java:131-147,
+    miru-plugin/.../solution/MiruRequestAndReport.java).
+
+    Total order: (last_ts DESC, user_id ASC). ``cursor`` = (last_ts_us,
+    user_id) of the previous page's final row; returns (page, next_cursor).
+    Stateless re-query: each page re-runs the distributed rollup and
+    seeks past the cursor — no server-side session."""
+    full = aggregate_counts(sf_dir).to_pandas()
+    full["last_ts_us"] = full["last_ts"].astype("datetime64[us]").astype(np.int64)
+    full = full.sort_values(["last_ts_us", "user_id"],
+                            ascending=[False, True], kind="stable")
+    if cursor is not None:
+        ts_c, uid_c = cursor
+        after = (full["last_ts_us"] < ts_c) | \
+                ((full["last_ts_us"] == ts_c) & (full["user_id"] > uid_c))
+        full = full[after]
+    page = full.head(page_size)
+    next_cursor = None
+    if len(page) == page_size and len(full) > page_size:
+        last = page.iloc[-1]
+        next_cursor = (int(last["last_ts_us"]), int(last["user_id"]))
+    out = pa.table({
+        "user_id": pa.array(page["user_id"].to_numpy(), pa.int64()),
+        "n_events": pa.array(page["n_events"].to_numpy(), pa.int64()),
+        "last_ts": pa.array(page["last_ts"].to_numpy(), pa.timestamp("us")),
+    })
+    return out, next_cursor
+
+
+def aggregate_counts_page2(sf_dir: str, page_size: int = 25) -> pa.Table:
+    """Second page via the carried cursor (driver-contract entry)."""
+    _, cursor = aggregate_counts_paged(sf_dir, page_size)
+    page2, _ = aggregate_counts_paged(sf_dir, page_size, cursor)
+    return page2
+
+
 def props_k_stats(sf_dir: str) -> pa.Table:
     """(event_type, sum_k, n) — scalar-function family (SURVEY.md §2.9:
     the reference's only scalar ops are term compose + JSON): parse the

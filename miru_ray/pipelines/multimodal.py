@@ -1,0 +1,196 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+The training-data-pipeline family: media rides through the engine as
+``binary`` payload columns with typed metadata columns, and every
+decode / feature-extract / resize / frame-sample step is an actor-pool
+``map_batches`` stage (model/codec loaded once per actor — the
+StrutModelScorer shape, miru-stream-plugins/.../strut/StrutModelScorer.java).
+
+The sandbox has no image/audio codecs, so the DECODE step is a
+deterministic fake: media blobs carry a self-describing MMF1 header
+(format, width, height, channels / sample-rate, frames) followed by a
+seeded payload, and "decoding" parses that header + payload. Everything
+around it — schema, batch sizing for MB-scale rows, actor signatures,
+zero-copy binary handling, output layout — is real and tested; swapping
+in PIL/ffmpeg means replacing ``_decode_blob`` only (it raises
+``NotImplementedError`` for real formats like PNG/JPEG to make the seam
+explicit).
+
+Batch sizes stay SMALL (media rows are MBs): ``MEDIA_BATCH_SIZE`` bounds
+batch × concurrency below worker heap (SURVEY.md §7.5 "Wide docs").
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+__all__ = ["media_table", "MediaDecoder", "ImageFeatures", "FrameSampler",
+           "image_features_pipeline", "frame_sample_pipeline",
+           "MEDIA_BATCH_SIZE", "MEDIA_SCHEMA"]
+
+MEDIA_BATCH_SIZE = 64
+_MAGIC = b"MMF1"
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),          # image | video
+    ("format", pa.string()),        # fake-raw (decodable) | png/jpeg (stub)
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_frames", pa.int32()),       # 1 for images
+    ("payload", pa.binary()),
+])
+
+
+def _make_blob(media_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """Deterministic fake media blob: MMF1 header + seeded frame bytes."""
+    rng = np.random.default_rng(1000 + media_id)
+    body = rng.integers(0, 256, width * height * n_frames, dtype=np.int64) \
+              .astype(np.uint8).tobytes()
+    return _MAGIC + struct.pack("<iii", width, height, n_frames) + body
+
+
+def media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table (images + short videos)."""
+    rows = {k: [] for k in ("media_id", "kind", "format", "width", "height",
+                            "n_frames", "payload")}
+    for i in range(n):
+        rng = np.random.default_rng((seed << 20) ^ i)
+        is_video = (i % 5 == 4)
+        w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+        frames = int(rng.integers(4, 17)) if is_video else 1
+        rows["media_id"].append(i)
+        rows["kind"].append("video" if is_video else "image")
+        rows["format"].append("fake-raw")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(frames)
+        rows["payload"].append(_make_blob(i, w, h, frames))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "format": pa.array(rows["format"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "n_frames": pa.array(rows["n_frames"], pa.int32()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+    })
+
+
+def _decode_blob(fmt: str, payload: bytes) -> np.ndarray:
+    """payload → (frames, height, width) uint8 array.
+
+    Real codecs (png/jpeg/mp4/...) are NOT available in this container —
+    the seam raises so the stub is explicit and swappable."""
+    if fmt != "fake-raw":
+        raise NotImplementedError(
+            f"codec for format {fmt!r} not available in this environment; "
+            "swap _decode_blob for a PIL/ffmpeg-backed implementation")
+    assert payload[:4] == _MAGIC, "bad media magic"
+    w, h, frames = struct.unpack("<iii", payload[4:16])
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=16)
+    return arr.reshape(frames, h, w)
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: payload → decoded dims + mean intensity.
+    Codec tables are 'loaded' once per actor in __init__."""
+
+    def __init__(self) -> None:
+        self._decode = _decode_blob  # stand-in for codec/library init
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, npix = [], []
+        for fmt, payload in zip(batch["format"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            arr = self._decode(fmt, payload)
+            means.append(float(arr.mean()))
+            npix.append(int(arr.size))
+        out = batch.drop_columns(["payload"])   # drop MB-scale column early
+        out = out.append_column("mean_intensity",
+                                pa.array(np.round(means, 6), pa.float64()))
+        return out.append_column("n_pixels", pa.array(npix, pa.int64()))
+
+
+class ImageFeatures:
+    """Actor-pool feature extraction: decoded image → 16-bin intensity
+    histogram feature vector (list<float>) + resize-to-8x8 thumbnail mean.
+    Deterministic stand-in for a CNN embedding stage."""
+
+    def __init__(self, bins: int = 16):
+        self.bins = bins
+        self.edges = np.linspace(0, 256, bins + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, thumb_means = [], []
+        for fmt, payload in zip(batch["format"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            arr = _decode_blob(fmt, payload)
+            hist, _ = np.histogram(arr, bins=self.edges)
+            feats.append((hist / max(1, arr.size)).astype(np.float32))
+            # "resize": average-pool first frame to 8x8 via reshape-free strides
+            f0 = arr[0].astype(np.float64)
+            ys = np.linspace(0, f0.shape[0], 9).astype(int)
+            xs = np.linspace(0, f0.shape[1], 9).astype(int)
+            pooled = [[f0[ys[i]:max(ys[i + 1], ys[i] + 1),
+                          xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                       for j in range(8)] for i in range(8)]
+            thumb_means.append(round(float(np.mean(pooled)), 6))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "feature": pa.array([f.tolist() for f in feats],
+                                pa.list_(pa.float32())),
+            "thumb_mean": pa.array(thumb_means, pa.float64()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame sampling for video rows: every k-th frame's mean
+    intensity (the frame-sample primitive; deterministic)."""
+
+    def __init__(self, every_k: int = 4):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, means = [], [], []
+        for mid, fmt, payload in zip(batch["media_id"].to_pylist(),
+                                     batch["format"].to_pylist(),
+                                     batch["payload"].to_pylist()):
+            arr = _decode_blob(fmt, payload)
+            for fi in range(0, arr.shape[0], self.k):
+                ids.append(mid)
+                frame_idx.append(fi)
+                means.append(round(float(arr[fi].mean()), 6))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "frame_mean": pa.array(means, pa.float64()),
+        })
+
+
+def image_features_pipeline(n_media: int = 200) -> pa.Table:
+    """media → decode → features, as actor-pool map_batches stages."""
+    ds = rd.from_arrow(media_table(n_media))
+    feats = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                           batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2))
+    out = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def frame_sample_pipeline(n_media: int = 200, every_k: int = 4) -> pa.Table:
+    """media → filter videos → frame-sample (actor pool)."""
+    import pyarrow.compute as pc
+    ds = rd.from_arrow(media_table(n_media))
+    ds = ds.map_batches(lambda t: t.filter(pc.equal(t["kind"], "video")),
+                        batch_format="pyarrow")
+    frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                            batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2),
+                            fn_constructor_kwargs={"every_k": every_k})
+    out = frames.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

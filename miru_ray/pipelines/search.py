@@ -25,7 +25,8 @@ from miru_ray.functions.filters import evaluate, parse_query, query_terms
 from miru_ray.functions.postings import intersect_sorted
 from miru_ray.state.reader import IndexReader
 
-__all__ = ["search", "BatchSearcher", "score_candidates"]
+__all__ = ["search", "BatchSearcher", "score_candidates", "search_scattered",
+           "highlight_hits", "topk_pruned"]
 
 
 def score_candidates(reader: IndexReader, terms: list[str],
@@ -149,6 +150,56 @@ def search(reader: IndexReader, query: str, k: int = 10,
     return pa.table({
         "doc_id": meta["doc_id"],
         "score": pa.array(top_scores, pa.float64()),
+        "url": meta["url"],
+        "warc_ts": meta["warc_ts"],
+        "lang": meta["lang"],
+    })
+
+
+def search_scattered(index_dir: str, query: str, k: int = 10) -> pa.Table:
+    """Per-partition scatter-gather — the reference's query lifecycle
+    (MiruService.askAndMerge:101-194: per-partition Question.askLocal →
+    AnswerMerger.merge at the driver). One Ray task per partition scores
+    only its docID range and returns a local top-k; the driver merges
+    heaps with the global comparator. Rank-identical to the single-pass
+    ``search`` (pytest-verified).
+
+    On a cluster each partition task runs where its partition's docs
+    table lives; BM25 stats (N, avgdl, df) stay corpus-global.
+    """
+    import ray as _ray
+
+    reader = IndexReader(index_dir)
+    parts = reader.parts
+
+    @_ray.remote
+    def ask_partition(part: int) -> tuple[np.ndarray, np.ndarray]:
+        from miru_ray.functions.filters import evaluate as _eval
+        r = IndexReader(index_dir)
+        pi = r.parts.index(part)
+        lo = np.uint64(r.bases[pi])
+        hi = np.uint64(r.bases[pi] + r.counts[pi])
+        tree = parse_query(query)
+        cand = _eval(tree, r)
+        cand = cand[(cand >= lo) & (cand < hi)]
+        removed = r.removed_ids()
+        if len(removed):
+            from miru_ray.functions.postings import diff_sorted
+            cand = diff_sorted(cand, removed)
+        terms = query_terms(tree)
+        scores = score_candidates(r, terms, cand)
+        top = topk_order(scores, cand, k)
+        return cand[top].astype(np.int64), scores[top]
+
+    results = _ray.get([ask_partition.remote(p) for p in parts])
+    all_ids = np.concatenate([r[0] for r in results]).astype(np.uint64)
+    all_scores = np.concatenate([r[1] for r in results])
+    top = topk_order(all_scores, all_ids, k)   # AnswerMerger.done
+    top_ids = all_ids[top]
+    meta = reader.gather_docs(top_ids)
+    return pa.table({
+        "doc_id": meta["doc_id"],
+        "score": pa.array(all_scores[top], pa.float64()),
         "url": meta["url"],
         "warc_ts": meta["warc_ts"],
         "lang": meta["lang"],

@@ -1,0 +1,70 @@
+"""Multimodal plumbing: decode stub, actor-pool stages, schema stability,
+determinism, and the explicit NotImplementedError seam for real codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from miru_ray.pipelines.multimodal import (FrameSampler, MediaDecoder,
+                                           _decode_blob, frame_sample_pipeline,
+                                           image_features_pipeline, media_table)
+
+
+def test_media_table_deterministic():
+    a = media_table(50)
+    b = media_table(50)
+    assert a.equals(b)
+    kinds = a["kind"].to_pylist()
+    assert kinds.count("video") == 10  # every 5th row
+
+
+def test_decode_roundtrip_and_stub_seam():
+    t = media_table(5)
+    arr = _decode_blob("fake-raw", t["payload"][0].as_py())
+    assert arr.shape == (t["n_frames"][0].as_py(), t["height"][0].as_py(),
+                         t["width"][0].as_py())
+    with pytest.raises(NotImplementedError):
+        _decode_blob("png", b"\x89PNG....")
+
+
+def test_decoder_stage_local():
+    dec = MediaDecoder()
+    t = media_table(20)
+    out = dec(t)
+    assert "payload" not in out.schema.names  # MB-column dropped early
+    assert out.num_rows == 20
+    np_pix = np.array(out["n_pixels"].to_pylist())
+    exp = (np.array(t["width"].to_pylist()) * np.array(t["height"].to_pylist())
+           * np.array(t["n_frames"].to_pylist()))
+    assert np.array_equal(np_pix, exp)
+
+
+def test_image_features_pipeline_distributed(ray_session):
+    feats = image_features_pipeline(60)
+    assert feats.num_rows == 60
+    v = feats["feature"][0].as_py()
+    assert len(v) == 16
+    assert abs(sum(v) - 1.0) < 1e-5  # normalized histogram
+    again = image_features_pipeline(60)
+    assert feats.equals(again)  # deterministic across runs
+
+
+def test_frame_sampling(ray_session):
+    frames = frame_sample_pipeline(60, every_k=4)
+    t = media_table(60)
+    vids = {m: f for m, k, f in zip(t["media_id"].to_pylist(),
+                                    t["kind"].to_pylist(),
+                                    t["n_frames"].to_pylist()) if k == "video"}
+    counts = {}
+    for mid in frames["media_id"].to_pylist():
+        counts[mid] = counts.get(mid, 0) + 1
+    assert set(counts) == set(vids)
+    for mid, n_frames in vids.items():
+        assert counts[mid] == (n_frames + 3) // 4  # ceil(n/k)
+    # sampled means match direct decode
+    sampler = FrameSampler(every_k=4)
+    direct = sampler(t.filter([k == "video" for k in t["kind"].to_pylist()]))
+    got = frames.sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+    assert got.equals(direct.sort_by([("media_id", "ascending"),
+                                      ("frame_idx", "ascending")]))

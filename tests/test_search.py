@@ -140,6 +140,40 @@ def test_blockmax_pruning_lossless(reader, oracle):
         assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
 
 
+def test_scatter_gather_matches_single_pass(index_dir, reader):
+    """Per-partition scatter + driver merge (the askAndMerge lifecycle)
+    must be rank- and score-identical to the single-pass search."""
+    from miru_ray.pipelines.search import search_scattered
+    for q in ["needle7", "w00001 w00002", "w00003 OR needle13", "w0001*"]:
+        a = search(reader, q, k=10)
+        b = search_scattered(index_dir, q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy()), q
+
+
+def test_aggregate_counts_pagination():
+    """Cursor pages partition the full rollup without overlap or gaps."""
+    from miru_ray.pipelines.events import (aggregate_counts,
+                                           aggregate_counts_paged)
+    sf = "/root/testdata/sf0.001"
+    full = aggregate_counts(sf).to_pandas()
+    pages, cursor = [], None
+    while True:
+        page, cursor = aggregate_counts_paged(sf, page_size=7, cursor=cursor)
+        pages.append(page.to_pandas())
+        if cursor is None:
+            break
+    import pandas as pd
+    cat = pd.concat(pages, ignore_index=True)
+    assert len(cat) == len(full)
+    assert set(cat["user_id"]) == set(full["user_id"])
+    # strictly descending (last_ts, then ascending user_id) across pages
+    ts = cat["last_ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    uid = cat["user_id"].to_numpy()
+    keys = list(zip((-ts).tolist(), uid.tolist()))
+    assert keys == sorted(keys)
+
+
 def test_batch_searcher_matches_driver_search(index_dir, reader):
     import ray.data as rd
     qs = [{"qid": i, "query": q} for i, q in
