@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": events.user_sessions,
         "props_k_stats": events.props_k_stats,
         "aggregate_counts_page2": events.aggregate_counts_page2,
+        "anomaly_waveform": events.anomaly_waveform,
         # --- relational / generic operators ---
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -288,6 +289,11 @@ SELECT user_id::BIGINT AS user_id,
              / count(*), 6) AS score
 FROM events GROUP BY user_id
 ORDER BY score DESC, user_id LIMIT 50
+""",
+        "anomaly_waveform": """
+SELECT date_trunc('hour', ts) AS bucket, round(sum(value), 6) AS sum_value,
+       count(*)::BIGINT AS n, round(sum(value) / count(*), 6) AS mean_value
+FROM events WHERE event_type = 'error' GROUP BY bucket
 """,
         "aggregate_counts_page2": """
 WITH a AS (

@@ -34,7 +34,8 @@ from ray.data.aggregate import Count, Max, Sum
 from miru_ray.sources.tables import read_table
 
 __all__ = ["analytics_waveform", "metrics_sum", "distinct_count_users",
-           "aggregate_counts", "trending", "user_sessions", "props_k_stats"]
+           "aggregate_counts", "trending", "user_sessions", "props_k_stats",
+           "anomaly_waveform", "aggregate_counts_paged", "aggregate_counts_page2"]
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -220,6 +221,37 @@ def props_k_stats(sf_dir: str) -> pa.Table:
     return pa.table({"event_type": t["event_type"],
                      "sum_k": t["sum_k"].cast(pa.int64()),
                      "n": t["n"].cast(pa.int64())})
+
+
+def anomaly_waveform(sf_dir: str, event_type: str = "error") -> pa.Table:
+    """(bucket, sum_value, n, mean_value) — the Anomaly plugin shape:
+    per-bucket sums normalized by raw cardinality
+    (miru-anomaly-plugins/.../Anomaly.java:16-110: waveform of value sums
+    with interpolation/normalization by count)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.equal(batch["event_type"], event_type))
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"bucket_us": (ts // HOUR_US) * HOUR_US,
+                           "value": batch["value"].to_numpy()})
+        g = df.groupby("bucket_us", sort=False).agg(
+            sum_value=("value", "sum"), n=("value", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket_us")
+             .aggregate(Sum("sum_value", alias_name="sum_value"),
+                        Sum("n", alias_name="n")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    sumv = t["sum_value"].to_numpy()
+    n = t["n"].to_numpy()
+    return pa.table({
+        "bucket": t["bucket_us"].cast(pa.int64()).cast(pa.timestamp("us")),
+        "sum_value": pa.array(np.round(sumv, 6), pa.float64()),
+        "n": t["n"].cast(pa.int64()),
+        "mean_value": pa.array(np.round(sumv / n, 6), pa.float64()),
+    })
 
 
 def _sessionize(group: pd.DataFrame) -> pd.DataFrame:
