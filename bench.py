@@ -2,7 +2,7 @@
 """Benchmark harness.
 
 Headline: build the inverted index over a generated Common-Crawl-style
-pages fixture (100k pages with html), then answer the 50-query reference
+pages fixture (200k pages with html, override via BENCH_PAGES), then answer the 50-query reference
 set — reporting build docs/sec and query p50/p99. Secondary: wall time of
 every driver-contract query over $GRAFT_SF_DIR.
 
@@ -26,7 +26,7 @@ import subprocess
 import sys
 import time
 
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
 PAGES_DIR = f"/tmp/miru_bench_pages_{BENCH_PAGES}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -157,7 +157,13 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     builder = functools.partial(build_partition, index_dir=index_dir,
                                 num_shards=cfg.num_shards,
                                 store_text=cfg.store_text)
-    new_manifests = ds.groupby("part").map_groups(builder, batch_format="pandas")
+    # memory-bandwidth guard: the build bodies are streaming kernels whose
+    # aggregate throughput saturates a single socket around ~16 concurrent
+    # tasks (measured: per-task cost inflates ~3x at 32). Reserve 2 CPUs
+    # per group task on big hosts so concurrency caps near the knee.
+    group_cpus = 2 if ncpu > 16 else 1
+    new_manifests = ds.groupby("part").map_groups(builder, batch_format="pandas",
+                                                  num_cpus=group_cpus)
     # materialize the (tiny: one row per partition) manifest dataset
     _ = new_manifests.count()
     phase_t["partition_build"] = round(time.perf_counter() - t_start, 3)
@@ -187,7 +193,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     t_merge = time.perf_counter()
     # plain task fan-out (the documented raw-Ray exception: input is a list
     # of shard ids, not data — no Dataset semantics to preserve)
-    merge_task = _ray.remote(_merge_one_shard)
+    merge_task = _ray.remote(num_cpus=group_cpus)(_merge_one_shard)
     futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
             for s_ in range(cfg.num_shards)]
     seg_stats = _ray.get(futs)
