@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": events.props_k_stats,
         "aggregate_counts_page2": events.aggregate_counts_page2,
         "anomaly_waveform": events.anomaly_waveform,
+        "paired_latest": events.paired_latest,
         # --- relational / generic operators ---
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -289,6 +290,10 @@ SELECT user_id::BIGINT AS user_id,
              / count(*), 6) AS score
 FROM events GROUP BY user_id
 ORDER BY score DESC, user_id LIMIT 50
+""",
+        "paired_latest": """
+SELECT event_type, user_id::BIGINT AS user_id, max(ts) AS last_ts
+FROM events GROUP BY event_type, user_id
 """,
         "anomaly_waveform": """
 SELECT date_trunc('hour', ts) AS bucket, round(sum(value), 6) AS sum_value,

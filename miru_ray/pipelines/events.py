@@ -35,7 +35,8 @@ from miru_ray.sources.tables import read_table
 
 __all__ = ["analytics_waveform", "metrics_sum", "distinct_count_users",
            "aggregate_counts", "trending", "user_sessions", "props_k_stats",
-           "anomaly_waveform", "aggregate_counts_paged", "aggregate_counts_page2"]
+           "anomaly_waveform", "aggregate_counts_paged", "aggregate_counts_page2",
+           "paired_latest"]
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -221,6 +222,20 @@ def props_k_stats(sf_dir: str) -> pa.Table:
     return pa.table({"event_type": t["event_type"],
                      "sum_k": t["sum_k"].cast(pa.int64()),
                      "n": t["n"].cast(pa.int64())})
+
+
+def paired_latest(sf_dir: str) -> pa.Table:
+    """(event_type, user_id, last_ts) — pairedLatest semantics: for each
+    (fieldA value, fieldB value) pair, the latest activity
+    (miru-service/.../stream/MiruIndexPairedLatest.java:159: composite
+    fieldA ∧ latest-per-fieldB bitmaps). Composite-key groupby argmax."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    out = ds.groupby(["event_type", "user_id"]).aggregate(
+        Max("ts", alias_name="last_ts"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table({"event_type": t["event_type"],
+                     "user_id": t["user_id"].cast(pa.int64()),
+                     "last_ts": t["last_ts"].cast(pa.timestamp("us"))})
 
 
 def anomaly_waveform(sf_dir: str, event_type: str = "error") -> pa.Table:
