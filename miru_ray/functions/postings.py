@@ -189,14 +189,33 @@ def merge_sorted_runs(id_runs: list[np.ndarray], tf_runs: list[np.ndarray]) -> t
 # --- set algebra over decoded postings (MiruBitmaps and/or/andNot parity,
 #     miru-bitmaps-roaring6/.../MiruBitmapsRoaring.java:162-423) ---
 
+def _membership(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean mask over b: b[i] ∈ a. Both sorted unique; O(|b|·log|a|)
+    via searchsorted — no re-sort (np.intersect1d sorts a⊕b every call,
+    which dominates long AND chains over hot postings)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros(len(b), dtype=bool)
+    idx = np.searchsorted(a, b)
+    idx[idx == len(a)] = len(a) - 1
+    return a[idx] == b
+
+
 def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.intersect1d(a, b, assume_unique=True)
+    if len(a) > len(b):
+        a, b = b, a
+    return a[_membership(b, a)]
 
 
 def union_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.union1d(a, b)
+    if len(a) == 0:
+        return b
+    if len(b) == 0:
+        return a
+    return np.unique(np.concatenate([a, b]))
 
 
 def diff_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """a AND NOT b (the reference's ``pButNotQ`` building block)."""
-    return np.setdiff1d(a, b, assume_unique=True)
+    if len(a) == 0 or len(b) == 0:
+        return a
+    return a[~_membership(b, a)]

@@ -113,8 +113,20 @@ def topk_pruned(reader: IndexReader, terms: list[str], candidates: np.ndarray,
 
 
 # pruning engages only when exhaustive scoring clearly costs more than the
-# two-phase pass (hot OR queries over large candidate sets)
+# two-phase pass. Measured on the 1M-doc fixture: with uniform per-term
+# score distributions the dl→0 upper bound prunes little, so the screen is
+# pure overhead; it wins when a RARE (high-idf) term seeds a θ that hot
+# candidates cannot reach — i.e. OR queries mixing rare and hot terms.
 PRUNE_MIN_CANDIDATES = 4096
+PRUNE_RARE_RATIO = 8   # rarest df must be ≤ candidates/8 for a useful seed
+
+
+def _should_prune(postings_dfs: list[int], n_candidates: int, k: int) -> bool:
+    if not postings_dfs or n_candidates < PRUNE_MIN_CANDIDATES:
+        return False
+    if k * 8 > n_candidates:
+        return False
+    return min(postings_dfs) * PRUNE_RARE_RATIO <= n_candidates
 
 
 def search(reader: IndexReader, query: str, k: int = 10,
@@ -137,9 +149,12 @@ def search(reader: IndexReader, query: str, k: int = 10,
         from miru_ray.functions.postings import diff_sorted
         candidates = diff_sorted(candidates, removed)
     terms = query_terms(tree)
-    use_prune = (prune if prune is not None
-                 else len(candidates) >= PRUNE_MIN_CANDIDATES and
-                 k * 8 <= len(candidates) and len(terms) > 0)
+    if prune is not None:
+        use_prune = prune
+    else:
+        dfs = [reader.load_postings([t]).get(t, (None, None, 0))[2]
+               for t in terms] if len(candidates) >= PRUNE_MIN_CANDIDATES else []
+        use_prune = _should_prune([d for d in dfs if d], len(candidates), k)
     if use_prune:
         top_ids, top_scores = topk_pruned(reader, terms, candidates, k)
     else:
