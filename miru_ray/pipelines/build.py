@@ -51,6 +51,53 @@ __all__ = ["BuildConfig", "build_index"]
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
+def current_input_digests(source, num_parts: int,
+                          langs: list[str] | None = None) -> dict[int, int]:
+    """Cheap per-partition digest of the CURRENT input: reads only
+    (url, warc_ts) — column pruning means the heavy html/text never leaves
+    storage — and reduces per-batch partial XORs (commutative) with a tiny
+    groupby. This is the sip-scan dual: the reference tails the WAL for
+    entries newer than the sip cursor (miru-service/.../partition/
+    MiruLocalHostedPartition.SipMigrateIndexRunnable:1013-1258); we detect
+    partitions whose row set changed at all."""
+    from ray.data.aggregate import Sum  # XOR isn't built in; fold pairs below
+    from miru_ray.functions.hashing import hash_strings
+
+    cols = ["url", "warc_ts"] + (["lang"] if langs else [])
+    if isinstance(source, rd.Dataset):
+        ds = source.select_columns(cols)
+    elif isinstance(source, pa.Table):
+        ds = rd.from_arrow(source.select(cols))
+    else:
+        ds = rd.read_parquet(source, columns=cols)
+    if langs:
+        keep = pa.array(sorted(set(langs)))
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["lang"], value_set=keep)),
+            batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        ts = batch["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        h = hash_strings(urls) ^ ts.astype(np.uint64)
+        parts = part_for(urls, num_parts)
+        out_p, out_d, out_n = [], [], []
+        for p in np.unique(parts):
+            mask = parts == p
+            out_p.append(int(p))
+            out_d.append(int(np.bitwise_xor.reduce(h[mask])))
+            out_n.append(int(mask.sum()))
+        return pa.table({"part": pa.array(out_p, pa.int64()),
+                         "digest": pa.array(out_d, pa.uint64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[int, int] = {}
+    for r in rows:  # XOR-fold the per-batch partials (commutative)
+        acc[r["part"]] = acc.get(r["part"], 0) ^ int(r["digest"])
+    return acc
+
+
 @dataclass
 class BuildConfig:
     num_parts: int = 16          # P — docID partitions (≈ millions of docs each at scale)
@@ -65,6 +112,11 @@ class BuildConfig:
     extract_actors: bool = False     # actor-pool extract (use when the
                                      # extractor has expensive init; the
                                      # default regex extractor does not)
+    verify_inputs: bool = False      # sip mode: re-digest the current input
+                                     # (cheap url+ts column scan) and rebuild
+                                     # partitions whose row set changed; off =
+                                     # fast crash-recovery resume (manifest
+                                     # presence only)
 
 
 def _merge_one_shard(shard: int, part_files: dict[int, str],
@@ -130,9 +182,21 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     ds = ds.map_batches(functools.partial(_stamp_part, num_parts=cfg.num_parts),
                         batch_format="pyarrow")
 
-    # --- resume: skip partitions already complete (digest re-checked per run
-    # only when the caller forces; presence+status is the fast path) ---
+    # --- resume: skip partitions already complete.
+    # Fast path (crash recovery, same input): manifest presence+status.
+    # Sip path (cfg.verify_inputs, input may have grown/changed): compare
+    # each completed manifest's input_digest against a cheap re-digest of
+    # the CURRENT input; mismatched partitions are rebuilt. ---
     done = completed_parts(index_dir)
+    if done and cfg.verify_inputs:
+        current = current_input_digests(source, cfg.num_parts, cfg.langs)
+        stale = [p for p, m in done.items()
+                 if current.get(p, 0) != m.get("input_digest")]
+        for p in stale:
+            done.pop(p)
+            # drop the stale manifest so a partition whose rows vanished
+            # entirely doesn't survive as a completed ghost
+            os.remove(layout.manifest_path(index_dir, p))
     skipped = sorted(done)
     if done:
         done_arr = pa.array(sorted(done), pa.int64())
