@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from miru_ray.functions.postings import diff_sorted, intersect_sorted, union_sorted
+from miru_ray.functions.postings import diff_sorted, intersect_sorted
 from miru_ray.functions.tokenize import tokenize
 
 __all__ = [

@@ -60,7 +60,6 @@ def current_input_digests(source, num_parts: int,
     entries newer than the sip cursor (miru-service/.../partition/
     MiruLocalHostedPartition.SipMigrateIndexRunnable:1013-1258); we detect
     partitions whose row set changed at all."""
-    from ray.data.aggregate import Sum  # XOR isn't built in; fold pairs below
     from miru_ray.functions.hashing import hash_strings
 
     cols = ["url", "warc_ts"] + (["lang"] if langs else [])

@@ -28,7 +28,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
 from miru_ray.sources.tables import read_table

@@ -13,7 +13,6 @@ the many query entries share one build per scale factor.
 
 from __future__ import annotations
 
-import json
 import os
 import re
 

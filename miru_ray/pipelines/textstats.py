@@ -14,8 +14,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray.data as rd
-
 from miru_ray.functions.tokenize import tokenize_column
 from miru_ray.sources.tables import read_table
 

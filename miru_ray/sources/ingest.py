@@ -25,7 +25,6 @@ __all__ = ["read_pages_json", "ingest_json_to_wal"]
 def _normalize(batch: pa.Table) -> pa.Table:
     """JSON-parsed rows → pages schema (missing html/text → nulls;
     warc_ts accepts epoch micros int or ISO string)."""
-    import numpy as np
     cols = {}
     names = batch.schema.names
     n = len(batch)

@@ -56,6 +56,5 @@ def documents_as_pages(sf_dir: str) -> rd.Dataset:
 
 def orig_doc_ids(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     """'doc://srcN/123' → 123 (int64) — recover the driver's doc_id."""
-    import numpy as np
     arr = urls.to_pylist()
     return pa.array([int(u.rsplit("/", 1)[1]) for u in arr], pa.int64())
