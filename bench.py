@@ -154,8 +154,10 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     sub(n_lo)       # untimed warm-up: generate fixture + warm page cache
-    lo = sub(n_lo)
-    hi = sub(n_hi)
+    # best-of-2 per level: single-node wall time has ~±15% OS/page-cache
+    # noise; min is the standard noise reducer for same-input reruns
+    lo = min((sub(n_lo) for _ in range(2)), key=lambda r: r["build_sec"])
+    hi = min((sub(n_hi) for _ in range(2)), key=lambda r: r["build_sec"])
     tp_lo = lo["n_docs"] / lo["build_sec"]
     tp_hi = hi["n_docs"] / hi["build_sec"]
     eff = (tp_hi / tp_lo) / (n_hi / n_lo)
