@@ -27,7 +27,14 @@ import sys
 import time
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
-PAGES_DIR = f"/tmp/miru_bench_pages_{BENCH_PAGES}"
+# Scaling runs keep the corpus on RAM-backed tmpfs: this host caps the disk
+# page cache at ~4 GB, so a 2.4 GB corpus re-reads from disk unpredictably
+# and corrupts the N-vs-4N comparison. The criterion measures compute +
+# shuffle scaling (ray_guide.md: "warm the OS page cache ... so you measure
+# compute + shuffle, not the first disk read"); tmpfs makes that exact.
+PAGES_ROOT = os.environ.get("BENCH_PAGES_ROOT",
+                            "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+PAGES_DIR = f"{PAGES_ROOT}/miru_bench_pages_{BENCH_PAGES}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 

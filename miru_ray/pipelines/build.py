@@ -5,23 +5,27 @@ Reference lifecycle being re-expressed: WAL → rebuild → online partition
 stream/MiruIndexer.java:47-120), restructured per SURVEY.md §7.1:
 
     read_parquet (pruned)                                  [WAL read]
-      → map_batches(HtmlExtractor actor pool)              [A extract]
+      → map_batches(extract)  (stateless; actor pool opt.) [A extract]
       → map_batches(stamp part = hash(url) % P)            [B partition key]
+      → repartition (coalesce oversplit blocks)
       → groupby("part").map_groups(build_partition)        [B,C,E dedup+ids+invert]
       → driver prefix-sum of per-part doc counts → bases   [B global docIDs]
-      → union(per-part postings).map_groups(merge) by term [D,F shuffle+merge]
-      → write segments + meta                              [G manifest]
+      → per-shard ray tasks merge partition postings       [D,F merge, no shuffle]
+      → segments/shard=S.parquet + meta                    [G manifest]
 
-Resume: partitions whose manifest is complete with matching input digest
-are skipped (filtered out BEFORE the heavy work); the merge step always
-re-derives global segments from all completed partitions' files.
+Resume: fast path skips partitions whose manifest is complete (crash
+recovery); sip path (cfg.verify_inputs) re-digests the current input with
+a column-pruned scan and rebuilds exactly the changed partitions. The
+merge step always re-derives global segments from all completed
+partitions' files.
 
-Scale notes (100 TB): the only all-to-all moves are (1) the groupby(part)
-over input rows — unavoidable, it IS the partitioning — and (2) the
-groupby(term) over per-(term,partition) compressed blobs, whose row count
-is bounded by |vocab|·P regardless of corpus size. Hot (stopword-like)
-terms are one blob per partition, not one row per occurrence, so Zipf skew
-does not create a mega-group (SURVEY.md §7.5 "Skew").
+Scale notes (100 TB): the ONLY all-to-all over raw data is the
+groupby(part) — it IS the partitioning. The posting merge moves
+per-(term, partition) compressed blobs via per-shard tasks reading with
+parquet predicate pushdown: row count bounded by |vocab|·P regardless of
+corpus size, so a Zipf-hot term is P blobs, not cf rows (SURVEY.md §7.5
+"Skew"; the generic hot-key salting pattern lives in stages/salted.py for
+direct aggregations).
 """
 
 from __future__ import annotations
