@@ -163,7 +163,7 @@ FROM events GROUP BY event_type, bucket
 """,
         "metrics_sum": """
 SELECT date_trunc('hour', ts) AS bucket,
-       round(sum(value), 6) AS sum_value, count(*)::BIGINT AS n
+       sum(value::DECIMAL(14,2))::DOUBLE AS sum_value, count(*)::BIGINT AS n
 FROM events GROUP BY bucket
 """,
         "distinct_count_users": """
@@ -197,8 +197,9 @@ FROM s GROUP BY user_id, session_id
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,2)
+                 * (1 - l_discount)::DECIMAL(18,2)), 2)::DOUBLE AS sum_disc_price,
        round(sum(l_quantity) / count(*), 6) AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -210,7 +211,7 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
         "region_orders": """
 SELECT n.n_name AS n_name, count(*)::BIGINT AS n_orders,
-       round(sum(o.o_totalprice), 2) AS revenue
+       sum(o.o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -296,8 +297,10 @@ SELECT event_type, user_id::BIGINT AS user_id, max(ts) AS last_ts
 FROM events GROUP BY event_type, user_id
 """,
         "anomaly_waveform": """
-SELECT date_trunc('hour', ts) AS bucket, round(sum(value), 6) AS sum_value,
-       count(*)::BIGINT AS n, round(sum(value) / count(*), 6) AS mean_value
+SELECT date_trunc('hour', ts) AS bucket,
+       sum(value::DECIMAL(14,2))::DOUBLE AS sum_value,
+       count(*)::BIGINT AS n,
+       round(sum(value::DECIMAL(14,2)) / count(*), 6)::DOUBLE AS mean_value
 FROM events WHERE event_type = 'error' GROUP BY bucket
 """,
         "aggregate_counts_page2": """

@@ -68,20 +68,22 @@ def metrics_sum(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         bucket = (ts // HOUR_US) * HOUR_US
-        df = pd.DataFrame({"bucket_us": bucket,
-                           "value": batch["value"].to_numpy()})
+        # exact integer cents: decimal inputs summed without fp-order drift
+        # (the SQL oracle sums DECIMALs — exact; so must we)
+        cents = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"bucket_us": bucket, "value_c": cents})
         g = df.groupby("bucket_us", sort=False).agg(
-            sum_value=("value", "sum"), n=("value", "size")).reset_index()
+            sum_c=("value_c", "sum"), n=("value_c", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("bucket_us")
-             .aggregate(Sum("sum_value", alias_name="sum_value"),
+             .aggregate(Sum("sum_c", alias_name="sum_c"),
                         Sum("n", alias_name="n")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return pa.table({
         "bucket": t["bucket_us"].cast(pa.int64()).cast(pa.timestamp("us")),
-        "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        "sum_value": pa.array(t["sum_c"].to_numpy() / 100.0, pa.float64()),
         "n": t["n"].cast(pa.int64()),
     })
 
@@ -247,24 +249,29 @@ def anomaly_waveform(sf_dir: str, event_type: str = "error") -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pa.compute.equal(batch["event_type"], event_type))
         ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
         df = pd.DataFrame({"bucket_us": (ts // HOUR_US) * HOUR_US,
-                           "value": batch["value"].to_numpy()})
+                           "value_c": cents})
         g = df.groupby("bucket_us", sort=False).agg(
-            sum_value=("value", "sum"), n=("value", "size")).reset_index()
+            sum_c=("value_c", "sum"), n=("value_c", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("bucket_us")
-             .aggregate(Sum("sum_value", alias_name="sum_value"),
+             .aggregate(Sum("sum_c", alias_name="sum_c"),
                         Sum("n", alias_name="n")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    sumv = t["sum_value"].to_numpy()
+    sum_c = t["sum_c"].to_numpy()
     n = t["n"].to_numpy()
+    # mean rounded to 6dp in EXACT integer half-up arithmetic: quotients of
+    # cents by counts land exactly on .xxxxxx5 (e.g. 130017/3200), where
+    # numpy's half-even and SQL DECIMAL's half-away disagree
+    mean6 = (sum_c * 10_000 * 2 + n) // (2 * n)
     return pa.table({
         "bucket": t["bucket_us"].cast(pa.int64()).cast(pa.timestamp("us")),
-        "sum_value": pa.array(np.round(sumv, 6), pa.float64()),
+        "sum_value": pa.array(sum_c / 100.0, pa.float64()),
         "n": t["n"].cast(pa.int64()),
-        "mean_value": pa.array(np.round(sumv / n, 6), pa.float64()),
+        "mean_value": pa.array(mean6 / 1e6, pa.float64()),
     })
 
 

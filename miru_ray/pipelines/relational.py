@@ -36,19 +36,24 @@ def _q1_partial(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0:
         return pa.table({c: pa.array([], t) for c, t in [
             ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
-            ("sum_qty", pa.float64()), ("sum_base_price", pa.float64()),
-            ("sum_disc_price", pa.float64()), ("n_rows", pa.int64())]})
+            ("sum_qty", pa.float64()), ("sum_base_price_c", pa.int64()),
+            ("sum_disc_price_e4", pa.int64()), ("n_rows", pa.int64())]})
     qty = batch["l_quantity"].to_numpy()
-    price = batch["l_extendedprice"].to_numpy()
-    disc = batch["l_discount"].to_numpy()
+    # money in exact integer cents: fp SUM order must never flip a 2dp
+    # rounding boundary (decimal inputs ending in .xx5 are common; the
+    # SQL oracle sums DECIMALs, which is exact — so must we)
+    price_c = np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    disc_bp = np.rint(batch["l_discount"].to_numpy() * 100).astype(np.int64)
     df = pd.DataFrame({
         "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
         "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False),
-        "qty": qty, "price": price, "disc_price": price * (1.0 - disc),
+        "qty": qty, "price_c": price_c,
+        "disc_price_e4": price_c * (100 - disc_bp),
     })
     g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-        sum_qty=("qty", "sum"), sum_base_price=("price", "sum"),
-        sum_disc_price=("disc_price", "sum"), n_rows=("qty", "size")).reset_index()
+        sum_qty=("qty", "sum"), sum_base_price_c=("price_c", "sum"),
+        sum_disc_price_e4=("disc_price_e4", "sum"),
+        n_rows=("qty", "size")).reset_index()
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
@@ -60,16 +65,19 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     out = (ds.map_batches(_q1_partial, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                        Sum("sum_base_price", alias_name="sum_base_price"),
-                        Sum("sum_disc_price", alias_name="sum_disc_price"),
+                        Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+                        Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
                         Sum("n_rows", alias_name="count_order")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return pa.table({
         "l_returnflag": t["l_returnflag"],
         "l_linestatus": t["l_linestatus"],
         "sum_qty": pa.array(np.round(t["sum_qty"].to_numpy(), 2), pa.float64()),
-        "sum_base_price": pa.array(np.round(t["sum_base_price"].to_numpy(), 2), pa.float64()),
-        "sum_disc_price": pa.array(np.round(t["sum_disc_price"].to_numpy(), 2), pa.float64()),
+        "sum_base_price": pa.array(t["sum_base_price_c"].to_numpy() / 100.0,
+                                   pa.float64()),
+        "sum_disc_price": pa.array(
+            ((t["sum_disc_price_e4"].to_numpy() + 50) // 100) / 100.0,
+            pa.float64()),
         "avg_qty": pa.array(np.round(t["sum_qty"].to_numpy()
                                      / t["count_order"].to_numpy(), 6), pa.float64()),
         "count_order": t["count_order"].cast(pa.int64()),
@@ -118,22 +126,22 @@ def region_orders(sf_dir: str, region: str = "ASIA") -> pa.Table:
         if not hit.any():
             return pa.table({"n_nationkey": pa.array([], pa.int64()),
                              "n_orders": pa.array([], pa.int64()),
-                             "revenue": pa.array([], pa.float64())})
-        df = pd.DataFrame({"n_nationkey": nk_s[pos_c[hit]],
-                           "price": batch["o_totalprice"].to_numpy()[hit]})
+                             "revenue_c": pa.array([], pa.int64())})
+        price_c = np.rint(batch["o_totalprice"].to_numpy()[hit] * 100).astype(np.int64)
+        df = pd.DataFrame({"n_nationkey": nk_s[pos_c[hit]], "price_c": price_c})
         g = df.groupby("n_nationkey", sort=False).agg(
-            n_orders=("price", "size"), revenue=("price", "sum")).reset_index()
+            n_orders=("price_c", "size"), revenue_c=("price_c", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("n_nationkey")
              .aggregate(Sum("n_orders", alias_name="n_orders"),
-                        Sum("revenue", alias_name="revenue")))
+                        Sum("revenue_c", alias_name="revenue_c")))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     names = [nation_name[k] for k in t["n_nationkey"].to_pylist()]
     return pa.table({
         "n_name": pa.array(names, pa.string()),
         "n_orders": t["n_orders"].cast(pa.int64()),
-        "revenue": pa.array(np.round(t["revenue"].to_numpy(), 2), pa.float64()),
+        "revenue": pa.array(t["revenue_c"].to_numpy() / 100.0, pa.float64()),
     })
