@@ -175,6 +175,8 @@ def _eval(f: Filter, provider) -> np.ndarray:
     if isinstance(f, Term):
         return provider.ids(f.term)
     if isinstance(f, Prefix):
+        if hasattr(provider, "prefix_union_ids"):   # cached fast path
+            return provider.prefix_union_ids(f.prefix, f.max_expansion)
         terms = provider.expand_prefix(f.prefix, f.max_expansion)
         arrs = [provider.ids(t) for t in terms]
         return _bulk_union(arrs)

@@ -63,6 +63,8 @@ class IndexReader:
         self._bmax_cache: dict[str, np.ndarray] = {}
         self._doclen_all: np.ndarray | None = None
         self._removed: np.ndarray | None = None
+        self._prefix_terms_cache: dict = {}
+        self._prefix_ids_cache: dict = {}
         self._docs_cache: dict[int, pa.Table] = {}
         self._terms_cache: dict[int, np.ndarray] = {}
 
@@ -133,7 +135,11 @@ class IndexReader:
 
     def expand_prefix(self, prefix: str, cap: int) -> list[str]:
         """Term-range scan over all shards, capped (wildcard expansion,
-        MiruAggregateUtil.java:1154-1167). Returns sorted terms."""
+        MiruAggregateUtil.java:1154-1167). Returns sorted terms. Cached —
+        segments are immutable for the life of a reader."""
+        key = (prefix, cap)
+        if key in self._prefix_terms_cache:
+            return self._prefix_terms_cache[key]
         hi = prefix + "￿"
         found: list[str] = []
         for s in sorted(self._seg_files):
@@ -141,7 +147,27 @@ class IndexReader:
                 self._seg_files[s], columns=["term"],
                 filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
             found.extend(tbl["term"].to_pylist())
-        return sorted(found)[:cap]
+        out = sorted(found)[:cap]
+        self._prefix_terms_cache[key] = out
+        return out
+
+    def prefix_union_ids(self, prefix: str, cap: int) -> np.ndarray:
+        """Union of docIDs across a prefix expansion, cached (the repeated
+        100-posting union dominated warm prefix-query latency)."""
+        key = (prefix, cap)
+        if key in self._prefix_ids_cache:
+            return self._prefix_ids_cache[key]
+        terms = self.expand_prefix(prefix, cap)
+        got = self.load_postings(terms)
+        arrs = [got[t][0] for t in terms if t in got]
+        if not arrs:
+            out = np.empty(0, dtype=np.uint64)
+        elif len(arrs) == 1:
+            out = arrs[0]
+        else:
+            out = np.unique(np.concatenate(arrs))
+        self._prefix_ids_cache[key] = out
+        return out
 
     # --- PostingsProvider protocol (functions/filters.py) ---
 
