@@ -192,8 +192,14 @@ def aggregate_counts_paged(sf_dir: str, page_size: int = 25,
 
 
 def aggregate_counts_page2(sf_dir: str, page_size: int = 25) -> pa.Table:
-    """Second page via the carried cursor (driver-contract entry)."""
+    """Second page via the carried cursor (driver-contract entry).
+    An exhausted cursor (page 1 was the last page) yields an EMPTY page,
+    not a repeat — the resultsExhausted contract (FullText.java:91-92)."""
     _, cursor = aggregate_counts_paged(sf_dir, page_size)
+    if cursor is None:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "last_ts": pa.array([], pa.timestamp("us"))})
     page2, _ = aggregate_counts_paged(sf_dir, page_size, cursor)
     return page2
 
