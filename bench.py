@@ -161,10 +161,15 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     sub(n_lo)       # untimed warm-up: generate fixture + warm page cache
-    # best-of-2 per level: single-node wall time has ~±15% OS/page-cache
-    # noise; min is the standard noise reducer for same-input reruns
-    lo = min((sub(n_lo) for _ in range(2)), key=lambda r: r["build_sec"])
-    hi = min((sub(n_hi) for _ in range(2)), key=lambda r: r["build_sec"])
+    # best-of-2 per level, INTERLEAVED (lo hi lo hi): single-node wall time
+    # carries ~±8% ambient noise; interleaving decorrelates slow windows
+    # from a level, min is the standard noise reducer for same-input reruns
+    lo_runs, hi_runs = [], []
+    for _ in range(2):
+        lo_runs.append(sub(n_lo))
+        hi_runs.append(sub(n_hi))
+    lo = min(lo_runs, key=lambda r: r["build_sec"])
+    hi = min(hi_runs, key=lambda r: r["build_sec"])
     tp_lo = lo["n_docs"] / lo["build_sec"]
     tp_hi = hi["n_docs"] / hi["build_sec"]
     eff = (tp_hi / tp_lo) / (n_hi / n_lo)
