@@ -45,3 +45,20 @@ def test_cli_build_search_sync(tmp_path):
     lines2 = [json.loads(l) for l in _run("search", dst, "needle7", "-k", "10")
               .strip().splitlines()]
     assert [l["doc_id"] for l in lines2] == [l["doc_id"] for l in lines]
+
+
+def test_cli_ingest(tmp_path):
+    nd = tmp_path / "in.jsonl"
+    nd.write_text("\n".join(json.dumps({
+        "url": f"https://c/{i}", "warc_ts": 1_704_067_200_000_000 + i,
+        "html": f"<p>cli ingest doc{i}</p>", "lang": "en"}) for i in range(20)))
+    wal = str(tmp_path / "wal")
+    out = json.loads(_run("ingest", str(nd), wal).strip().splitlines()[-1])
+    assert out["rows"] == 20
+    idx = str(tmp_path / "idx")
+    meta = json.loads(_run("build", wal, idx, "--num-parts", "2",
+                           "--num-shards", "2").strip().splitlines()[-1])
+    assert meta["n_docs"] == 20
+    hits = [json.loads(l) for l in
+            _run("search", idx, "doc7").strip().splitlines()]
+    assert len(hits) == 1 and hits[0]["url"] == "https://c/7"
