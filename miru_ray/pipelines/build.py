@@ -52,7 +52,7 @@ from miru_ray.state.layout import (completed_parts, meta_path, part_dir,
 
 __all__ = ["BuildConfig", "build_index"]
 
-PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "authz"]
 
 
 def current_input_digests(source, num_parts: int,

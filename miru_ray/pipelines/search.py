@@ -131,9 +131,13 @@ def _should_prune(postings_dfs: list[int], n_candidates: int, k: int) -> bool:
 
 def search(reader: IndexReader, query: str, k: int = 10,
            time_range: tuple[int | None, int | None] | None = None,
-           langs: list[str] | None = None, *, prune: bool | None = None) -> pa.Table:
+           langs: list[str] | None = None,
+           authz: list[str] | None = None, *,
+           prune: bool | None = None) -> pa.Table:
     """Top-k BM25 search. Returns (doc_id, score, url, warc_ts, lang).
 
+    ``authz``: the caller's entitlement labels — results restricted to docs
+    carrying at least one (authz index ANDed in, MiruAuthzIndex semantics).
     ``prune`` forces the block-max path on/off (None = auto heuristic).
     """
     tree = parse_query(query)
@@ -143,6 +147,9 @@ def search(reader: IndexReader, query: str, k: int = 10,
     if langs:
         lang_dom = reader.lang_domain(langs)
         domain = lang_dom if domain is None else intersect_sorted(domain, lang_dom)
+    if authz is not None:
+        auth_dom = reader.authz_domain(authz)
+        domain = auth_dom if domain is None else intersect_sorted(domain, auth_dom)
     candidates = evaluate(tree, reader, domain)
     removed = reader.removed_ids()
     if len(removed):   # removal-index ANDNOT mask (MiruRemovalIndex)

@@ -33,7 +33,14 @@ from miru_ray.functions.hashing import hash_strings, shard_for
 from miru_ray.stages.invert import invert_docs
 from miru_ray.state.layout import part_dir, write_manifest
 
-__all__ = ["build_partition", "input_digest"]
+__all__ = ["build_partition", "input_digest", "AUTHZ_NS"]
+
+# Authz labels index as namespaced terms in the SAME posting space —
+# the composite-term idea of MiruTermComposer (miru-plugin/.../index/
+# MiruTermComposer.java:39-62) applied to the authz field index
+# (miru-plugin/.../index/MiruAuthzIndex.java). "\x00" cannot occur in
+# [a-z0-9]+ tokens, so the namespace never collides with text terms.
+AUTHZ_NS = "\x00authz\x00"
 
 MANIFEST_SCHEMA = {
     "part": np.int64, "n_rows_in": np.int64, "n_docs": np.int64,
@@ -61,12 +68,16 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
 
     # [dedup] latest-wins by url; deterministic tie-break via stable sort on
     # (url, warc_ts, text) then keep-last.
-    df = pd.DataFrame({
+    cols = {
         "url": group["url"].to_numpy(dtype=object),
         "ts": ts_us,
         "text": group["text"].to_numpy(dtype=object),
         "lang": group["lang"].to_numpy(dtype=object),
-    })
+    }
+    has_authz = "authz" in group.columns
+    if has_authz:
+        cols["authz"] = group["authz"].to_numpy(dtype=object)
+    df = pd.DataFrame(cols)
     df = df.sort_values(["url", "ts", "text"], kind="stable")
     df = df.drop_duplicates("url", keep="last")
 
@@ -77,6 +88,31 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
 
     texts = pa.array(df["text"].tolist(), pa.string())
     postings, doclens = invert_docs(texts, local_ids)
+    if has_authz:
+        from miru_ray.functions.postings import encode_ids, encode_tfs
+        by_label: dict[str, list[int]] = {}
+        for doc_id, labels in zip(local_ids, df["authz"]):
+            if labels is None:
+                continue
+            for lab in labels:   # numpy array or list of strings
+                by_label.setdefault(str(lab), []).append(int(doc_id))
+        if by_label:
+            auth_rows = {
+                "term": [], "df": [], "cf": [], "docids": [], "tfs": []}
+            for lab in sorted(by_label):
+                ids = np.array(by_label[lab], dtype=np.uint64)  # already sorted
+                auth_rows["term"].append(AUTHZ_NS + lab)
+                auth_rows["df"].append(len(ids))
+                auth_rows["cf"].append(len(ids))
+                auth_rows["docids"].append(encode_ids(ids))
+                auth_rows["tfs"].append(encode_tfs(np.ones(len(ids), dtype=np.int64)))
+            postings = pa.concat_tables([postings, pa.table({
+                "term": pa.array(auth_rows["term"], pa.string()),
+                "df": pa.array(auth_rows["df"], pa.int64()),
+                "cf": pa.array(auth_rows["cf"], pa.int64()),
+                "docids": pa.array(auth_rows["docids"], pa.binary()),
+                "tfs": pa.array(auth_rows["tfs"], pa.binary()),
+            })])
     postings = postings.append_column(
         "shard", pa.array(shard_for(postings["term"].to_numpy(zero_copy_only=False),
                                     num_shards), pa.int64()))

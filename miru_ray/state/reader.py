@@ -147,7 +147,9 @@ class IndexReader:
                 self._seg_files[s], columns=["term"],
                 filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
             found.extend(tbl["term"].to_pylist())
-        out = sorted(found)[:cap]
+        # internal namespaces (e.g. the \x00authz\x00 field) never match
+        # user-facing term scans
+        out = sorted(t for t in found if not t.startswith("\x00"))[:cap]
         self._prefix_terms_cache[key] = out
         return out
 
@@ -240,6 +242,19 @@ class IndexReader:
                 mask &= ts < hi_us
             doms.append((np.flatnonzero(mask) + self.bases[pi]).astype(np.uint64))
         return np.concatenate(doms) if doms else np.empty(0, dtype=np.uint64)
+
+    def authz_domain(self, labels: list[str]) -> np.ndarray:
+        """Composite OR of authz-label postings — the caller may see a doc
+        if ANY of its labels match (MiruAuthzUtils composite OR,
+        miru-service/.../index/auth/MiruAuthzUtils.java)."""
+        from miru_ray.stages.partition_build import AUTHZ_NS
+        got = self.load_postings([AUTHZ_NS + l for l in sorted(set(labels))])
+        arrs = [v[0] for v in got.values()]
+        if not arrs:
+            return np.empty(0, dtype=np.uint64)
+        if len(arrs) == 1:
+            return arrs[0]
+        return np.unique(np.concatenate(arrs))
 
     def lang_domain(self, langs: list[str]) -> np.ndarray:
         keep = set(langs)
