@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_timerange": lambda sf: fulltext.fulltext_filtered(
             sf, "table scan", doc_id_range=(100, 400)),
         "fulltext_highlight": fulltext.fulltext_highlighted,
+        "authz_search": fulltext.authz_search_demo,
         "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
         "distinct_terms": lambda sf: fulltext.distinct_terms(sf, "b", 100),
         # --- events analytics (Miru plugin family) ---

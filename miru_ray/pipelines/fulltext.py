@@ -27,7 +27,7 @@ from miru_ray.state.reader import IndexReader
 
 __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "distinct_terms", "needle_search", "fulltext_filtered",
-           "fulltext_highlighted", "term_first_last"]
+           "fulltext_highlighted", "term_first_last", "authz_search_demo"]
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
@@ -160,3 +160,38 @@ def term_first_last(sf_dir: str, prefix: str = "s") -> pa.Table:
                     "first_doc": pa.array(first, pa.int64()),
                     "last_doc": pa.array(last, pa.int64())})
     return out.sort_by("term")
+
+
+def authz_search_demo(sf_dir: str) -> pa.Table:
+    """(url, score, visible_to) — authz-masked search over a synthesized
+    entitlement corpus (driver tables carry no authz column). Builds a
+    small labeled index (cached) and answers the same query under three
+    different caller entitlements — the MiruAuthzIndex composite-OR mask.
+    """
+    import shutil
+    import pyarrow as pa
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import search
+    from miru_ray.sources.fixtures import generate_pages
+
+    idx = os.path.join(_CACHE_ROOT, "authz_demo_v1")
+    if not read_json(os.path.join(idx, "meta.json")):
+        pages = generate_pages(0, 120)
+        # deterministic label assignment: row i → labels by residue
+        labels = [["team-a"] if i % 3 == 0 else
+                  ["team-b"] if i % 3 == 1 else
+                  ["team-a", "team-b"] for i in range(120)]
+        pages = pages.append_column("authz",
+                                    pa.array(labels, pa.list_(pa.string())))
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(pages, idx, BuildConfig(num_parts=2, num_shards=2))
+    reader = IndexReader(idx)
+    out = {"url": [], "score": [], "visible_to": []}
+    for who in ("team-a", "team-b"):
+        hits = search(reader, "w00000", k=10, authz=[who])
+        out["url"].extend(hits["url"].to_pylist())
+        out["score"].extend(np.round(hits["score"].to_numpy(), 6).tolist())
+        out["visible_to"].extend([who] * hits.num_rows)
+    return pa.table({"url": pa.array(out["url"], pa.string()),
+                     "score": pa.array(out["score"], pa.float64()),
+                     "visible_to": pa.array(out["visible_to"], pa.string())})
