@@ -150,7 +150,7 @@ def run_scaling() -> dict:
     a single node's memory bandwidth saturates — see BENCH/BASELINE.md)."""
     n_lo, n_hi = (int(os.environ.get("BENCH_SCALE_LO", "4")),
                   int(os.environ.get("BENCH_SCALE_HI", "16")))
-    pages = os.environ.get("BENCH_SCALING_PAGES", "400000")
+    pages = os.environ.get("BENCH_SCALING_PAGES", "800000")
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
