@@ -81,6 +81,16 @@ def test_manifest_lineage(index_dir, reader):
         assert "input_digest" in m and "elapsed_s" in m
 
 
+def test_reader_term_stats_global_cardinality(reader, oracle):
+    """IndexReader.term_stats = getGlobalCardinality surface: df/cf per
+    term without decoding postings."""
+    terms = ["needle7", "needle31", "w00001", "zzz_missing"]
+    stats = reader.term_stats(terms)
+    assert "zzz_missing" not in stats
+    for t in ("needle7", "needle31", "w00001"):
+        assert stats[t] == (oracle.df(t), oracle.cf(t)), t
+
+
 def test_resume_skips_completed(pages, index_dir):
     from miru_ray.pipelines.build import BuildConfig, build_index
     meta = build_index(pages, index_dir, BuildConfig(num_parts=4, num_shards=2))
