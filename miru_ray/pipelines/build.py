@@ -56,7 +56,8 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "authz"]
 
 
 def current_input_digests(source, num_parts: int,
-                          langs: list[str] | None = None) -> dict[int, int]:
+                          langs: list[str] | None = None,
+                          include_text: bool = False) -> dict[int, int]:
     """Cheap per-partition digest of the CURRENT input: reads only
     (url, warc_ts) — column pruning means the heavy html/text never leaves
     storage — and reduces per-batch partial XORs (commutative) with a tiny
@@ -66,7 +67,8 @@ def current_input_digests(source, num_parts: int,
     partitions whose row set changed at all."""
     from miru_ray.functions.hashing import hash_strings
 
-    cols = ["url", "warc_ts"] + (["lang"] if langs else [])
+    cols = ["url", "warc_ts"] + (["lang"] if langs else []) \
+        + (["text"] if include_text else [])
     if isinstance(source, rd.Dataset):
         ds = source.select_columns(cols)
     elif isinstance(source, pa.Table):
@@ -83,6 +85,8 @@ def current_input_digests(source, num_parts: int,
         urls = batch["url"].to_numpy(zero_copy_only=False)
         ts = batch["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         h = hash_strings(urls) ^ ts.astype(np.uint64)
+        if include_text:   # fold content hash — matches input_digest(texts=…)
+            h = h ^ hash_strings(batch["text"].to_numpy(zero_copy_only=False))
         parts = part_for(urls, num_parts)
         out_p, out_d, out_n = [], [], []
         for p in np.unique(parts):
@@ -116,10 +120,15 @@ class BuildConfig:
                                      # extractor has expensive init; the
                                      # default regex extractor does not)
     verify_inputs: bool = False      # sip mode: re-digest the current input
-                                     # (cheap url+ts column scan) and rebuild
-                                     # partitions whose row set changed; off =
-                                     # fast crash-recovery resume (manifest
-                                     # presence only)
+                                     # and rebuild partitions whose rows
+                                     # changed; off = fast crash-recovery
+                                     # resume (manifest presence only).
+                                     # Text-mode inputs fold a content hash
+                                     # into the digest (text changes under an
+                                     # unchanged (url, warc_ts) ARE detected);
+                                     # html-mode inputs digest (url, warc_ts)
+                                     # only — a content-only change with the
+                                     # same url+fetch-ts is NOT detected there.
 
 
 def _merge_one_shard(shard: int, part_files: dict[int, str],
@@ -191,8 +200,17 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # each completed manifest's input_digest against a cheap re-digest of
     # the CURRENT input; mismatched partitions are rebuilt. ---
     done = completed_parts(index_dir)
+    # a manifest built by a DIFFERENT extractor version is stale regardless
+    # of input digest — resume must never mix extractor versions in one
+    # index (layout.py contract)
+    for p in [p for p, m in done.items()
+              if m.get("extractor_version") != EXTRACTOR_VERSION]:
+        done.pop(p)
+        os.remove(layout.manifest_path(index_dir, p))
+    digest_text = (not has_html) and ("text" in names)
     if done and cfg.verify_inputs:
-        current = current_input_digests(source, cfg.num_parts, cfg.langs)
+        current = current_input_digests(source, cfg.num_parts, cfg.langs,
+                                        include_text=digest_text)
         stale = [p for p, m in done.items()
                  if current.get(p, 0) != m.get("input_digest")]
         for p in stale:
@@ -223,7 +241,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # --- [B,C,E] per-partition build (dedup → docIDs → invert → write) ---
     builder = functools.partial(build_partition, index_dir=index_dir,
                                 num_shards=cfg.num_shards,
-                                store_text=cfg.store_text)
+                                store_text=cfg.store_text,
+                                digest_text=digest_text)
     # memory-bandwidth guard: the build bodies are streaming kernels whose
     # aggregate throughput saturates a single socket around ~16 concurrent
     # tasks (measured: per-task cost inflates ~3x at 32). Reserve 2 CPUs

@@ -11,10 +11,12 @@ batches), so the merge argsorts per term instead of concatenating
 part-ordered runs.
 
 Caveat vs the default path: winner identification matches on (url,
-warc_ts) — rows duplicated with identical url AND timestamp but different
-payloads are resolved by pass-1 order, not payload tie-break. For crawl
-data (url, fetch-ts) is a natural unique key; the default path keeps the
-payload tie-break.
+warc_ts) — rows duplicated with identical url AND timestamp map to ONE
+docID; exact copies (replay/at-least-once inputs) are deduped keep-first
+(within a batch at gid resolution, across batches at merge), while copies
+with DIFFERENT payloads resolve by pass order, not payload tie-break. For
+crawl data (url, fetch-ts) is a natural unique key; the default path keeps
+the payload tie-break.
 """
 
 from __future__ import annotations
@@ -85,8 +87,13 @@ class InvertBatchGlobal:
         texts = batch["text"].filter(pa.array(keep))
         gkeep = gids[keep]
         order = np.argsort(gkeep, kind="stable")   # invert_docs needs asc ids
+        gsorted_all = gkeep[order]
+        # exact/replayed duplicates (same url AND warc_ts) resolve to the
+        # SAME gid — index only the first batch row per gid, or tf/cf double
+        first = np.concatenate([[True], gsorted_all[1:] != gsorted_all[:-1]])
+        order = order[first]
         texts = texts.take(pa.array(order))
-        gsorted = gkeep[order]
+        gsorted = gsorted_all[first]
         postings, doclens = invert_docs(texts, gsorted)
         postings = postings.append_column(
             "shard", pa.array(shard_for(
@@ -145,6 +152,11 @@ def merge_rows_global(rows: pa.Table) -> pa.Table:
             tfs = np.concatenate([decode_tfs(tf_blobs[i]) for i in range(s, e)])
             order = np.argsort(ids, kind="stable")
             ids, tfs = ids[order], tfs[order]
+            # duplicate (term, docid) across batches = replayed row copies
+            # that landed in different read batches; keep-first (stable)
+            uniq = np.concatenate([[True], ids[1:] != ids[:-1]])
+            if not uniq.all():
+                ids, tfs = ids[uniq], tfs[uniq]
         out["term"].append(terms[s])
         out["shard"].append(int(shards[s]))
         out["df"].append(len(ids))

@@ -48,15 +48,23 @@ MANIFEST_SCHEMA = {
 }
 
 
-def input_digest(urls, warc_ts_us: np.ndarray) -> int:
+def input_digest(urls, warc_ts_us: np.ndarray, texts=None) -> int:
     """Order-independent digest of a partition's input rows (resume guard):
-    XOR of per-row siphashes. Cheap, deterministic, commutative."""
+    XOR of per-row siphashes. Cheap, deterministic, commutative.
+
+    When ``texts`` is given (text-mode inputs) the content hash is folded
+    in, so a row whose text changed under an unchanged (url, warc_ts) still
+    flips the digest. html-mode inputs digest (url, warc_ts) only — the
+    sip scan cannot cheaply reproduce extracted text."""
     h = hash_strings(urls) ^ warc_ts_us.astype(np.uint64)
+    if texts is not None:
+        h = h ^ hash_strings(texts)
     return int(np.bitwise_xor.reduce(h)) if len(h) else 0
 
 
 def build_partition(group: pd.DataFrame, *, index_dir: str,
-                    num_shards: int, store_text: bool = False) -> pd.DataFrame:
+                    num_shards: int, store_text: bool = False,
+                    digest_text: bool = False) -> pd.DataFrame:
     """map_groups body: one partition in, one manifest row out."""
     from miru_ray.functions.runtime import limit_worker_threads
     limit_worker_threads()
@@ -64,7 +72,9 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     part = int(group["part"].iloc[0])
     n_rows_in = len(group)
     ts_us = group["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    digest = input_digest(group["url"].to_numpy(dtype=object), ts_us)
+    digest = input_digest(
+        group["url"].to_numpy(dtype=object), ts_us,
+        texts=group["text"].to_numpy(dtype=object) if digest_text else None)
 
     # [dedup] latest-wins by url; deterministic tie-break via stable sort on
     # (url, warc_ts, text) then keep-last.

@@ -37,6 +37,14 @@ from miru_ray.state.layout import meta_path, part_dir, read_json, segments_dir
 
 __all__ = ["IndexReader"]
 
+# canonical docs.parquet column types (partition_build.build_partition) —
+# used to answer empty gathers without touching storage
+_DOC_FIELD_TYPES = {
+    "local_id": pa.int64(), "url": pa.string(),
+    "warc_ts": pa.timestamp("us"), "lang": pa.string(),
+    "doclen": pa.int64(), "text": pa.string(),
+}
+
 
 class IndexReader:
     def __init__(self, index_dir: str):
@@ -61,7 +69,7 @@ class IndexReader:
         }
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
         self._bmax_cache: dict[str, np.ndarray] = {}
-        self._doclen_all: np.ndarray | None = None
+        self._doclen_parts: dict[int, np.ndarray] = {}
         self._removed: np.ndarray | None = None
         self._prefix_terms_cache: dict = {}
         self._prefix_ids_cache: dict = {}
@@ -194,21 +202,43 @@ class IndexReader:
             self._docs_cache[part] = pq.read_table(f)
         return self._docs_cache[part]
 
+    def _doclen_part(self, pi: int) -> np.ndarray:
+        """doclen column of ONE partition, column-pruned read, cached."""
+        if pi not in self._doclen_parts:
+            if self.parts[pi] in self._docs_cache:
+                arr = self._docs_cache[self.parts[pi]]["doclen"].to_numpy()
+            else:
+                f = os.path.join(part_dir(self.index_dir, self.parts[pi]),
+                                 "docs.parquet")
+                arr = pq.read_table(f, columns=["doclen"])["doclen"].to_numpy()
+            self._doclen_parts[pi] = arr
+        return self._doclen_parts[pi]
+
     def doclens(self, doc_ids: np.ndarray) -> np.ndarray:
-        """doclen per global docID. Backed by one lazily-built dense int64
-        array (8 bytes/doc) — the single-node analogue of the reference's
-        per-partition time/activity sidecars; at cluster scale each scorer
-        actor holds only its partitions' slices."""
-        if self._doclen_all is None:
-            self._doclen_all = np.concatenate(
-                [self.docs_table(p)["doclen"].to_numpy() for p in self.parts]
-            ) if self.parts else np.empty(0, dtype=np.int64)
-        return self._doclen_all[doc_ids.astype(np.int64)]
+        """doclen per global docID, resolved per PARTITION on demand — a
+        reader only ever materializes doclen for partitions its queries
+        touch (8 B/doc of one partition, not of the whole corpus; a scorer
+        actor covering a partition subset loads exactly those slices)."""
+        ids = doc_ids.astype(np.int64)
+        out = np.empty(len(ids), dtype=np.int64)
+        if len(ids) == 0:
+            return out
+        pidx = self.part_of(doc_ids)
+        for pi in np.unique(pidx):
+            sel = pidx == pi
+            out[sel] = self._doclen_part(int(pi))[ids[sel] - self.bases[pi]]
+        return out
 
     def gather_docs(self, doc_ids: np.ndarray,
                     columns: list[str] = ("url", "warc_ts", "lang")) -> pa.Table:
         """docID → stored fields (the reference's activity-index gather,
         MiruActivityIndex.getAll:63-96). Preserves input order."""
+        if len(doc_ids) == 0 or not self.parts:
+            # empty index (build over 0 rows) or empty request: fixed schema
+            out = {"doc_id": pa.array([], pa.int64())}
+            for c in columns:
+                out[c] = pa.array([], _DOC_FIELD_TYPES.get(c, pa.string()))
+            return pa.table(out)
         pidx = self.part_of(doc_ids)
         cols: dict[str, list] = {c: [None] * len(doc_ids) for c in columns}
         for pi in np.unique(pidx):
