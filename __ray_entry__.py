@@ -53,6 +53,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "table scan", langs=["en"]),
         "fulltext_timerange": lambda sf: fulltext.fulltext_filtered(
             sf, "table scan", doc_id_range=(100, 400)),
+        "fulltext_fielded": lambda sf: fulltext.fulltext_fielded(
+            sf, "sort merge source:src3", 20),
+        "fulltext_fielded_not": lambda sf: fulltext.fulltext_fielded(
+            sf, "table scan -source:src3", 20),
+        "fulltext_fielded_prefix": lambda sf: fulltext.fulltext_fielded(
+            sf, "table scan source:src1*", 20),
+        "fulltext_scattered": lambda sf: fulltext.fulltext_scattered(
+            sf, "sort merge", 20),
         "fulltext_highlight": fulltext.fulltext_highlighted,
         "authz_search": fulltext.authz_search_demo,
         "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
@@ -138,6 +146,13 @@ def oracle_sql() -> dict[str, str]:
                                    doc_filter="d.lang = 'en'"),
         "fulltext_timerange": _bm25_sql(["scan", "table"], 20, require_all=True,
                                         doc_filter="d.doc_id >= 100 AND d.doc_id < 400"),
+        "fulltext_fielded": _bm25_sql(["merge", "sort"], 20, require_all=True,
+                                      doc_filter="d.source = 'src3'"),
+        "fulltext_fielded_not": _bm25_sql(["scan", "table"], 20, require_all=True,
+                                          doc_filter="d.source <> 'src3'"),
+        "fulltext_fielded_prefix": _bm25_sql(["scan", "table"], 20, require_all=True,
+                                             doc_filter="d.source LIKE 'src1%'"),
+        "fulltext_scattered": _bm25_sql(["merge", "sort"], 20, require_all=True),
         "props_k_stats": """
 SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(*)::BIGINT AS n

@@ -68,9 +68,18 @@ class PButNotQ:
 Filter = Term | Prefix | And | Or | PButNotQ
 
 
-def parse_query(q: str) -> Filter:
+def parse_query(q: str, schema=None) -> Filter:
     """Query string → filter tree. AND-default; ``OR`` flips the current
-    group to a union; ``-tok`` excludes; trailing ``*`` is a prefix."""
+    group to a union; ``-tok`` excludes; trailing ``*`` is a prefix.
+
+    ``field:value`` targets a secondary indexed field (state/schema.py),
+    like the reference's per-field Lucene syntax
+    (LuceneBackedQueryParser.java:48-144). Without a ``schema`` the value
+    is matched RAW (keyword semantics); with a schema, ``tokenized``
+    fields normalize the value through the text tokenizer. Combines with
+    ``-``/``*``: ``-source:src3``, ``site:exa*``.
+    """
+    from miru_ray.state.schema import field_ns
     raw = q.split()
     must: list[Filter] = []
     should: list[Filter] = []
@@ -86,10 +95,28 @@ def parse_query(q: str) -> Filter:
         is_prefix = tok.endswith("*")
         if is_prefix:
             tok = tok[:-1]
+        node: Filter
+        fname, _, fval = tok.partition(":")
+        if _ and fname and fval:
+            fd = schema.field(fname) if schema is not None else None
+            ns = field_ns(fname)
+            if fd is not None and fd.kind == "tokenized":
+                ftoks = tokenize(fval)
+                if not ftoks:
+                    continue
+                if is_prefix:
+                    node = Prefix(ns + ftoks[0])
+                elif len(ftoks) == 1:
+                    node = Term(ns + ftoks[0])
+                else:
+                    node = And(tuple(Term(ns + t) for t in ftoks))
+            else:   # keyword fields match the RAW value
+                node = Prefix(ns + fval) if is_prefix else Term(ns + fval)
+            (must_not if neg else (should if use_or else must)).append(node)
+            continue
         toks = tokenize(tok)   # normalize through the ONE tokenizer
         if not toks:
             continue
-        node: Filter
         if is_prefix:
             node = Prefix(toks[0])
         elif len(toks) == 1:
@@ -123,12 +150,14 @@ def parse_field_filter(spec: str) -> dict[str, list[str]]:
 
 
 def query_terms(f: Filter) -> list[str]:
-    """All positive Term leaves, sorted — the BM25 scoring terms."""
+    """All positive PRIMARY-field Term leaves, sorted — the BM25 scoring
+    terms. Namespaced secondary-field terms (``\\x00field\\x00value``)
+    filter candidates but never score (filter fields vs scored fields)."""
     out: set[str] = set()
 
     def walk(node: Filter, positive: bool) -> None:
         if isinstance(node, Term):
-            if positive:
+            if positive and not node.term.startswith("\x00"):
                 out.add(node.term)
         elif isinstance(node, Prefix):
             pass  # prefix matches filter but don't contribute BM25 terms here

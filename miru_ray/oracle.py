@@ -31,7 +31,8 @@ class OracleIndex:
     within partition, prefix-sum docIDs, whole-doc tokenize.
     """
 
-    def __init__(self, pages: pa.Table, num_parts: int = 16):
+    def __init__(self, pages: pa.Table, num_parts: int = 16, schema=None):
+        from miru_ray.state.schema import field_ns
         urls = pages["url"].to_pylist()
         ts = pages["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         if "text" in pages.schema.names and pages["text"].null_count == 0:
@@ -40,30 +41,49 @@ class OracleIndex:
             texts = [extract_text(h) for h in pages["html"].to_pylist()]
         langs = pages["lang"].to_pylist()
         parts = part_for(urls, num_parts)
+        self.schema = schema
+        sfields = [f for f in (schema.fields if schema else ())
+                   if f.name in pages.schema.names]
+        fcols = {f.name: pages[f.name].to_pylist() for f in sfields}
 
         # latest-wins dedup + per-partition (ts, url) sort + prefix-sum ids
         per_part: dict[int, dict[str, tuple]] = {}
         for i in range(len(urls)):
             best = per_part.setdefault(int(parts[i]), {})
             key = urls[i]
-            cand = (int(ts[i]), texts[i], langs[i])
+            cand = (int(ts[i]), texts[i], langs[i],
+                    {n: c[i] for n, c in fcols.items()})
             if key not in best or cand[:2] > best[key][:2]:
                 best[key] = cand
-        self.docs: list[tuple] = []   # (doc_id, url, ts, text, lang)
+        self.docs: list[tuple] = []   # (doc_id, url, ts, text, lang, fields)
         for p in sorted(per_part):
-            rows = sorted(((v[0], u, v[1], v[2]) for u, v in per_part[p].items()),
+            rows = sorted(((v[0], u, v[1], v[2], v[3])
+                           for u, v in per_part[p].items()),
                           key=lambda r: (r[0], r[1]))
-            for t, u, text, lang in rows:
-                self.docs.append((len(self.docs), u, t, text, lang))
+            for t, u, text, lang, fv in rows:
+                self.docs.append((len(self.docs), u, t, text, lang, fv))
 
         self.n_docs = len(self.docs)
         self.postings: dict[str, dict[int, int]] = {}
         self.doclen = np.zeros(self.n_docs, dtype=np.int64)
-        for doc_id, _u, _t, text, _l in self.docs:
+        for doc_id, _u, _t, text, _l, fv in self.docs:
             toks = tokenize(text)
             self.doclen[doc_id] = len(toks)
             for term, tf in Counter(toks).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
+            for f in sfields:
+                ns = field_ns(f.name)
+                val = fv.get(f.name)
+                if val is None:
+                    continue
+                if f.kind == "keyword":
+                    self.postings.setdefault(ns + str(val), {})[doc_id] = 1
+                elif f.kind == "keyword_list":
+                    for v in val:
+                        self.postings.setdefault(ns + str(v), {})[doc_id] = 1
+                else:   # tokenized secondary field
+                    for term, tf in Counter(tokenize(str(val))).items():
+                        self.postings.setdefault(ns + term, {})[doc_id] = tf
         self.avgdl = float(self.doclen.sum() / self.n_docs) if self.n_docs else 0.0
 
     # --- PostingsProvider protocol ---
@@ -75,7 +95,10 @@ class OracleIndex:
         return np.array(sorted(p), dtype=np.uint64)
 
     def expand_prefix(self, prefix: str, cap: int) -> list[str]:
-        return sorted(t for t in self.postings if t.startswith(prefix))[:cap]
+        hits = (t for t in self.postings if t.startswith(prefix))
+        if not prefix.startswith("\x00"):   # bare scans skip field namespaces
+            hits = (t for t in hits if not t.startswith("\x00"))
+        return sorted(hits)[:cap]
 
     def all_ids(self) -> np.ndarray:
         return np.arange(self.n_docs, dtype=np.uint64)
@@ -96,7 +119,7 @@ class OracleIndex:
         keep = []
         lo, hi = time_range if time_range else (None, None)
         langset = set(langs) if langs else None
-        for doc_id, _u, t, _text, lang in self.docs:
+        for doc_id, _u, t, _text, lang, _fv in self.docs:
             if lo is not None and t < lo:
                 continue
             if hi is not None and t >= hi:
@@ -109,7 +132,7 @@ class OracleIndex:
     def search(self, query: str, k: int = 10, time_range=None,
                langs=None, k1: float = 1.2, b: float = 0.75):
         """Top-k (doc_id, score) by (score desc, docID desc)."""
-        tree: Filter = parse_query(query)
+        tree: Filter = parse_query(query, self.schema)
         candidates = evaluate(tree, self, self.domain(time_range, langs))
         terms = query_terms(tree)
         scores = np.zeros(len(candidates), dtype=np.float64)

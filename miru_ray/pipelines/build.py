@@ -119,6 +119,11 @@ class BuildConfig:
     extract_actors: bool = False     # actor-pool extract (use when the
                                      # extractor has expensive init; the
                                      # default regex extractor does not)
+    schema: "IndexSchema | None" = None   # secondary indexed fields
+                                     # (state/schema.py): keyword /
+                                     # keyword_list / tokenized columns
+                                     # namespaced into the posting space
+                                     # (MiruFieldDefinition analogue)
     verify_inputs: bool = False      # sip mode: re-digest the current input
                                      # and rebuild partitions whose rows
                                      # changed; off = fast crash-recovery
@@ -170,7 +175,9 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         ds = rd.read_parquet(source)   # column pruning below via projection
     names = ds.schema().names
     has_html = "html" in names
-    keep = [c for c in PAGES_COLUMNS if c in names]
+    wanted = PAGES_COLUMNS + [f.name for f in
+                              (cfg.schema.fields if cfg.schema else ())]
+    keep = [c for c in wanted if c in names]
     ds = ds.select_columns(keep)
     if cfg.langs:
         langs = set(cfg.langs)
@@ -242,7 +249,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     builder = functools.partial(build_partition, index_dir=index_dir,
                                 num_shards=cfg.num_shards,
                                 store_text=cfg.store_text,
-                                digest_text=digest_text)
+                                digest_text=digest_text,
+                                schema=cfg.schema)
     # memory-bandwidth guard: the build bodies are streaming kernels whose
     # aggregate throughput saturates a single socket around ~16 concurrent
     # tasks (measured: per-task cost inflates ~3x at 32). Reserve 2 CPUs
@@ -259,7 +267,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     if not done:
         meta = {"num_parts": cfg.num_parts, "num_shards": cfg.num_shards,
                 "n_docs": 0, "avgdl": 0.0, "bases": {}, "k1": cfg.k1, "b": cfg.b,
-                "extractor_version": EXTRACTOR_VERSION, "skipped_parts": skipped}
+                "extractor_version": EXTRACTOR_VERSION, "skipped_parts": skipped,
+                "schema": cfg.schema.to_meta() if cfg.schema else []}
         write_json_atomic(meta_path(index_dir), meta)
         return meta
     parts_sorted = sorted(done)
@@ -298,6 +307,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         "part_counts": {str(p): int(done[p]["n_docs"]) for p in parts_sorted},
         "extractor_version": EXTRACTOR_VERSION,
         "skipped_parts": skipped,
+        "schema": cfg.schema.to_meta() if cfg.schema else [],
         "tokenizer": "[a-z0-9]+ lowercase",
         "n_terms": int(sum(r["n_terms"] for r in seg_stats)),
         "segment_bytes": int(sum(r["bytes"] for r in seg_stats)),

@@ -153,6 +153,9 @@ def build_index_shuffle_light(source, index_dir: str,
     if cfg.langs:
         raise NotImplementedError("shuffle-light build does not support the "
                                   "lang pushdown filter yet — use build_index")
+    if cfg.schema:
+        raise NotImplementedError("shuffle-light build does not support "
+                                  "secondary field schemas yet — use build_index")
     os.makedirs(index_dir, exist_ok=True)
     phase_t: dict[str, float] = {}
     t0 = time.perf_counter()

@@ -27,7 +27,8 @@ from miru_ray.state.reader import IndexReader
 
 __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "distinct_terms", "needle_search", "fulltext_filtered",
-           "fulltext_highlighted", "term_first_last", "authz_search_demo"]
+           "fulltext_highlighted", "term_first_last", "authz_search_demo",
+           "fulltext_fielded", "fulltext_scattered"]
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
@@ -43,16 +44,19 @@ def documents_index(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 4}
+           "mtime_ns": st.st_mtime_ns, "layout": 5}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     idx = os.path.join(_CACHE_ROOT, slug)
     tag_path = os.path.join(idx, "source_tag.json")
     if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
         return idx
     import shutil
+    from miru_ray.state.schema import FieldDef, IndexSchema
     shutil.rmtree(idx, ignore_errors=True)
     build_index(documents_as_pages(sf_dir), idx,
-                BuildConfig(num_parts=1, num_shards=2, store_text=True))
+                BuildConfig(num_parts=1, num_shards=2, store_text=True,
+                            schema=IndexSchema((
+                                FieldDef("source", "keyword", stored=True),))))
     from miru_ray.state.layout import write_json_atomic
     write_json_atomic(tag_path, tag)
     return idx
@@ -131,6 +135,54 @@ def fulltext_highlighted(sf_dir: str, query: str = "window stream",
         "doc_id": orig_doc_ids(hl["url"]),
         "score": pa.array(np.round(hl["score"].to_numpy(), 6), pa.float64()),
         "snippet": hl["snippet"],
+    })
+
+
+def fulltext_fielded(sf_dir: str, query: str = "sort merge source:src3",
+                     k: int = 20) -> pa.Table:
+    """Multi-field search: BM25 over the primary text field ANDed with
+    secondary-field terms (``field:value`` / ``-field:value`` /
+    ``field:val*``) resolved through the index's IndexSchema — the
+    reference's per-field filter + scored-field split
+    (MiruFieldIndex.java:12-43; MiruFullTextNGTest.java:52-60 multi-field
+    schemas). Field terms restrict candidates; only text terms score."""
+    reader = IndexReader(documents_index(sf_dir))
+    hits = search(reader, query, k=k)
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })
+
+
+def fulltext_scattered(sf_dir: str, query: str = "sort merge", k: int = 20) -> pa.Table:
+    """The SAME BM25 query answered through a multi-partition index via the
+    scatter→merge path (search_scattered) — closes the num_parts=1-only
+    oracle gap. BM25 stats are corpus-global, so scores are identical to
+    the single-partition index; internal docIDs are partition-major, so
+    the final presentation re-ranks by (score desc, driver doc_id desc)
+    over an over-fetched pool to keep the SQL total order exact."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = {"src": os.path.abspath(src), "size": st.st_size,
+           "mtime_ns": st.st_mtime_ns, "layout": 1, "parts": 4}
+    slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
+    idx = os.path.join(_CACHE_ROOT, slug + "_p4")
+    tag_path = os.path.join(idx, "source_tag.json")
+    if not (read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json"))):
+        import shutil
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(documents_as_pages(sf_dir), idx,
+                    BuildConfig(num_parts=4, num_shards=2))
+        from miru_ray.state.layout import write_json_atomic
+        write_json_atomic(tag_path, tag)
+    from miru_ray.pipelines.search import search_scattered
+    hits = search_scattered(idx, query, k=k + 50)   # pool absorbs boundary ties
+    doc_ids = orig_doc_ids(hits["url"]).to_numpy()
+    scores = hits["score"].to_numpy()
+    order = np.lexsort((-doc_ids, -scores))[:k]
+    return pa.table({
+        "doc_id": pa.array(doc_ids[order], pa.int64()),
+        "score": pa.array(np.round(scores[order], 6), pa.float64()),
     })
 
 

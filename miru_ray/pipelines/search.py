@@ -139,8 +139,10 @@ def search(reader: IndexReader, query: str, k: int = 10,
     ``authz``: the caller's entitlement labels — results restricted to docs
     carrying at least one (authz index ANDed in, MiruAuthzIndex semantics).
     ``prune`` forces the block-max path on/off (None = auto heuristic).
+    ``field:value`` query syntax resolves against the index's own schema
+    (reader.schema, persisted in meta.json at build time).
     """
-    tree = parse_query(query)
+    tree = parse_query(query, reader.schema)
     domain = None
     if time_range is not None:
         domain = reader.time_range_domain(*time_range)
@@ -201,7 +203,7 @@ def search_scattered(index_dir: str, query: str, k: int = 10) -> pa.Table:
         pi = r.parts.index(part)
         lo = np.uint64(r.bases[pi])
         hi = np.uint64(r.bases[pi] + r.counts[pi])
-        tree = parse_query(query)
+        tree = parse_query(query, r.schema)
         cand = _eval(tree, r)
         cand = cand[(cand >= lo) & (cand < hi)]
         removed = r.removed_ids()

@@ -46,6 +46,7 @@ def _to_pages(batch: pa.Table) -> pa.Table:
         "warc_ts": ts,
         "text": batch["text"],
         "lang": batch["lang"],
+        "source": batch["source"],   # secondary keyword field (IndexSchema)
     })
 
 

@@ -133,7 +133,11 @@ def merge_rows_global(rows: pa.Table) -> pa.Table:
             "docids": pa.array([], pa.binary()), "tfs": pa.array([], pa.binary()),
             "bmax": pa.array([], pa.binary()),
         })
-    df_ = rows.to_pandas().sort_values("term", kind="stable").reset_index(drop=True)
+    df_ = rows.to_pandas()
+    # numpy stable argsort (Python str compare) — NUL-safe, unlike pandas
+    # multi-key sort_values; stability preserves file order for keep-first
+    df_ = df_.iloc[np.argsort(df_["term"].to_numpy(dtype=object),
+                              kind="stable")].reset_index(drop=True)
     terms = df_["term"].to_numpy(dtype=object)
     change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
     starts = np.concatenate([[0], change])

@@ -44,8 +44,12 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
     })
     if rows.num_rows == 0:
         return empty
+    # sort in ARROW, not pandas: pandas' multi-key sort_values mis-orders
+    # strings with embedded NULs (the \x00field\x00 namespace), leaving
+    # same-term rows non-adjacent and breaking the run grouping below.
+    # Arrow compares string columns bytewise.
+    rows = rows.sort_by([("term", "ascending"), ("part", "ascending")])
     df_ = rows.to_pandas()
-    df_ = df_.sort_values(["term", "part"], kind="stable").reset_index(drop=True)
     terms = df_["term"].to_numpy(dtype=object)
     change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
     starts = np.concatenate([[0], change])

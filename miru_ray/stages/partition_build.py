@@ -32,15 +32,26 @@ from miru_ray.functions.extract import EXTRACTOR_VERSION
 from miru_ray.functions.hashing import hash_strings, shard_for
 from miru_ray.stages.invert import invert_docs
 from miru_ray.state.layout import part_dir, write_manifest
+from miru_ray.state.schema import field_ns
 
 __all__ = ["build_partition", "input_digest", "AUTHZ_NS"]
 
-# Authz labels index as namespaced terms in the SAME posting space —
-# the composite-term idea of MiruTermComposer (miru-plugin/.../index/
-# MiruTermComposer.java:39-62) applied to the authz field index
-# (miru-plugin/.../index/MiruAuthzIndex.java). "\x00" cannot occur in
-# [a-z0-9]+ tokens, so the namespace never collides with text terms.
-AUTHZ_NS = "\x00authz\x00"
+
+def _list_field_postings(ns: str, values, local_ids: np.ndarray) -> pa.Table:
+    """keyword_list kernel: flatten list-of-strings rows, then the shared
+    vectorized exact-term postings build (schema.keyword_postings)."""
+    from miru_ray.state.schema import keyword_postings
+    lists = [[] if v is None else list(v) for v in values]
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64,
+                       count=len(lists))
+    flat_ids = np.repeat(local_ids, lens)
+    flat_vals = np.array([str(x) for sub in lists for x in sub], dtype=object)
+    return keyword_postings(ns, flat_vals, flat_ids)
+
+# Authz labels index as namespaced terms in the SAME posting space — the
+# general multi-field mechanism (state/schema.py, MiruTermComposer.java:39-62)
+# under the reserved "authz" field name (MiruAuthzIndex.java).
+AUTHZ_NS = field_ns("authz")
 
 MANIFEST_SCHEMA = {
     "part": np.int64, "n_rows_in": np.int64, "n_docs": np.int64,
@@ -64,7 +75,8 @@ def input_digest(urls, warc_ts_us: np.ndarray, texts=None) -> int:
 
 def build_partition(group: pd.DataFrame, *, index_dir: str,
                     num_shards: int, store_text: bool = False,
-                    digest_text: bool = False) -> pd.DataFrame:
+                    digest_text: bool = False,
+                    schema=None) -> pd.DataFrame:
     """map_groups body: one partition in, one manifest row out."""
     from miru_ray.functions.runtime import limit_worker_threads
     limit_worker_threads()
@@ -87,8 +99,18 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     has_authz = "authz" in group.columns
     if has_authz:
         cols["authz"] = group["authz"].to_numpy(dtype=object)
+    schema_fields = [f for f in (schema.fields if schema else ())
+                     if f.name in group.columns]
+    for f in schema_fields:
+        cols[f.name] = group[f.name].to_numpy(dtype=object)
     df = pd.DataFrame(cols)
-    df = df.sort_values(["url", "ts", "text"], kind="stable")
+    # chained stable single-key sorts == lexicographic (url, ts, text) but
+    # NUL-safe: pandas' multi-key sort mis-orders strings with embedded
+    # NULs (real web text can contain them), which would make the dedup
+    # winner depend on input order
+    df = df.sort_values("text", kind="stable")
+    df = df.sort_values("ts", kind="stable")
+    df = df.sort_values("url", kind="stable")
     df = df.drop_duplicates("url", keep="last")
 
     # [docID] local ids by (warc_ts, url) ascending
@@ -98,31 +120,33 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
 
     texts = pa.array(df["text"].tolist(), pa.string())
     postings, doclens = invert_docs(texts, local_ids)
+    extra: list[pa.Table] = []
     if has_authz:
-        from miru_ray.functions.postings import encode_ids, encode_tfs
-        by_label: dict[str, list[int]] = {}
-        for doc_id, labels in zip(local_ids, df["authz"]):
-            if labels is None:
-                continue
-            for lab in labels:   # numpy array or list of strings
-                by_label.setdefault(str(lab), []).append(int(doc_id))
-        if by_label:
-            auth_rows = {
-                "term": [], "df": [], "cf": [], "docids": [], "tfs": []}
-            for lab in sorted(by_label):
-                ids = np.array(by_label[lab], dtype=np.uint64)  # already sorted
-                auth_rows["term"].append(AUTHZ_NS + lab)
-                auth_rows["df"].append(len(ids))
-                auth_rows["cf"].append(len(ids))
-                auth_rows["docids"].append(encode_ids(ids))
-                auth_rows["tfs"].append(encode_tfs(np.ones(len(ids), dtype=np.int64)))
-            postings = pa.concat_tables([postings, pa.table({
-                "term": pa.array(auth_rows["term"], pa.string()),
-                "df": pa.array(auth_rows["df"], pa.int64()),
-                "cf": pa.array(auth_rows["cf"], pa.int64()),
-                "docids": pa.array(auth_rows["docids"], pa.binary()),
-                "tfs": pa.array(auth_rows["tfs"], pa.binary()),
-            })])
+        # authz IS the keyword_list mechanism under its reserved namespace
+        extra.append(_list_field_postings(AUTHZ_NS, df["authz"], local_ids))
+    for f in schema_fields:
+        if f.kind == "keyword":
+            from miru_ray.state.schema import keyword_postings
+            extra.append(keyword_postings(field_ns(f.name),
+                                          df[f.name].to_numpy(dtype=object),
+                                          local_ids))
+        elif f.kind == "keyword_list":
+            extra.append(_list_field_postings(field_ns(f.name),
+                                              df[f.name], local_ids))
+        else:   # tokenized secondary field: invert, then namespace terms
+            import pyarrow.compute as pc
+            fvals = pa.array(["" if v is None else str(v)
+                              for v in df[f.name]], pa.string())
+            fpost, _fdl = invert_docs(fvals, local_ids)
+            if fpost.num_rows:
+                ns_terms = pc.binary_join_element_wise(
+                    pa.scalar(field_ns(f.name)), fpost["term"].combine_chunks(),
+                    pa.scalar(""))
+                fpost = fpost.set_column(0, "term", ns_terms)
+            extra.append(fpost)
+    for t in extra:
+        if t.num_rows:
+            postings = pa.concat_tables([postings, t])
     postings = postings.append_column(
         "shard", pa.array(shard_for(postings["term"].to_numpy(zero_copy_only=False),
                                     num_shards), pa.int64()))
@@ -139,6 +163,9 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     }
     if store_text:   # "stored" field feature (MiruFieldDefinition Feature.stored)
         doc_cols["text"] = texts
+    for f in schema_fields:
+        if f.stored:
+            doc_cols[f.name] = pa.array(df[f.name].tolist())
     docs = pa.table(doc_cols)
 
     # [atomic write] tmp files then rename; manifest last (commit point)

@@ -58,6 +58,10 @@ class IndexReader:
         self.k1: float = meta.get("k1", 1.2)
         self.b: float = meta.get("b", 0.75)
         self.num_shards: int = meta["num_shards"]
+        from miru_ray.state.schema import IndexSchema
+        # the index carries its field schema (MiruSchema bound to the
+        # partition); queries resolve field:value syntax against it
+        self.schema = IndexSchema.from_meta(meta.get("schema"))
         self.parts: list[int] = sorted(int(p) for p in meta["bases"])
         self.bases = np.array([meta["bases"][str(p)] for p in self.parts],
                               dtype=np.int64)
@@ -155,9 +159,12 @@ class IndexReader:
                 self._seg_files[s], columns=["term"],
                 filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
             found.extend(tbl["term"].to_pylist())
-        # internal namespaces (e.g. the \x00authz\x00 field) never match
-        # user-facing term scans
-        out = sorted(t for t in found if not t.startswith("\x00"))[:cap]
+        # bare scans never cross into field namespaces (\x00field\x00…);
+        # a namespaced prefix (field:val* queries) stays inside its field
+        if prefix.startswith("\x00"):
+            out = sorted(found)[:cap]
+        else:
+            out = sorted(t for t in found if not t.startswith("\x00"))[:cap]
         self._prefix_terms_cache[key] = out
         return out
 
