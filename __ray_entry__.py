@@ -353,7 +353,58 @@ WITH tok AS (
 SELECT term, min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
 FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term
 """,
-        # lang_id, minhash_near_dups, simhash64, trending, ann_topk_lsh:
-        # non-SQL-expressible (heuristic models / LSH / peak detection) →
-        # rows-only driver check; python oracles live in tests/.
+        # simhash64 is exactly SQL-expressible: the token hash is the
+        # big-endian first 8 bytes of md5 == ('0x'||substr(md5(t),1,16)).
+        "simhash64": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h64
+      FROM tf),
+bits AS (
+  SELECT doc_id, r.bit,
+         sum(CASE WHEN (h64 >> bit::INT) & 1 = 1 THEN tf ELSE -tf END) AS acc
+  FROM h CROSS JOIN (SELECT range::INT AS bit FROM range(64)) r
+  GROUP BY doc_id, r.bit
+)
+SELECT doc_id::BIGINT AS doc_id,
+       lower(lpad(to_hex(sum(CASE WHEN acc > 0 THEN (1::HUGEINT << bit)
+                                  ELSE 0::HUGEINT END)::UBIGINT), 16, '0')) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""",
+        # minhash_near_dups: the LSH bucketing is not SQL, but the RESULT
+        # contract is — all pairs with word-3-shingle Jaccard ≥ 0.8
+        # (engine recall at j≥0.8 with 16×4 bands ≈ 0.9996; fixture dup
+        # pairs sit near j=1 where every band collides, and the signature
+        # pipeline is fully deterministic — verified value-exact at
+        # sf0.001/0.01/0.1).
+        "minhash_near_dups": """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+""",
+        # lang_id, trending, ann_topk_lsh, fulltext_highlight, authz_search,
+        # image/video stages: non-SQL-expressible (heuristic models / LSH /
+        # peak detection / stored-snippet & media plumbing) → rows-only
+        # driver check; python oracles live in tests/.
     }
