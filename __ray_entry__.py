@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "table scan -source:src3", 20),
         "fulltext_fielded_prefix": lambda sf: fulltext.fulltext_fielded(
             sf, "table scan source:src1*", 20),
+        "fulltext_numrange": lambda sf: fulltext.fulltext_fielded(
+            sf, "table scan n_chars:250..450", 20),
+        "fulltext_composite": lambda sf: fulltext.fulltext_fielded(
+            sf, "sort merge src_lang:src3|en", 20),
         "fulltext_scattered": lambda sf: fulltext.fulltext_scattered(
             sf, "sort merge", 20),
         "fulltext_highlight": fulltext.fulltext_highlighted,
@@ -152,6 +156,11 @@ def oracle_sql() -> dict[str, str]:
                                           doc_filter="d.source <> 'src3'"),
         "fulltext_fielded_prefix": _bm25_sql(["scan", "table"], 20, require_all=True,
                                              doc_filter="d.source LIKE 'src1%'"),
+        "fulltext_numrange": _bm25_sql(["scan", "table"], 20, require_all=True,
+                                       doc_filter="d.n_chars BETWEEN 250 AND 450"),
+        "fulltext_composite": _bm25_sql(
+            ["merge", "sort"], 20, require_all=True,
+            doc_filter="d.source = 'src3' AND d.lang = 'en'"),
         "fulltext_scattered": _bm25_sql(["merge", "sort"], 20, require_all=True),
         "props_k_stats": """
 SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
@@ -353,6 +362,92 @@ WITH tok AS (
 SELECT term, min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
 FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term
 """,
+        # peakdet is a sequential state machine — expressed exactly as a
+        # recursive CTE stepping the (mn, mx, look_for_max) state over each
+        # event_type's bucket series (same transitions as events._peakdet).
+        "trending": """
+WITH RECURSIVE wf AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type, list(n ORDER BY bucket) AS s,
+         count(*)::INT AS L,
+         greatest(1.0, 0.25 * max(n)) AS delta
+  FROM wf GROUP BY event_type
+),
+rec AS (
+  SELECT event_type, s, L, delta, 1 AS i,
+         1e308 AS mn, -1e308 AS mx,
+         true AS look, 0::BIGINT AS n_peaks, 0.0::DOUBLE AS peak_sum
+  FROM ser
+  UNION ALL
+  SELECT event_type, s, L, delta, i + 1,
+         CASE WHEN look AND s[i] < greatest(mx, s[i]) - delta THEN s[i]
+              ELSE least(mn, s[i]) END,
+         CASE WHEN NOT look AND s[i] > least(mn, s[i]) + delta THEN s[i]
+              ELSE greatest(mx, s[i]) END,
+         CASE WHEN look AND s[i] < greatest(mx, s[i]) - delta THEN false
+              WHEN NOT look AND s[i] > least(mn, s[i]) + delta THEN true
+              ELSE look END,
+         n_peaks + CASE WHEN look AND s[i] < greatest(mx, s[i]) - delta
+                        THEN 1 ELSE 0 END,
+         peak_sum + CASE WHEN look AND s[i] < greatest(mx, s[i]) - delta
+                         THEN greatest(mx, s[i]) ELSE 0 END
+  FROM rec WHERE i <= L
+)
+SELECT event_type, n_peaks, peak_sum
+FROM rec WHERE i = L + 1
+""",
+        # snippet construction mirrors search.highlight_hits: ±40 chars
+        # around the first term match, every in-window match **-wrapped.
+        "fulltext_highlight": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('stream', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ) AS raw,
+         count(*) AS nterms
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, raw FROM scores WHERE nterms = 2
+  ORDER BY raw DESC, doc_id DESC LIMIT 10
+),
+snip AS (
+  SELECT t.doc_id, t.raw, d.text,
+         strpos(lower(d.text), 'stream') AS ps,
+         strpos(lower(d.text), 'window') AS pw
+  FROM top t JOIN documents d ON d.doc_id = t.doc_id
+),
+win AS (
+  SELECT doc_id, raw, text,
+         CASE WHEN ps > 0 AND (pw = 0 OR ps <= pw) THEN ps - 1
+              WHEN pw > 0 THEN pw - 1 ELSE NULL END AS mstart
+  FROM snip
+),
+frag AS (
+  SELECT doc_id, raw,
+         CASE WHEN mstart IS NULL THEN substr(text, 1, 80)
+              ELSE substr(text, greatest(0, mstart - 40) + 1,
+                          least(length(text), mstart + 6 + 40)
+                            - greatest(0, mstart - 40))
+         END AS fragment
+  FROM win
+)
+SELECT doc_id::BIGINT AS doc_id, round(raw, 6) AS score,
+       regexp_replace(fragment, '(stream|window)', '**\\0**', 'gi') AS snippet
+FROM frag
+""",
         # simhash64 is exactly SQL-expressible: the token hash is the
         # big-endian first 8 bytes of md5 == ('0x'||substr(md5(t),1,16)).
         "simhash64": f"""
@@ -403,8 +498,8 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """,
-        # lang_id, trending, ann_topk_lsh, fulltext_highlight, authz_search,
-        # image/video stages: non-SQL-expressible (heuristic models / LSH /
-        # peak detection / stored-snippet & media plumbing) → rows-only
-        # driver check; python oracles live in tests/.
+        # lang_id, ann_topk_lsh, authz_search, image/video stages:
+        # non-SQL-expressible (heuristic model / approximate index /
+        # synthesized entitlements / media plumbing) → rows-only driver
+        # check; python oracles live in tests/.
     }

@@ -31,7 +31,7 @@ from miru_ray.functions.postings import diff_sorted, intersect_sorted
 from miru_ray.functions.tokenize import tokenize
 
 __all__ = [
-    "Term", "Prefix", "And", "Or", "PButNotQ", "Filter",
+    "Term", "Prefix", "TermRange", "And", "Or", "PButNotQ", "Filter",
     "parse_query", "evaluate", "query_terms", "MAX_WILDCARD_EXPANSION",
 ]
 
@@ -50,6 +50,15 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class TermRange:
+    """Inclusive term range [lo, hi] — the numeric-field range scan
+    (order-preserving fixed-width encoding makes numeric ranges term
+    ranges, MiruFieldDefinition.java:129-198 rangeScan)."""
+    lo: str
+    hi: str
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple = ()
 
@@ -65,7 +74,7 @@ class PButNotQ:
     children: tuple = ()
 
 
-Filter = Term | Prefix | And | Or | PButNotQ
+Filter = Term | Prefix | TermRange | And | Or | PButNotQ
 
 
 def parse_query(q: str, schema=None) -> Filter:
@@ -100,7 +109,18 @@ def parse_query(q: str, schema=None) -> Filter:
         if _ and fname and fval:
             fd = schema.field(fname) if schema is not None else None
             ns = field_ns(fname)
-            if fd is not None and fd.kind == "tokenized":
+            if fd is not None and fd.kind == "numeric":
+                from miru_ray.state.schema import encode_numeric_one
+                if ".." in fval:   # inclusive range lo..hi (either open)
+                    lo_s, hi_s = fval.split("..", 1)
+                    lo = encode_numeric_one(int(lo_s)) if lo_s \
+                        else encode_numeric_one(-(1 << 63))
+                    hi = encode_numeric_one(int(hi_s)) if hi_s \
+                        else encode_numeric_one((1 << 63) - 1)
+                    node = TermRange(ns + lo, ns + hi)
+                else:
+                    node = Term(ns + encode_numeric_one(int(fval)))
+            elif fd is not None and fd.kind == "tokenized":
                 ftoks = tokenize(fval)
                 if not ftoks:
                     continue
@@ -110,7 +130,10 @@ def parse_query(q: str, schema=None) -> Filter:
                     node = Term(ns + ftoks[0])
                 else:
                     node = And(tuple(Term(ns + t) for t in ftoks))
-            else:   # keyword fields match the RAW value
+            else:   # keyword/composite fields match the RAW value
+                if fd is not None and fd.kind == "composite":
+                    from miru_ray.state.schema import COMPOSE_SEP
+                    fval = fval.replace("|", COMPOSE_SEP)
                 node = Prefix(ns + fval) if is_prefix else Term(ns + fval)
             (must_not if neg else (should if use_or else must)).append(node)
             continue
@@ -159,8 +182,8 @@ def query_terms(f: Filter) -> list[str]:
         if isinstance(node, Term):
             if positive and not node.term.startswith("\x00"):
                 out.add(node.term)
-        elif isinstance(node, Prefix):
-            pass  # prefix matches filter but don't contribute BM25 terms here
+        elif isinstance(node, (Prefix, TermRange)):
+            pass  # filter-only nodes contribute no BM25 terms
         elif isinstance(node, PButNotQ):
             if node.children:
                 walk(node.children[0], positive)
@@ -207,6 +230,12 @@ def _eval(f: Filter, provider) -> np.ndarray:
         if hasattr(provider, "prefix_union_ids"):   # cached fast path
             return provider.prefix_union_ids(f.prefix, f.max_expansion)
         terms = provider.expand_prefix(f.prefix, f.max_expansion)
+        arrs = [provider.ids(t) for t in terms]
+        return _bulk_union(arrs)
+    if isinstance(f, TermRange):
+        if hasattr(provider, "range_union_ids"):   # bulk segment-scan path
+            return provider.range_union_ids(f.lo, f.hi)
+        terms = provider.expand_range(f.lo, f.hi)
         arrs = [provider.ids(t) for t in terms]
         return _bulk_union(arrs)
     if isinstance(f, And):

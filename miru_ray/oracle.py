@@ -43,8 +43,19 @@ class OracleIndex:
         parts = part_for(urls, num_parts)
         self.schema = schema
         sfields = [f for f in (schema.fields if schema else ())
-                   if f.name in pages.schema.names]
-        fcols = {f.name: pages[f.name].to_pylist() for f in sfields}
+                   if (all(c in pages.schema.names for c in f.source)
+                       if f.kind == "composite" else f.name in pages.schema.names)]
+        fcols = {}
+        for f in sfields:
+            if f.kind == "composite":
+                from miru_ray.state.schema import COMPOSE_SEP
+                comps = [pages[c].to_pylist() for c in f.source]
+                fcols[f.name] = [
+                    COMPOSE_SEP.join(str(v) for v in row)
+                    if all(v is not None for v in row) else None
+                    for row in zip(*comps)]
+            else:
+                fcols[f.name] = pages[f.name].to_pylist()
 
         # latest-wins dedup + per-partition (ts, url) sort + prefix-sum ids
         per_part: dict[int, dict[str, tuple]] = {}
@@ -76,8 +87,12 @@ class OracleIndex:
                 val = fv.get(f.name)
                 if val is None:
                     continue
-                if f.kind == "keyword":
+                if f.kind in ("keyword", "composite"):
                     self.postings.setdefault(ns + str(val), {})[doc_id] = 1
+                elif f.kind == "numeric":
+                    from miru_ray.state.schema import encode_numeric_one
+                    self.postings.setdefault(
+                        ns + encode_numeric_one(int(val)), {})[doc_id] = 1
                 elif f.kind == "keyword_list":
                     for v in val:
                         self.postings.setdefault(ns + str(v), {})[doc_id] = 1
@@ -93,6 +108,9 @@ class OracleIndex:
         if not p:
             return np.empty(0, dtype=np.uint64)
         return np.array(sorted(p), dtype=np.uint64)
+
+    def expand_range(self, lo: str, hi: str) -> list[str]:
+        return sorted(t for t in self.postings if lo <= t <= hi)
 
     def expand_prefix(self, prefix: str, cap: int) -> list[str]:
         hits = (t for t in self.postings if t.startswith(prefix))

@@ -175,9 +175,10 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         ds = rd.read_parquet(source)   # column pruning below via projection
     names = ds.schema().names
     has_html = "html" in names
-    wanted = PAGES_COLUMNS + [f.name for f in
-                              (cfg.schema.fields if cfg.schema else ())]
-    keep = [c for c in wanted if c in names]
+    wanted = list(PAGES_COLUMNS)
+    for f in (cfg.schema.fields if cfg.schema else ()):
+        wanted.extend(f.source if f.kind == "composite" else (f.name,))
+    keep = list(dict.fromkeys(c for c in wanted if c in names))
     ds = ds.select_columns(keep)
     if cfg.langs:
         langs = set(cfg.langs)

@@ -44,7 +44,7 @@ def documents_index(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 5}
+           "mtime_ns": st.st_mtime_ns, "layout": 7}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     idx = os.path.join(_CACHE_ROOT, slug)
     tag_path = os.path.join(idx, "source_tag.json")
@@ -56,7 +56,10 @@ def documents_index(sf_dir: str) -> str:
     build_index(documents_as_pages(sf_dir), idx,
                 BuildConfig(num_parts=1, num_shards=2, store_text=True,
                             schema=IndexSchema((
-                                FieldDef("source", "keyword", stored=True),))))
+                                FieldDef("source", "keyword", stored=True),
+                                FieldDef("n_chars", "numeric"),
+                                FieldDef("src_lang", "composite",
+                                         source=("source", "lang"))))))
     from miru_ray.state.layout import write_json_atomic
     write_json_atomic(tag_path, tag)
     return idx

@@ -34,6 +34,16 @@ __all__ = ["cf_recommend", "strut_scores", "catwalk_model"]
 
 
 def _orderkey_to_custkey(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """orderkey→custkey lookup, broadcast to every hop task via ray.put.
+
+    Broadcast-size bound: 16 B/order (two int64 columns). TPC-H keeps
+    orders at 1.5M rows/SF → 24 MB/SF: ≈ 2.4 GB at SF=100, which still
+    fits one object-store copy per node but marks the ceiling. Beyond
+    that, replace hops 2/3 with a partitioned hash join: shuffle lineitem
+    AND orders by orderkey (ONE co-partitioning reused by both hops),
+    join per partition, then the existing partial-agg rollup — the same
+    number of all-to-alls as today's broadcast plan, so we defer until a
+    corpus actually crosses the bound (VERDICT r1 #6/#8)."""
     import os
     import pyarrow.parquet as pq
     orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),

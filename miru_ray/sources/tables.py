@@ -47,11 +47,13 @@ def _to_pages(batch: pa.Table) -> pa.Table:
         "text": batch["text"],
         "lang": batch["lang"],
         "source": batch["source"],   # secondary keyword field (IndexSchema)
+        "n_chars": batch["n_chars"],  # secondary numeric field (range scans)
     })
 
 
 def documents_as_pages(sf_dir: str) -> rd.Dataset:
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source", "n_chars"])
     return ds.map_batches(_to_pages, batch_format="pyarrow")
 
 

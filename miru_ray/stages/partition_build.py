@@ -100,9 +100,12 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     if has_authz:
         cols["authz"] = group["authz"].to_numpy(dtype=object)
     schema_fields = [f for f in (schema.fields if schema else ())
-                     if f.name in group.columns]
+                     if (all(c in group.columns for c in f.source)
+                         if f.kind == "composite" else f.name in group.columns)]
     for f in schema_fields:
-        cols[f.name] = group[f.name].to_numpy(dtype=object)
+        for c in (f.source if f.kind == "composite" else (f.name,)):
+            if c not in cols:
+                cols[c] = group[c].to_numpy(dtype=object)
     df = pd.DataFrame(cols)
     # chained stable single-key sorts == lexicographic (url, ts, text) but
     # NUL-safe: pandas' multi-key sort mis-orders strings with embedded
@@ -121,6 +124,7 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     texts = pa.array(df["text"].tolist(), pa.string())
     postings, doclens = invert_docs(texts, local_ids)
     extra: list[pa.Table] = []
+    composed_cols: dict[str, np.ndarray] = {}
     if has_authz:
         # authz IS the keyword_list mechanism under its reserved namespace
         extra.append(_list_field_postings(AUTHZ_NS, df["authz"], local_ids))
@@ -133,6 +137,25 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
         elif f.kind == "keyword_list":
             extra.append(_list_field_postings(field_ns(f.name),
                                               df[f.name], local_ids))
+        elif f.kind == "numeric":
+            from miru_ray.state.schema import encode_numeric, keyword_postings
+            vals = df[f.name].to_numpy()
+            ok = pd.notna(vals)
+            extra.append(keyword_postings(
+                field_ns(f.name), encode_numeric(vals[ok].astype(np.int64)),
+                local_ids[ok]))
+        elif f.kind == "composite":
+            from miru_ray.state.schema import COMPOSE_SEP, keyword_postings
+            comps = [df[c].to_numpy(dtype=object) for c in f.source]
+            ok = np.ones(len(df), dtype=bool)
+            for c in comps:
+                ok &= pd.notna(c)
+            composed = np.array(
+                [COMPOSE_SEP.join(str(c[i]) for c in comps) if ok[i] else None
+                 for i in range(len(df))], dtype=object)
+            composed_cols[f.name] = composed
+            extra.append(keyword_postings(field_ns(f.name), composed[ok],
+                                          local_ids[ok]))
         else:   # tokenized secondary field: invert, then namespace terms
             import pyarrow.compute as pc
             fvals = pa.array(["" if v is None else str(v)
@@ -165,7 +188,9 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
         doc_cols["text"] = texts
     for f in schema_fields:
         if f.stored:
-            doc_cols[f.name] = pa.array(df[f.name].tolist())
+            doc_cols[f.name] = (pa.array(composed_cols[f.name], pa.string())
+                                if f.kind == "composite"
+                                else pa.array(df[f.name].tolist()))
     docs = pa.table(doc_cols)
 
     # [atomic write] tmp files then rename; manifest last (commit point)

@@ -77,6 +77,7 @@ class IndexReader:
         self._removed: np.ndarray | None = None
         self._prefix_terms_cache: dict = {}
         self._prefix_ids_cache: dict = {}
+        self._range_ids_cache: dict = {}
         self._docs_cache: dict[int, pa.Table] = {}
         self._terms_cache: dict[int, np.ndarray] = {}
 
@@ -166,6 +167,31 @@ class IndexReader:
         else:
             out = sorted(t for t in found if not t.startswith("\x00"))[:cap]
         self._prefix_terms_cache[key] = out
+        return out
+
+    def range_union_ids(self, lo: str, hi: str) -> np.ndarray:
+        """Union of docIDs over an INCLUSIVE term range — the numeric-field
+        range scan. One range-filtered read per shard (row groups are
+        term-sorted, so min/max stats prune), postings decoded and unioned
+        in bulk without populating the per-term cache. Cached per range."""
+        key = (lo, hi)
+        if key in self._range_ids_cache:
+            return self._range_ids_cache[key]
+        from miru_ray.functions.postings import decode_ids
+        arrs: list[np.ndarray] = []
+        for s in sorted(self._seg_files):
+            tbl = pq.read_table(
+                self._seg_files[s], columns=["docids"],
+                filters=(pads.field("term") >= lo) & (pads.field("term") <= hi))
+            arrs.extend(decode_ids(b) for b in tbl["docids"].to_pylist())
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            out = np.empty(0, dtype=np.uint64)
+        elif len(arrs) == 1:
+            out = arrs[0]
+        else:
+            out = np.unique(np.concatenate(arrs))
+        self._range_ids_cache[key] = out
         return out
 
     def prefix_union_ids(self, prefix: str, cap: int) -> np.ndarray:

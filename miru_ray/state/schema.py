@@ -25,9 +25,22 @@ Field kinds (MiruFieldDefinition.Type analogues):
                     e.g. ``authz``, tags;
 - ``tokenized``     the text tokenizer applied to a string column, terms
                     namespaced — a secondary searchable field (e.g.
-                    ``title``).
+                    ``title``);
+- ``numeric``       int64 column encoded as order-preserving fixed-width
+                    hex terms (the reference's lexicographic 4/8-byte int
+                    encoding, MiruFieldDefinition.java:129-198) — enables
+                    query-time RANGE filters ``field:lo..hi`` resolved as
+                    a term-range scan over the postings;
+- ``composite``     SEVERAL source columns composed into one exact term
+                    (MiruTermComposer.java:39-62 length-prefixed
+                    composition, here "\\x1f"-joined — the unit separator
+                    cannot occur in [a-z0-9]+ tokens or sane field
+                    values). Declared with ``source=("colA", "colB")``;
+                    queried as ``field:valA|valB`` ("|" maps to the
+                    separator). Docs missing ANY component are not
+                    indexed under the field.
 ``stored=True`` additionally keeps the raw column in docs.parquet for
-gather (Feature.stored).
+gather (Feature.stored; composite stores the composed string).
 """
 
 from __future__ import annotations
@@ -42,7 +55,21 @@ __all__ = ["FieldDef", "IndexSchema", "field_ns", "field_term",
            "keyword_postings", "NS_CH"]
 
 NS_CH = "\x00"
-_KINDS = ("keyword", "keyword_list", "tokenized")
+COMPOSE_SEP = "\x1f"
+_KINDS = ("keyword", "keyword_list", "tokenized", "numeric", "composite")
+_SIGN_OFFSET = np.uint64(1 << 63)
+
+
+def encode_numeric(values) -> np.ndarray:
+    """int64 value(s) → 16-hex order-preserving term string(s): hex of
+    (v + 2^63), so lexicographic term order == numeric order incl.
+    negatives. Vectorized (np.char over a fixed-width hex render)."""
+    arr = np.asarray(values, dtype=np.int64).astype(np.uint64) + _SIGN_OFFSET
+    return np.char.zfill(np.char.mod("%x", arr), 16).astype(object)
+
+
+def encode_numeric_one(value: int) -> str:
+    return format((int(value) + (1 << 63)) & ((1 << 64) - 1), "016x")
 
 
 def field_ns(name: str) -> str:
@@ -57,14 +84,19 @@ def field_term(name: str, value: str) -> str:
 @dataclass(frozen=True)
 class FieldDef:
     name: str
-    kind: str = "keyword"     # keyword | keyword_list | tokenized
+    kind: str = "keyword"  # keyword | keyword_list | tokenized | numeric | composite
     stored: bool = False
+    source: tuple = ()     # composite only: the composed source columns
 
     def __post_init__(self):
         if self.kind not in _KINDS:
             raise ValueError(f"unknown field kind {self.kind!r}; one of {_KINDS}")
         if not self.name or NS_CH in self.name:
             raise ValueError(f"invalid field name {self.name!r}")
+        if self.kind == "composite" and len(self.source) < 2:
+            raise ValueError("composite fields need >= 2 source columns")
+        if self.kind != "composite" and self.source:
+            raise ValueError("source= is only valid for composite fields")
 
 
 @dataclass(frozen=True)
@@ -87,13 +119,15 @@ class IndexSchema:
         return None
 
     def to_meta(self) -> list[dict]:
-        return [{"name": f.name, "kind": f.kind, "stored": f.stored}
+        return [{"name": f.name, "kind": f.kind, "stored": f.stored,
+                 "source": list(f.source)}
                 for f in self.fields]
 
     @staticmethod
     def from_meta(rows: list[dict] | None) -> "IndexSchema":
         return IndexSchema(tuple(FieldDef(r["name"], r["kind"],
-                                          bool(r.get("stored", False)))
+                                          bool(r.get("stored", False)),
+                                          tuple(r.get("source", ())))
                                  for r in (rows or [])))
 
 

@@ -21,6 +21,8 @@ SCHEMA = IndexSchema((
     FieldDef("site", "keyword", stored=True),
     FieldDef("tags", "keyword_list"),
     FieldDef("title", "tokenized"),
+    FieldDef("nlen", "numeric"),
+    FieldDef("site_lang", "composite", source=("site", "lang"), stored=True),
 ))
 
 
@@ -31,10 +33,12 @@ def _fielded_pages(n: int = 500) -> pa.Table:
             ["hot", "fresh"] if i % 5 == 1 else
             [] if i % 5 == 2 else ["fresh"] for i in range(n)]
     title = [t.split("\n", 1)[0] for t in pages["text"].to_pylist()]
+    nlen = [len(t) - 600 for t in pages["text"].to_pylist()]  # incl. negatives
     return (pages
             .append_column("site", pa.array(site, pa.string()))
             .append_column("tags", pa.array(tags, pa.list_(pa.string())))
-            .append_column("title", pa.array(title, pa.string())))
+            .append_column("title", pa.array(title, pa.string()))
+            .append_column("nlen", pa.array(nlen, pa.int64())))
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +66,38 @@ FIELD_QUERIES = [
     "w00001 title:page",                   # tokenized secondary field
     "title:t00000029 w00000",              # tokenized exact title token
     "site:site042",                        # pure field query (zero scores)
+    "w00001 nlen:0..400",                  # numeric range (spans negatives)
+    "w00000 nlen:-200..0",                 # negative-bounded range
+    "w00001 nlen:..150",                   # open lower bound
+    "w00002 nlen:300..",                   # open upper bound
+    "w00000 site_lang:site007|en",         # composite exact
+    "w00000 site_lang:site007|*",          # composite prefix (first component)
+    "w00001 -site_lang:site042|en",        # composite negation
 ]
+
+
+def test_composite_stored_gather(fielded_index):
+    _, d = fielded_index
+    reader = IndexReader(d)
+    hits = search(reader, "site_lang:site007|en", k=5)
+    assert hits.num_rows > 0
+    got = reader.gather_docs(hits["doc_id"].to_numpy().astype(np.uint64),
+                             columns=["site_lang", "lang"])
+    for comp, lang in zip(got["site_lang"].to_pylist(), got["lang"].to_pylist()):
+        assert comp == f"site007\x1f{lang}" and lang == "en"
+
+
+def test_numeric_exact_value_matches_oracle(fielded_index, fielded_oracle):
+    _, d = fielded_index
+    reader = IndexReader(d)
+    # pick a real value so the exact-match query is non-empty
+    from miru_ray.sources.fixtures import generate_pages
+    val = len(generate_pages(3, 4)["text"][0].as_py()) - 600
+    q = f"nlen:{val}"
+    hits = search(reader, q, k=50)
+    oids, _ = fielded_oracle.search(q, k=50)
+    assert hits.num_rows > 0
+    assert hits["doc_id"].to_pylist() == oids.tolist()
 
 
 @pytest.mark.parametrize("q", FIELD_QUERIES)
@@ -78,7 +113,10 @@ def test_fielded_search_matches_oracle(fielded_index, fielded_oracle, q):
 def test_schema_persisted_in_meta(fielded_index):
     _, d = fielded_index
     reader = IndexReader(d)
-    assert [f.name for f in reader.schema.fields] == ["site", "tags", "title"]
+    assert [f.name for f in reader.schema.fields] == [
+        "site", "tags", "title", "nlen", "site_lang"]
+    assert reader.schema.field("nlen").kind == "numeric"
+    assert reader.schema.field("site_lang").source == ("site", "lang")
     assert reader.schema.field("site").kind == "keyword"
     assert reader.schema.field("tags").kind == "keyword_list"
     assert reader.schema.field("title").kind == "tokenized"
