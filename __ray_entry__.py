@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- reco / model scoring ---
         "cf_recommend": reco.cf_recommend,
         "strut_scores": reco.strut_scores,
+        "strut_scores_cached": lambda sf: __import__(
+            "miru_ray.state.feature_cache", fromlist=["strut_scores_cached"]
+        ).strut_scores_cached(sf),
         "catwalk_model": reco.catwalk_model,
         "term_first_last": fulltext.term_first_last,
         # --- multimodal (binary media columns; decode stubbed, plumbing real) ---
@@ -311,6 +314,13 @@ FROM pairs p JOIN contrib c ON p.custkey = c.custkey
 GROUP BY p.p_partkey ORDER BY score DESC, p_partkey LIMIT 20
 """,
         "strut_scores": """
+SELECT user_id::BIGINT AS user_id,
+       round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS score
+FROM events GROUP BY user_id
+ORDER BY score DESC, user_id LIMIT 50
+""",
+        "strut_scores_cached": """
 SELECT user_id::BIGINT AS user_id,
        round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS score
