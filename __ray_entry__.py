@@ -508,8 +508,39 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """,
-        # lang_id, ann_topk_lsh, authz_search, image/video stages:
-        # non-SQL-expressible (heuristic model / approximate index /
-        # synthesized entitlements / media plumbing) → rows-only driver
-        # check; python oracles live in tests/.
+        # Language-ID heuristic is fully deterministic: score(lang) =
+        # #distinct marker words present in the first 200 tokens; winner =
+        # alphabetically-first lang with the max score ('unknown' at 0).
+        # The CASE cascade below encodes the de<en<es<fr tie-break.
+        "lang_id": f"""
+WITH t AS (
+  SELECT doc_id, list_slice(regexp_extract_all(lower(text), '{TOKEN_SQL}'), 1, 200) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    list_contains(toks,'der')::INT + list_contains(toks,'die')::INT
+      + list_contains(toks,'und')::INT + list_contains(toks,'ist')::INT
+      + list_contains(toks,'nicht')::INT AS de,
+    list_contains(toks,'the')::INT + list_contains(toks,'is')::INT
+      + list_contains(toks,'and')::INT + list_contains(toks,'of')::INT
+      + list_contains(toks,'a')::INT AS en,
+    list_contains(toks,'el')::INT + list_contains(toks,'los')::INT
+      + list_contains(toks,'es')::INT + list_contains(toks,'una')::INT
+      + list_contains(toks,'que')::INT AS es,
+    list_contains(toks,'le')::INT + list_contains(toks,'la')::INT
+      + list_contains(toks,'les')::INT + list_contains(toks,'est')::INT
+      + list_contains(toks,'une')::INT AS fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(de,en,es,fr) = 0 THEN 'unknown'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s
+""",
+        # ann_topk_lsh, authz_search, image/video stages:
+        # non-SQL-expressible (approximate index / synthesized entitlements
+        # / media plumbing) → rows-only driver check; python oracles in tests/.
     }

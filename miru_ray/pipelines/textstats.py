@@ -99,25 +99,58 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 class LangId:
-    """Actor-pool language-ID stage: marker tables built once per actor."""
+    """Actor-pool language-ID stage: marker tables built once per actor
+    (the real engine would hold a fastText-style model here — same actor
+    shape). Semantics: over the first 200 tokens, score(lang) = #DISTINCT
+    marker words present; prediction = alphabetically-first lang with the
+    max score, or 'unknown' at score 0. Vectorized: one numpy membership
+    pass per marker word over the batch's flattened tokens."""
 
     def __init__(self) -> None:
-        self.markers = {lang: set(ws) for lang, ws in _LANG_MARKERS.items()}
+        self.langs = sorted(_LANG_MARKERS)
+        self.markers = {lang: np.array(sorted(_LANG_MARKERS[lang]),
+                                       dtype=object)
+                        for lang in self.langs}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from miru_ray.functions.tokenize import tokenize
-        preds = []
-        for text in batch["text"]:
-            toks = set(tokenize(text)[:200])
-            scores = {lang: len(toks & ws) for lang, ws in self.markers.items()}
-            best = max(sorted(scores), key=lambda l: scores[l])
-            preds.append(best if scores[best] > 0 else "unknown")
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from miru_ray.functions.tokenize import tokenize_column
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": batch["doc_id"],
+                             "lang_pred": pa.array([], pa.string())})
+        tok_lists = tokenize_column(batch["text"])
+        offsets = tok_lists.offsets.to_numpy(zero_copy_only=False)
+        doclens = np.diff(offsets).astype(np.int64)
+        ndocs = len(doclens)
+        flat = tok_lists.flatten().to_numpy(zero_copy_only=False)
+        # first-200-tokens window per doc
+        starts = np.concatenate([[0], np.cumsum(doclens)[:-1]])
+        pos = np.arange(len(flat)) - np.repeat(starts, doclens)
+        window = pos < 200
+        flat_w = flat[window]
+        doc_of = np.repeat(np.arange(ndocs), doclens)[window]
+        wstarts = np.searchsorted(doc_of, np.arange(ndocs))
+        # reduceat needs in-bounds indices; docs with no windowed tokens get
+        # a clamped start and are masked out below
+        wstarts_c = np.minimum(wstarts, max(len(doc_of) - 1, 0))
+        nonempty = np.diff(np.concatenate([wstarts, [len(doc_of)]])) > 0
+        scores = np.zeros((ndocs, len(self.langs)), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for w in self.markers[lang]:
+                hit = (flat_w == w)
+                if hit.any():
+                    # distinct-word presence per doc (not occurrence count)
+                    present = (np.add.reduceat(hit, wstarts_c) > 0) & nonempty
+                    scores[:, li] += present
+        best_idx = np.argmax(scores, axis=1)   # first max = alphabetical tie-break
+        preds = np.array(self.langs, dtype=object)[best_idx]
+        preds[scores.max(axis=1) == 0] = "unknown"
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang_pred": pa.array(preds, pa.string())})
 
 
 def lang_id(sf_dir: str) -> pa.Table:
     """(doc_id, lang_pred) — heuristic language ID via actor pool."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pandas", batch_size=1024,
+    out = ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024,
                          concurrency=(1, 2))
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

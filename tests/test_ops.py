@@ -71,6 +71,37 @@ def test_lang_id_deterministic(ray_session):
     assert set(a["lang_pred"]) <= {"en", "de", "fr", "es", "unknown"}
 
 
+def test_lang_id_vectorized_matches_per_row():
+    """Vectorized LangId kernel == per-row reference semantics (set of
+    first-200 tokens ∩ markers, alphabetical-first tie-break) including
+    edge cases: empty text, no-token text, marker beyond window."""
+    import pyarrow as pa
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.pipelines.textstats import _LANG_MARKERS, LangId
+
+    def per_row(texts):
+        markers = {lg: set(ws) for lg, ws in _LANG_MARKERS.items()}
+        preds = []
+        for text in texts:
+            toks = set(tokenize(text)[:200])
+            scores = {lg: len(toks & ws) for lg, ws in markers.items()}
+            best = max(sorted(scores), key=lambda lg: scores[lg])
+            preds.append(best if scores[best] > 0 else "unknown")
+        return preds
+
+    texts = ["", "12345 !!!", "...", "the la der el",
+             " ".join(["xx"] * 200) + " the the",   # marker outside window
+             "x " * 199 + "the",                     # marker at position 200
+             "DER Und the the the", "le la les est une que el"]
+    tb = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                   "text": pa.array(texts)})
+    stage = LangId()
+    assert stage(tb)["lang_pred"].to_pylist() == per_row(texts)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert stage(empty).num_rows == 0
+
+
 def test_trending_consistent_with_waveform(ray_session):
     from miru_ray.pipelines.events import analytics_waveform, trending
     wf = analytics_waveform(SF).to_pandas()
