@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_scattered": lambda sf: fulltext.fulltext_scattered(
             sf, "sort merge", 20),
         "fulltext_highlight": fulltext.fulltext_highlighted,
-        "authz_search": fulltext.authz_search_demo,
+        "authz_search": fulltext.authz_search,
         "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
         "distinct_terms": lambda sf: fulltext.distinct_terms(sf, "b", 100),
         # --- events analytics (Miru plugin family) ---
@@ -165,6 +165,10 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "sort"], 20, require_all=True,
             doc_filter="d.source = 'src3' AND d.lang = 'en'"),
         "fulltext_scattered": _bm25_sql(["merge", "sort"], 20, require_all=True),
+        # Caller entitlement 'grp0' = docs labeled grp0 at build: residue 0
+        # carries [grp0], residue 2 carries [grp0, grp1] (tables._to_pages).
+        "authz_search": _bm25_sql(["scan", "table"], 20, require_all=True,
+                                  doc_filter="d.doc_id % 3 IN (0, 2)"),
         "props_k_stats": """
 SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(*)::BIGINT AS n
@@ -540,7 +544,7 @@ SELECT doc_id,
        ELSE 'fr' END AS lang_pred
 FROM s
 """,
-        # ann_topk_lsh, authz_search, image/video stages:
-        # non-SQL-expressible (approximate index / synthesized entitlements
-        # / media plumbing) → rows-only driver check; python oracles in tests/.
+        # ann_topk_lsh, image/video stages: non-SQL-expressible
+        # (approximate index / media plumbing) → rows-only driver check;
+        # python oracles in tests/.
     }

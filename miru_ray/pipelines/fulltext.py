@@ -27,7 +27,7 @@ from miru_ray.state.reader import IndexReader
 
 __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "distinct_terms", "needle_search", "fulltext_filtered",
-           "fulltext_highlighted", "term_first_last", "authz_search_demo",
+           "fulltext_highlighted", "term_first_last", "authz_search",
            "fulltext_fielded", "fulltext_scattered"]
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
@@ -44,7 +44,7 @@ def documents_index(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 7}
+           "mtime_ns": st.st_mtime_ns, "layout": 8}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     idx = os.path.join(_CACHE_ROOT, slug)
     tag_path = os.path.join(idx, "source_tag.json")
@@ -167,7 +167,7 @@ def fulltext_scattered(sf_dir: str, query: str = "sort merge", k: int = 20) -> p
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 1, "parts": 4}
+           "mtime_ns": st.st_mtime_ns, "layout": 2, "parts": 4}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     idx = os.path.join(_CACHE_ROOT, slug + "_p4")
     tag_path = os.path.join(idx, "source_tag.json")
@@ -217,36 +217,16 @@ def term_first_last(sf_dir: str, prefix: str = "s") -> pa.Table:
     return out.sort_by("term")
 
 
-def authz_search_demo(sf_dir: str) -> pa.Table:
-    """(url, score, visible_to) — authz-masked search over a synthesized
-    entitlement corpus (driver tables carry no authz column). Builds a
-    small labeled index (cached) and answers the same query under three
-    different caller entitlements — the MiruAuthzIndex composite-OR mask.
-    """
-    import shutil
-    import pyarrow as pa
-    from miru_ray.pipelines.build import BuildConfig, build_index
-    from miru_ray.pipelines.search import search
-    from miru_ray.sources.fixtures import generate_pages
-
-    idx = os.path.join(_CACHE_ROOT, "authz_demo_v1")
-    if not read_json(os.path.join(idx, "meta.json")):
-        pages = generate_pages(0, 120)
-        # deterministic label assignment: row i → labels by residue
-        labels = [["team-a"] if i % 3 == 0 else
-                  ["team-b"] if i % 3 == 1 else
-                  ["team-a", "team-b"] for i in range(120)]
-        pages = pages.append_column("authz",
-                                    pa.array(labels, pa.list_(pa.string())))
-        shutil.rmtree(idx, ignore_errors=True)
-        build_index(pages, idx, BuildConfig(num_parts=2, num_shards=2))
-    reader = IndexReader(idx)
-    out = {"url": [], "score": [], "visible_to": []}
-    for who in ("team-a", "team-b"):
-        hits = search(reader, "w00000", k=10, authz=[who])
-        out["url"].extend(hits["url"].to_pylist())
-        out["score"].extend(np.round(hits["score"].to_numpy(), 6).tolist())
-        out["visible_to"].extend([who] * hits.num_rows)
-    return pa.table({"url": pa.array(out["url"], pa.string()),
-                     "score": pa.array(out["score"], pa.float64()),
-                     "visible_to": pa.array(out["visible_to"], pa.string())})
+def authz_search(sf_dir: str, query: str = "table scan",
+                 labels: list[str] = ("grp0",), k: int = 20) -> pa.Table:
+    """BM25 top-k under the caller's entitlement labels — the
+    MiruAuthzIndex composite-OR mask (labels OR-ed into one domain, then
+    ANDed with the query). Labels derive deterministically from doc_id
+    residue in the pages adapter (sources/tables._to_pages), so a caller
+    with 'grp0' sees exactly doc_id % 3 IN (0, 2) — SQL-expressible."""
+    reader = IndexReader(documents_index(sf_dir))
+    hits = search(reader, query, k=k, authz=list(labels))
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })

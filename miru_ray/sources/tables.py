@@ -41,6 +41,20 @@ def _to_pages(batch: pa.Table) -> pa.Table:
         pc.cast(doc_id, pa.string()), pa.scalar(""))
     ts = pc.add(pc.multiply(pc.cast(doc_id, pa.int64()), 1_000_000),
                 DOC_TS_BASE_US).cast(pa.timestamp("us"))
+    # Deterministic entitlement labels (MiruAuthzIndex analog): the driver
+    # tables carry no authz column, so labels derive from doc_id residue —
+    # residue 0 → [grp0], 1 → [grp1], 2 → [grp0, grp1]. SQL-expressible:
+    # caller 'grp0' sees exactly doc_id % 3 IN (0, 2).
+    res = pc.cast(doc_id, pa.int64()).to_numpy() % 3
+    import numpy as np
+    offsets = np.concatenate([[0], np.cumsum(np.where(res == 2, 2, 1))])
+    flat = np.empty(offsets[-1], dtype=object)
+    flat[offsets[:-1][res == 0]] = "grp0"
+    flat[offsets[:-1][res == 1]] = "grp1"
+    flat[offsets[:-1][res == 2]] = "grp0"
+    flat[offsets[:-1][res == 2] + 1] = "grp1"
+    authz = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     pa.array(flat, pa.string()))
     return pa.table({
         "url": url,
         "warc_ts": ts,
@@ -48,6 +62,7 @@ def _to_pages(batch: pa.Table) -> pa.Table:
         "lang": batch["lang"],
         "source": batch["source"],   # secondary keyword field (IndexSchema)
         "n_chars": batch["n_chars"],  # secondary numeric field (range scans)
+        "authz": authz,              # entitlement labels (reserved field)
     })
 
 
