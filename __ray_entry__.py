@@ -42,8 +42,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from miru_ray.pipelines import (ann, dedup, events, fulltext, multimodal,
-                                    reco, relational, textstats)
+    from miru_ray.pipelines import (ann, dedup, events, fulltext, joins,
+                                    multimodal, reco, relational, textstats)
 
     return {
         # --- fulltext / BM25 (flagship family) ---
@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_counts_page2": events.aggregate_counts_page2,
         "anomaly_waveform": events.anomaly_waveform,
         "paired_latest": events.paired_latest,
+        # --- custom joins (as-of / interval / sliding window) ---
+        "asof_join": joins.asof_join,
+        "interval_join": joins.interval_join,
+        "window_sliding": joins.window_sliding,
         # --- relational / generic operators ---
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -334,6 +338,43 @@ ORDER BY score DESC, user_id LIMIT 50
         "paired_latest": """
 SELECT event_type, user_id::BIGINT AS user_id, max(ts) AS last_ts
 FROM events GROUP BY event_type, user_id
+""",
+        # right side deduped to max(value) per (user, ts) so the as-of
+        # match is deterministic under ts collisions (engine mirrors this)
+        "asof_join": """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id::BIGINT AS event_id, c.user_id::BIGINT AS user_id, c.ts,
+       v.ts AS view_ts, v.view_value::DOUBLE AS view_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+        "interval_join": """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       count(c.ts)::BIGINT AS n_clicks,
+       coalesce(sum(c.value::DECIMAL(14,2)), 0)::DOUBLE AS click_value
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id
+""",
+        "window_sliding": """
+SELECT event_id::BIGINT AS event_id, event_type, ts,
+       (sum(value::DECIMAL(14,2)) OVER w)::DOUBLE AS w_sum,
+       (count(*) OVER w)::BIGINT AS w_n
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
         "anomaly_waveform": """
 SELECT date_trunc('hour', ts) AS bucket,

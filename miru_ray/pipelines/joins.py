@@ -1,0 +1,166 @@
+"""Custom join operators Ray Data has no built-in for — as-of join,
+interval (range) join, and sliding-window aggregate — expressed as
+co-partitioned ``groupby(key).map_groups`` stages with vectorized
+searchsorted merges inside each group.
+
+The reference's closest surface is pairedLatest (latest row per composite
+key, miru-service/.../MiruIndexPairedLatest.java) — the as-of join below
+is its general form: for every left row, the latest right row at-or-before
+it. The other two generalize the Analytics/Metrics windowing
+(miru-reco-plugins/.../analytics/Analytics.java:61-156) from fixed buckets
+to per-row trailing windows.
+
+Partitioning assumptions (the scale contract for each operator):
+
+- ``asof_join`` / ``interval_join``: ONE all-to-all — both filtered sides
+  are tagged, unioned and hash-partitioned by ``user_id``; each group is
+  a single user's (small) event history, merged with sorted searchsorted.
+  Skew is bounded by per-user activity, not corpus size.
+- ``window_sliding``: partitioned by ``event_type`` — few, large groups.
+  Fine at event-log scale (a group streams through one task); at 100-TB
+  scale the partitioning would switch to (event_type, ts-range) with a
+  one-window halo of boundary rows replicated into the next range, then
+  halo rows dropped after the merge. The group body below is already
+  pure prefix-sum + searchsorted, so the halo variant reuses it as-is.
+
+Money/value arithmetic is exact integer cents (np.rint(value*100)),
+mirroring the SQL oracle's ``value::DECIMAL(14,2)`` sums — no fp-order
+drift between engines (same convention as events.metrics_sum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from miru_ray.sources.tables import read_table
+
+__all__ = ["asof_join", "interval_join", "window_sliding"]
+
+HOUR_US = 3_600_000_000
+
+
+def _two_sided(sf_dir: str, left_type: str, right_type: str):
+    """Union of the two filtered event sides, tagged ``side`` (0=left,
+    1=right), ready for one hash-partition by user_id. Column pruning and
+    the event_type filter are pushed into the parquet read."""
+    import pyarrow.dataset as pads
+
+    def side(event_type: str, tag: int):
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "user_id", "value",
+                                 "event_type"])
+        return ds.filter(expr=f"event_type == '{event_type}'").map_batches(
+            lambda t, tag=tag: t.select(["event_id", "ts", "user_id", "value"])
+                                .append_column("side", pa.array(
+                                    np.full(t.num_rows, tag, np.int8))),
+            batch_format="pyarrow")
+
+    return side(left_type, 0).union(side(right_type, 1))
+
+
+def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's history: for each left row, latest right row with
+    right.ts <= left.ts. Right side deduped to max(value) per ts so the
+    match is deterministic under ts collisions (mirrored in the oracle)."""
+    left = g[g["side"] == 0]
+    right = g[g["side"] == 1]
+    out = pd.DataFrame({
+        "event_id": left["event_id"].to_numpy(),
+        "user_id": left["user_id"].to_numpy(),
+        "ts": left["ts"].to_numpy().astype("datetime64[us]"),
+    })
+    lts = out["ts"].to_numpy().astype(np.int64)
+    if right.empty:
+        vts = np.full(len(out), np.datetime64("NaT", "us"))
+        vval = np.full(len(out), np.nan)
+    else:
+        r = (pd.DataFrame({"ts": right["ts"].to_numpy().astype("datetime64[us]")
+                           .astype(np.int64),
+                           "value": right["value"].to_numpy()})
+             .groupby("ts", sort=True)["value"].max())
+        rts, rval = r.index.to_numpy(), r.to_numpy()
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        hit = pos >= 0
+        vts = np.where(hit, rts[np.maximum(pos, 0)], np.int64(0)) \
+            .astype("datetime64[us]")
+        vts[~hit] = np.datetime64("NaT", "us")
+        vval = np.where(hit, rval[np.maximum(pos, 0)], np.nan)
+    out["view_ts"] = vts
+    out["view_value"] = vval
+    return out
+
+
+def asof_join(sf_dir: str, left_type: str = "click",
+              right_type: str = "view") -> pa.Table:
+    """(event_id, user_id, ts, view_ts, view_value) — every ``left_type``
+    event joined to the most recent ``right_type`` event at-or-before it
+    by the same user (ASOF LEFT JOIN semantics; NULLs when none)."""
+    ds = _two_sided(sf_dir, left_type, right_type)
+    out = ds.groupby("user_id").map_groups(_asof_group, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(t.schema.get_field_index("view_value"), "view_value",
+                        t["view_value"].cast(pa.float64()))
+
+
+def _interval_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's history: count + exact-cents sum of right rows with
+    ts in [left.ts - 1h, left.ts)."""
+    left = g[g["side"] == 0]
+    right = g[g["side"] == 1].sort_values("ts", kind="stable")
+    lts = left["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    rts = right["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.rint(right["value"].to_numpy() * 100).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(cents)])
+    lo = np.searchsorted(rts, lts - HOUR_US, side="left")
+    hi = np.searchsorted(rts, lts, side="left")
+    return pd.DataFrame({
+        "event_id": left["event_id"].to_numpy(),
+        "user_id": left["user_id"].to_numpy(),
+        "n_clicks": (hi - lo).astype(np.int64),
+        "click_value": (csum[hi] - csum[lo]) / 100.0,
+    })
+
+
+def interval_join(sf_dir: str, left_type: str = "purchase",
+                  right_type: str = "click") -> pa.Table:
+    """(event_id, user_id, n_clicks, click_value) — for every
+    ``left_type`` event, the count and value-sum of ``right_type`` events
+    by the same user in the trailing hour [ts-1h, ts) — a range/interval
+    join (non-equi predicate on ts) over one user-hash exchange."""
+    ds = _two_sided(sf_dir, left_type, right_type)
+    out = ds.groupby("user_id").map_groups(_interval_group,
+                                           batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _window_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One event_type: trailing-1h sliding sum/count per row, peers
+    (equal ts) included — RANGE-frame semantics."""
+    g = g.sort_values("ts", kind="stable")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(cents)])
+    lo = np.searchsorted(ts, ts - HOUR_US, side="left")
+    hi = np.searchsorted(ts, ts, side="right")   # include equal-ts peers
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(),
+        "event_type": g["event_type"].to_numpy(),
+        "ts": g["ts"].to_numpy().astype("datetime64[us]"),
+        "w_sum": (csum[hi] - csum[lo]) / 100.0,
+        "w_n": (hi - lo).astype(np.int64),
+    })
+
+
+def window_sliding(sf_dir: str) -> pa.Table:
+    """(event_id, event_type, ts, w_sum, w_n) — per-row trailing-1-hour
+    window aggregate within each event_type (SQL RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING AND CURRENT ROW). See module docstring for the
+    ts-range + halo partitioning that replaces the per-type groups at
+    100-TB scale."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+    out = ds.groupby("event_type").map_groups(_window_group,
+                                              batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
