@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_near_dups": ann.embedding_near_dups,
         # --- reco / model scoring ---
         "cf_recommend": reco.cf_recommend,

@@ -35,7 +35,8 @@ from miru_ray.sources.tables import read_table
 from miru_ray.state.layout import read_json, write_json_atomic
 
 __all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "lsh_buckets",
-           "embedding_near_dups", "lsh_index", "norm_chunks"]
+           "embedding_near_dups", "lsh_index", "norm_chunks",
+           "ivf_index", "ann_topk_ivf"]
 
 _LSH_PLANES = 6   # 64 buckets; multi-probe Hamming<=2 → ~1/3 of space scanned
 _NEAR_DUP_CHUNKS = 8
@@ -220,6 +221,105 @@ def lsh_index(sf_dir: str) -> str:
       .write_parquet(data_dir)
     write_json_atomic(tag_path, tag)
     return data_dir
+
+
+_IVF_CELLS = 8
+_IVF_NPROBE = 3
+_IVF_TRAIN_ROWS = 2048   # bounded, deterministic training sample (vec_id <)
+_IVF_ITERS = 10
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer, trained on a
+    BOUNDED sample (vec_id < _IVF_TRAIN_ROWS, predicate-pushdown read) so
+    training cost is O(1) in corpus size. Seeded init + fixed Lloyd
+    iterations → bit-identical centroids on every run."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=pads.field("vec_id") < _IVF_TRAIN_ROWS)
+    _ids, mat = _embedding_matrix(t)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0] = 1.0
+    x = mat / nrm[:, None]
+    k = min(_IVF_CELLS, len(x))
+    rng = np.random.default_rng(7)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_index(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Build (cached) the IVF index: cell-SORTED parquet of
+    (cell, vec_id, embedding) + the centroid matrix. One distributed
+    assignment pass (centroids broadcast once via ray.put, argmax per
+    batch); probing reads only nprobe cells via predicate pushdown —
+    the classic IVF layout (inverted lists = parquet row groups)."""
+    root, tag = _cache_dir(sf_dir, "ivf", layout=1)
+    tag_path = os.path.join(root, "source_tag.json")
+    cent_path = os.path.join(root, "centroids.npy")
+    data_dir = os.path.join(root, "data")
+    if read_json(tag_path) == tag and os.path.isdir(data_dir):
+        return data_dir, np.load(cent_path)
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cent = _ivf_centroids(sf_dir)
+    c_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        _ids, mat = _embedding_matrix(batch)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        cell = np.argmax((mat / nrm[:, None]) @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds.map_batches(assign, batch_format="pyarrow").sort("cell") \
+      .write_parquet(data_dir)
+    np.save(cent_path, cent)
+    write_json_atomic(tag_path, tag)
+    return data_dir, cent
+
+
+def ann_topk_ivf(sf_dir: str, vec_id: int = 0, k: int = 20,
+                 nprobe: int = _IVF_NPROBE) -> pa.Table:
+    """IVF approximate top-k: score only the ``nprobe`` cells nearest the
+    query centroid-wise (predicate-pushdown read of the cell-sorted
+    index). Same float ops as the brute-force scorer, so shared ids carry
+    identical sims (pytest-verified); recall grows with nprobe."""
+    idx, cent = ivf_index(sf_dir)
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+    probes = sorted(np.argsort(-(cent @ qn))[:nprobe].tolist())
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _embedding_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qv) / norms
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "sim": pa.array(sims, pa.float64())})
+
+    ds = rd.read_parquet(idx, columns=["vec_id", "embedding"],
+                         filter=pads.field("cell").isin(probes))
+    partials = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["vec_id"] != vec_id]
+    order = np.lexsort((partials["vec_id"].to_numpy(),
+                        -partials["sim"].to_numpy()))[:k]
+    sel = partials.iloc[order]
+    return pa.table({"vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
+                     "sim": pa.array(np.round(sel["sim"].to_numpy(), 6), pa.float64())})
 
 
 def ann_topk_lsh(sf_dir: str, vec_id: int = 0, k: int = 20) -> pa.Table:

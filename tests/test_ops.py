@@ -164,3 +164,20 @@ def test_join_group_kernels_vs_bruteforce():
     assert a0["view_ts"].isna().all() and a0["view_value"].isna().all()
     i0 = _interval_group(gl)
     assert (i0["n_clicks"] == 0).all() and (i0["click_value"] == 0).all()
+
+
+def test_ann_ivf_subset_of_bruteforce_space(ray_session):
+    """IVF top-k sims must carry EXACT brute-force sims for shared ids
+    (approximation affects recall only); index is deterministic."""
+    from miru_ray.pipelines.ann import ann_topk_bruteforce, ann_topk_ivf
+    iv = ann_topk_ivf(SF, k=100).to_pandas()
+    assert len(iv) > 0
+    full = ann_topk_bruteforce(SF, k=10**6).to_pandas().set_index("vec_id")["sim"]
+    for _, r in iv.iterrows():
+        assert r["sim"] == full[r["vec_id"]]
+    bf10 = set(full.index[:10])
+    got10 = set(iv["vec_id"][:10])
+    assert len(bf10 & got10) >= 3
+    # determinism across invocations (cached index + seeded quantizer)
+    iv2 = ann_topk_ivf(SF, k=100).to_pandas()
+    assert iv.equals(iv2)
