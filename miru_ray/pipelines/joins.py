@@ -42,22 +42,27 @@ HOUR_US = 3_600_000_000
 
 
 def _two_sided(sf_dir: str, left_type: str, right_type: str):
-    """Union of the two filtered event sides, tagged ``side`` (0=left,
-    1=right), ready for one hash-partition by user_id. Column pruning and
-    the event_type filter are pushed into the parquet read."""
+    """Both event sides in ONE pass, tagged ``side`` (0=left, 1=right),
+    ready for one hash-partition by user_id. The event_type disjunction
+    and column pruning are pushed into the parquet read (row groups
+    holding neither type never leave storage)."""
+    import os
+
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
+    import ray.data as rd
 
-    def side(event_type: str, tag: int):
-        ds = read_table(sf_dir, "events",
-                        columns=["event_id", "ts", "user_id", "value",
-                                 "event_type"])
-        return ds.filter(expr=f"event_type == '{event_type}'").map_batches(
-            lambda t, tag=tag: t.select(["event_id", "ts", "user_id", "value"])
-                                .append_column("side", pa.array(
-                                    np.full(t.num_rows, tag, np.int8))),
-            batch_format="pyarrow")
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value", "event_type"],
+        filter=pads.field("event_type").isin([left_type, right_type]))
 
-    return side(left_type, 0).union(side(right_type, 1))
+    def tag(t: pa.Table) -> pa.Table:
+        side = pc.cast(pc.equal(t["event_type"], right_type), pa.int8())
+        return (t.select(["event_id", "ts", "user_id", "value"])
+                 .append_column("side", side))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
 
 
 def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
