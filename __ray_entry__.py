@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": joins.asof_join,
         "interval_join": joins.interval_join,
         "window_sliding": joins.window_sliding,
+        # --- inbox / unread tracking (cursor-based backfill) ---
+        "inbox_unread": lambda sf: __import__(
+            "miru_ray.pipelines.inbox", fromlist=["inbox_unread"]
+        ).inbox_unread(sf),
         # --- relational / generic operators ---
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -376,6 +380,23 @@ SELECT event_id::BIGINT AS event_id, event_type, ts,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        # inbox = non-'view' events; read-marks = 'view' events; unread =
+        # inbox strictly newer than the latest mark (none -> all unread)
+        "inbox_unread": """
+WITH marks AS (
+  SELECT user_id, max(ts) AS read_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+inbox AS (
+  SELECT user_id, ts FROM events WHERE event_type <> 'view'
+)
+SELECT i.user_id::BIGINT AS user_id, count(*)::BIGINT AS n_inbox,
+       count(*) FILTER (WHERE m.read_ts IS NULL OR i.ts > m.read_ts)::BIGINT
+         AS n_unread,
+       max(m.read_ts) AS read_ts
+FROM inbox i LEFT JOIN marks m ON i.user_id = m.user_id
+GROUP BY i.user_id
 """,
         "anomaly_waveform": """
 SELECT date_trunc('hour', ts) AS bucket,

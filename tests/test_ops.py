@@ -181,3 +181,27 @@ def test_ann_ivf_subset_of_bruteforce_space(ray_session):
     # determinism across invocations (cached index + seeded quantizer)
     iv2 = ann_topk_ivf(SF, k=100).to_pandas()
     assert iv.equals(iv2)
+
+
+def test_inbox_unread_kernel_edges():
+    """_unread_group: no marks -> all unread; marks-only user -> no row;
+    cursor clears everything at-or-before it (strict > comparison)."""
+    import numpy as np
+    import pandas as pd
+    from miru_ray.pipelines.inbox import _unread_group
+
+    def mk(ts_sides):
+        ts, sides = zip(*ts_sides)
+        return pd.DataFrame({
+            "ts": np.array(ts, dtype="datetime64[s]").astype("datetime64[us]"),
+            "user_id": np.int64(9), "side": np.array(sides, np.int8)})
+
+    r = _unread_group(mk([(10, 0), (20, 0), (30, 0)]))          # no marks
+    assert (r["n_inbox"].iloc[0], r["n_unread"].iloc[0]) == (3, 3)
+    assert pd.isna(r["read_ts"].iloc[0])
+
+    r = _unread_group(mk([(10, 0), (20, 1), (20, 0), (30, 0)]))  # cursor=20
+    assert (r["n_inbox"].iloc[0], r["n_unread"].iloc[0]) == (3, 1)
+
+    r = _unread_group(mk([(10, 1), (20, 1)]))                    # marks only
+    assert len(r) == 0
