@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (binary media columns; decode stubbed, plumbing real) ---
         "image_features": lambda sf: multimodal.image_features_pipeline(200),
         "video_frame_sample": lambda sf: multimodal.frame_sample_pipeline(200),
+        "audio_features": lambda sf: multimodal.audio_features_pipeline(200),
     }
 
 

@@ -180,6 +180,9 @@ def run_scaling() -> dict:
         f"query_p50_ms_{n_lo}": lo["query_p50_ms"], f"query_p50_ms_{n_hi}": hi["query_p50_ms"],
         "scaling_efficiency": round(eff, 3),
         "n_docs": lo["n_docs"],
+        # raw per-repeat walls so the cross-run noise band is visible
+        f"runs_build_sec_{n_lo}": [r["build_sec"] for r in lo_runs],
+        f"runs_build_sec_{n_hi}": [r["build_sec"] for r in hi_runs],
     }
 
 

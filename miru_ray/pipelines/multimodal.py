@@ -31,6 +31,7 @@ import ray.data as rd
 
 __all__ = ["media_table", "MediaDecoder", "ImageFeatures", "FrameSampler",
            "image_features_pipeline", "frame_sample_pipeline",
+           "audio_table", "AudioFeatures", "audio_features_pipeline",
            "MEDIA_BATCH_SIZE", "MEDIA_SCHEMA"]
 
 MEDIA_BATCH_SIZE = 64
@@ -192,4 +193,90 @@ def frame_sample_pipeline(n_media: int = 200, every_k: int = 4) -> pa.Table:
                             batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2),
                             fn_constructor_kwargs={"every_k": every_k})
     out = frames.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- audio (same binary-column + actor-pool pattern; PCM stand-in) -------
+
+_AUDIO_MAGIC = b"MMA1"
+
+
+def _make_audio_blob(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic fake audio blob: MMA1 header + seeded int16 PCM."""
+    rng = np.random.default_rng(2000 + media_id)
+    body = rng.integers(-32768, 32768, n_samples, dtype=np.int64) \
+              .astype(np.int16).tobytes()
+    return _AUDIO_MAGIC + struct.pack("<ii", sample_rate, n_samples) + body
+
+
+def audio_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic audio table (short PCM clips)."""
+    rows = {k: [] for k in ("media_id", "format", "sample_rate", "n_samples",
+                            "payload")}
+    for i in range(n):
+        rng = np.random.default_rng((seed << 21) ^ i)
+        sr = int(rng.choice([8000, 16000]))
+        ns = int(rng.integers(2048, 16384))
+        rows["media_id"].append(i)
+        rows["format"].append("fake-pcm")
+        rows["sample_rate"].append(sr)
+        rows["n_samples"].append(ns)
+        rows["payload"].append(_make_audio_blob(i, sr, ns))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "format": pa.array(rows["format"], pa.string()),
+        "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+        "n_samples": pa.array(rows["n_samples"], pa.int32()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+    })
+
+
+def _decode_audio(fmt: str, payload: bytes) -> tuple[int, np.ndarray]:
+    """payload → (sample_rate, int16 samples). Real codecs (mp3/ogg/flac)
+    are NOT available in this container — the seam raises so the stub is
+    explicit and swappable for a soundfile/ffmpeg-backed decoder."""
+    if fmt != "fake-pcm":
+        raise NotImplementedError(
+            f"codec for format {fmt!r} not available in this environment; "
+            "swap _decode_audio for a soundfile/ffmpeg-backed implementation")
+    assert payload[:4] == _AUDIO_MAGIC, "bad audio magic"
+    sr, n = struct.unpack("<ii", payload[4:12])
+    return sr, np.frombuffer(payload, dtype=np.int16, offset=12, count=n)
+
+
+class AudioFeatures:
+    """Actor-pool audio feature extraction: PCM → duration, RMS energy,
+    zero-crossing rate, peak amplitude. Deterministic stand-in for a
+    wav2vec-style embedding stage (same actor shape: model in __init__,
+    batches in __call__)."""
+
+    def __init__(self) -> None:
+        self._decode = _decode_audio  # stand-in for codec/model init
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, peak = [], [], [], []
+        for fmt, payload in zip(batch["format"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            sr, x = self._decode(fmt, payload)
+            xf = x.astype(np.float64) / 32768.0
+            dur.append(round(len(x) / sr, 6))
+            rms.append(round(float(np.sqrt(np.mean(xf * xf))), 6))
+            zcr.append(round(float(np.mean(np.signbit(xf[1:])
+                                           != np.signbit(xf[:-1]))), 6))
+            peak.append(round(float(np.abs(xf).max()), 6))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "duration_s": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zcr": pa.array(zcr, pa.float64()),
+            "peak": pa.array(peak, pa.float64()),
+        })
+
+
+def audio_features_pipeline(n_media: int = 200) -> pa.Table:
+    """audio → decode → features, as an actor-pool map_batches stage."""
+    ds = rd.from_arrow(audio_table(n_media))
+    feats = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                           batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2))
+    out = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
