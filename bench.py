@@ -161,11 +161,14 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     sub(n_lo)       # untimed warm-up: generate fixture + warm page cache
-    # best-of-2 per level, INTERLEAVED (lo hi lo hi): single-node wall time
-    # carries ~±8% ambient noise; interleaving decorrelates slow windows
-    # from a level, min is the standard noise reducer for same-input reruns
+    # best-of-N per level, INTERLEAVED (lo hi lo hi ...): single-node wall
+    # time carries ambient noise that has been observed to swing a leg 2x
+    # between identical back-to-back runs (raw repeats are reported below);
+    # interleaving decorrelates slow windows from a level, min is the
+    # standard noise reducer for same-input reruns
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
     lo_runs, hi_runs = [], []
-    for _ in range(2):
+    for _ in range(repeats):
         lo_runs.append(sub(n_lo))
         hi_runs.append(sub(n_hi))
     lo = min(lo_runs, key=lambda r: r["build_sec"])
