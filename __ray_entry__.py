@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "doc_fingerprints": textstats.doc_fingerprints,
         "lang_id": textstats.lang_id,
+        "sample_hash": textstats.sample_hash,
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -286,6 +287,11 @@ FROM t
 """,
         "doc_fingerprints": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        # deterministic ~10% downsample: content-keyed, engine-independent
+        "sample_hash": """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+WHERE substr(md5(text), 1, 2) < '1a'
 """,
         "ann_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

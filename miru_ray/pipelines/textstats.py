@@ -17,7 +17,8 @@ import pyarrow as pa
 from miru_ray.functions.tokenize import tokenize_column
 from miru_ray.sources.tables import read_table
 
-__all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id"]
+__all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
+           "sample_hash"]
 
 # Small English stopword list (fixed; mirrored verbatim in the SQL oracle).
 STOPWORDS = ("a", "and", "are", "as", "at", "by", "for", "from", "in", "is",
@@ -153,4 +154,25 @@ def lang_id(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024,
                          concurrency=(1, 2))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def sample_hash(sf_dir: str, hex_cut: str = "1a") -> pa.Table:
+    """(doc_id, fingerprint) for the deterministic ~10% hash sample:
+    keep docs whose md5(text) starts below ``hex_cut`` ('1a' = 26/256).
+    Hash sampling is the reproducible form of corpus downsampling (the
+    training-data analog of ds.random_sample, which is engine-seeded and
+    therefore has no cross-engine oracle); content-keyed, so the same
+    rows survive regardless of partitioning, ordering or engine."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch["text"].to_pylist()]
+        keep = [fp[:2] < hex_cut for fp in fps]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array(fps, pa.string())}
+                        ).filter(pa.array(keep, pa.bool_()))
+
+    out = ds.map_batches(f, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
