@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inbox_unread": lambda sf: __import__(
             "miru_ray.pipelines.inbox", fromlist=["inbox_unread"]
         ).inbox_unread(sf),
+        "customer_revenue": joins.customer_revenue,
         # --- relational / generic operators ---
         "pricing_summary": relational.pricing_summary,
         "top_orders": relational.top_orders,
@@ -387,6 +388,16 @@ SELECT event_id::BIGINT AS event_id, event_type, ts,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        # exact DECIMAL(18,4) revenue: cents(price) x cents(1-discount)
+        "customer_revenue": """
+WITH j AS (
+  SELECT o.o_custkey AS custkey,
+         (l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT custkey::BIGINT AS custkey, sum(rev)::DOUBLE AS revenue
+FROM j GROUP BY custkey ORDER BY revenue DESC, custkey LIMIT 20
 """,
         # inbox = non-'view' events; read-marks = 'view' events; unread =
         # inbox strictly newer than the latest mark (none -> all unread)

@@ -36,7 +36,8 @@ import pyarrow as pa
 
 from miru_ray.sources.tables import read_table
 
-__all__ = ["asof_join", "interval_join", "window_sliding"]
+__all__ = ["asof_join", "interval_join", "window_sliding",
+           "customer_revenue"]
 
 HOUR_US = 3_600_000_000
 
@@ -169,3 +170,98 @@ def window_sliding(sf_dir: str) -> pa.Table:
     out = ds.groupby("event_type").map_groups(_window_group,
                                               batch_format="pandas")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# --- large x large partitioned hash join ---------------------------------
+
+_JOIN_BUCKETS = 64
+
+
+def _revenue_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One join bucket: vectorized pandas merge of the two sides on
+    orderkey, then a per-custkey partial rollup (exact 1e-4 units)."""
+    orders = g[g["side"] == 1]
+    line = g[g["side"] == 0]
+    j = line[["orderkey", "rev_e4"]].merge(orders[["orderkey", "custkey"]],
+                                           on="orderkey", how="inner")
+    if j.empty:
+        return pd.DataFrame({"custkey": pd.Series([], dtype=np.int64),
+                             "rev_e4": pd.Series([], dtype=np.int64)})
+    out = (j.groupby("custkey", sort=False)["rev_e4"].sum().reset_index())
+    return pd.DataFrame({"custkey": out["custkey"].astype(np.int64),
+                         "rev_e4": out["rev_e4"].astype(np.int64)})
+
+
+def customer_revenue(sf_dir: str, k: int = 20) -> pa.Table:
+    """(custkey, revenue) top-k customers by lineitem revenue — a
+    LARGE x LARGE co-partitioned hash join (lineitem ⋈ orders on
+    orderkey), the partitioned-join form VERDICT r1 #8 pencils in for
+    broadcast sides that outgrow the object store.
+
+    Plan: both sides bucket on ``orderkey % B`` and meet in ONE hash
+    exchange; lineitem is pre-aggregated per (bucket, orderkey) inside
+    map_batches BEFORE the shuffle (the combiner halves exchange volume);
+    each bucket group does a vectorized pandas merge + per-custkey
+    partial rollup; a final small groupby(custkey) Sum merges bucket
+    partials. Revenue is exact integer 1e-4 units
+    (cents(price) x cents(1-discount)) mirroring the oracle's
+    DECIMAL(18,4) sum — no fp-order drift."""
+    import os
+
+    import ray.data as rd
+
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        ep_c = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dc_c = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev_e4 = ep_c * (100 - dc_c)
+        df = pd.DataFrame({"orderkey": ok, "rev_e4": rev_e4})
+        g = df.groupby("orderkey", sort=False)["rev_e4"].sum().reset_index()
+        g["bucket"] = g["orderkey"].to_numpy() % _JOIN_BUCKETS
+        g["custkey"] = np.int64(0)
+        g["side"] = np.int8(0)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "orderkey": ok, "rev_e4": np.int64(0),
+            "bucket": ok % _JOIN_BUCKETS,
+            "custkey": t["o_custkey"].to_numpy(), "side": np.int8(1),
+        }), preserve_index=False)
+
+    both = (line.map_batches(line_partial, batch_format="pyarrow")
+            .union(orders.map_batches(orders_tag, batch_format="pyarrow")))
+    partials = both.groupby("bucket").map_groups(_revenue_bucket_group,
+                                                 batch_format="pandas")
+    # final combine: same bucketed-exchange trick keyed on custkey — Ray's
+    # hash aggregate pays per-GROUP overhead (45 s for 15k groups here);
+    # 64 bucket groups with a vectorized pandas rollup inside cost ~1 s
+    # and the shuffle volume is identical
+
+    def cbucket(t: pa.Table) -> pa.Table:
+        cb = t["custkey"].to_numpy() % _JOIN_BUCKETS
+        return t.append_column("cbucket", pa.array(cb, pa.int64()))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("custkey", sort=False)["rev_e4"].sum().reset_index()
+        return pd.DataFrame({"custkey": out["custkey"].astype(np.int64),
+                             "rev_e4": out["rev_e4"].astype(np.int64)})
+
+    total = (partials.map_batches(cbucket, batch_format="pyarrow")
+             .groupby("cbucket").map_groups(combine, batch_format="pandas"))
+    t = pa.Table.from_pandas(total.to_pandas(), preserve_index=False)
+    ck = t["custkey"].to_numpy().astype(np.int64)
+    rev = t["rev_e4"].to_numpy().astype(np.int64)
+    order = np.lexsort((ck, -rev))[:k]
+    return pa.table({
+        "custkey": pa.array(ck[order], pa.int64()),
+        "revenue": pa.array(rev[order] / 1e4, pa.float64()),
+    })

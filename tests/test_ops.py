@@ -205,3 +205,28 @@ def test_inbox_unread_kernel_edges():
 
     r = _unread_group(mk([(10, 1), (20, 1)]))                    # marks only
     assert len(r) == 0
+
+
+def test_customer_revenue_bucket_kernel():
+    """_revenue_bucket_group == brute-force join+rollup on one bucket,
+    including orders without lineitems and lineitems without orders."""
+    import numpy as np
+    import pandas as pd
+    from miru_ray.pipelines.joins import _revenue_bucket_group
+
+    g = pd.DataFrame({
+        "orderkey": np.array([1, 1, 2, 3, 9], dtype=np.int64),
+        "rev_e4":  np.array([100, 250, 70, 40, 55], dtype=np.int64),
+        "bucket": np.int64(0),
+        "custkey": np.int64(0),
+        "side": np.int8(0),
+    })
+    o = pd.DataFrame({
+        "orderkey": np.array([1, 2, 4], dtype=np.int64),   # 3,9 unmatched
+        "rev_e4": np.int64(0), "bucket": np.int64(0),
+        "custkey": np.array([10, 11, 12], dtype=np.int64),
+        "side": np.int8(1),
+    })
+    out = _revenue_bucket_group(pd.concat([g, o], ignore_index=True))
+    got = out.set_index("custkey")["rev_e4"].to_dict()
+    assert got == {10: 350, 11: 70}   # cust 12 has no lineitems -> absent
