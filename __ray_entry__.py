@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_counts_page2": events.aggregate_counts_page2,
         "anomaly_waveform": events.anomaly_waveform,
         "paired_latest": events.paired_latest,
+        "value_quantiles": events.value_quantiles,
         # --- custom joins (as-of / interval / sliding window) ---
         "asof_join": joins.asof_join,
         "interval_join": joins.interval_join,
@@ -351,6 +352,15 @@ ORDER BY score DESC, user_id LIMIT 50
         "paired_latest": """
 SELECT event_type, user_id::BIGINT AS user_id, max(ts) AS last_ts
 FROM events GROUP BY event_type, user_id
+""",
+        # exact linear-interpolated quantiles (quantile_cont == np.quantile
+        # 'linear'); 6-dp rounding on both sides absorbs ulp drift
+        "value_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
 """,
         # right side deduped to max(value) per (user, ts) so the as-of
         # match is deterministic under ts collisions (engine mirrors this)

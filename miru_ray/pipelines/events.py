@@ -35,7 +35,7 @@ from miru_ray.sources.tables import read_table
 __all__ = ["analytics_waveform", "metrics_sum", "distinct_count_users",
            "aggregate_counts", "trending", "user_sessions", "props_k_stats",
            "anomaly_waveform", "aggregate_counts_paged", "aggregate_counts_page2",
-           "paired_latest"]
+           "paired_latest", "value_quantiles"]
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -301,3 +301,27 @@ def user_sessions(sf_dir: str) -> pa.Table:
     return pa.table({"user_id": t["user_id"].cast(pa.int64()),
                      "session_id": t["session_id"].cast(pa.int64()),
                      "n_events": t["n_events"].cast(pa.int64())})
+
+
+def _quantile_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One event_type: exact linear-interpolated quantiles (the
+    PERCENTILE_CONT / quantile_cont formula; np.quantile 'linear' is the
+    same a + (b-a)*frac interpolation, 6-dp rounding absorbs ulp drift)."""
+    x = g["value"].to_numpy(dtype=np.float64)
+    p50, p90, p99 = np.quantile(x, [0.5, 0.9, 0.99], method="linear")
+    return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                         "p50": [round(float(p50), 6)],
+                         "p90": [round(float(p90), 6)],
+                         "p99": [round(float(p99), 6)]})
+
+
+def value_quantiles(sf_dir: str) -> pa.Table:
+    """(event_type, p50, p90, p99) — exact value quantiles per event
+    type. Exact quantiles need each key's values in one place (per-type
+    groups stream through one task each); the 100-TB path for many/huge
+    keys is a mergeable sketch (t-digest) folded in map_batches with the
+    same output schema — the exact form here doubles as its oracle."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").map_groups(_quantile_group,
+                                              batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
