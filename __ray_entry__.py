@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": joins.asof_join,
         "interval_join": joins.interval_join,
         "window_sliding": joins.window_sliding,
+        "window_sliding_halo": joins.window_sliding_halo,
         # --- inbox / unread tracking (cursor-based backfill) ---
         "inbox_unread": lambda sf: __import__(
             "miru_ray.pipelines.inbox", fromlist=["inbox_unread"]
@@ -408,6 +409,16 @@ WITH j AS (
 )
 SELECT custkey::BIGINT AS custkey, sum(rev)::DOUBLE AS revenue
 FROM j GROUP BY custkey ORDER BY revenue DESC, custkey LIMIT 20
+""",
+        # same oracle as window_sliding: the halo-partitioned plan must be
+        # value-identical to the single-group plan
+        "window_sliding_halo": """
+SELECT event_id::BIGINT AS event_id, event_type, ts,
+       (sum(value::DECIMAL(14,2)) OVER w)::DOUBLE AS w_sum,
+       (count(*) OVER w)::BIGINT AS w_n
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
         # inbox = non-'view' events; read-marks = 'view' events; unread =
         # inbox strictly newer than the latest mark (none -> all unread)

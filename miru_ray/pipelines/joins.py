@@ -37,7 +37,7 @@ import pyarrow as pa
 from miru_ray.sources.tables import read_table
 
 __all__ = ["asof_join", "interval_join", "window_sliding",
-           "customer_revenue"]
+           "window_sliding_halo", "customer_revenue"]
 
 HOUR_US = 3_600_000_000
 
@@ -265,3 +265,75 @@ def customer_revenue(sf_dir: str, k: int = 20) -> pa.Table:
         "custkey": pa.array(ck[order], pa.int64()),
         "revenue": pa.array(rev[order] / 1e4, pa.float64()),
     })
+
+
+def _window_halo_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One (event_type, ts-range) group incl. halo rows: run the SAME
+    window kernel, then emit only home rows (halo rows exist to complete
+    the trailing windows that start inside this range)."""
+    out = _window_group(g)
+    home = g.loc[g["halo"] == 0, "event_id"].to_numpy()
+    return out[out["event_id"].isin(home)].reset_index(drop=True)
+
+
+def window_sliding_halo(sf_dir: str, n_ranges: int = 8) -> pa.Table:
+    """The 100-TB form of ``window_sliding``: each event_type's timeline
+    is range-partitioned into ``n_ranges`` spans, every span also receives
+    a one-window (1 h) HALO of preceding rows replicated from its
+    neighbor, the per-(type, range) groups run the identical
+    prefix-sum + searchsorted kernel, and halo rows are dropped from the
+    output. Group size is now bounded by span width, not corpus size —
+    no per-type mega-group — while results stay value-identical to the
+    single-group form (equality pytest + the same SQL oracle).
+
+    Two passes: a cheap per-type (min, max) ts aggregate (partial per
+    batch, 5-row combine), then the one hash exchange on (type, range)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "event_type", "value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(),
+                           "ts": ts})
+        g = df.groupby("event_type")["ts"].agg(["min", "max"]).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas() \
+           .groupby("event_type").agg({"min": "min", "max": "max"})
+    spans = {}
+    for et, row in mm.iterrows():
+        lo, hi = int(row["min"]), int(row["max"])
+        span = max((hi - lo) // n_ranges + 1, HOUR_US + 1)
+        spans[et] = (lo, span)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ets = t["event_type"].to_numpy()
+        lo = np.array([spans[e][0] for e in ets], dtype=np.int64)
+        span = np.array([spans[e][1] for e in ets], dtype=np.int64)
+        r = (ts - lo) // span
+        home = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(), "ts": ts,
+            "event_type": ets, "value": t["value"].to_numpy(),
+            "rng": r, "halo": np.int8(0)})
+        # replicate into the NEXT range when within one window of its start
+        nxt_start = lo + (r + 1) * span
+        h = ts >= nxt_start - HOUR_US
+        halo = home[h].copy()
+        halo["rng"] = halo["rng"] + 1
+        halo["halo"] = np.int8(1)
+        both = pd.concat([home, halo], ignore_index=True)
+        both["grp"] = both["event_type"] + ":" + both["rng"].astype(str)
+        both["ts"] = both["ts"].astype("datetime64[us]")
+        return pa.Table.from_pandas(
+            both[["event_id", "ts", "event_type", "value", "halo", "grp"]],
+            preserve_index=False)
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby("grp").map_groups(_window_halo_group,
+                                        batch_format="pandas"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

@@ -230,3 +230,15 @@ def test_customer_revenue_bucket_kernel():
     out = _revenue_bucket_group(pd.concat([g, o], ignore_index=True))
     got = out.set_index("custkey")["rev_e4"].to_dict()
     assert got == {10: 350, 11: 70}   # cust 12 has no lineitems -> absent
+
+
+def test_window_halo_equals_single_group(ray_session):
+    """Range+halo-partitioned sliding window == the per-type single-group
+    form, including with spans forced small (n_ranges=32)."""
+    from miru_ray.pipelines.joins import window_sliding, window_sliding_halo
+    a = (window_sliding(SF).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    for n_ranges in (4, 32):
+        b = (window_sliding_halo(SF, n_ranges=n_ranges).to_pandas()
+             .sort_values("event_id").reset_index(drop=True))
+        assert a.equals(b[a.columns])
