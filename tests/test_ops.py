@@ -184,27 +184,31 @@ def test_ann_ivf_subset_of_bruteforce_space(ray_session):
 
 
 def test_inbox_unread_kernel_edges():
-    """_unread_group: no marks -> all unread; marks-only user -> no row;
-    cursor clears everything at-or-before it (strict > comparison)."""
+    """_unread_bucket_group (multi-user bucket): no marks -> all unread;
+    marks-only user -> no row; cursor clears everything at-or-before it
+    (strict > comparison)."""
     import numpy as np
     import pandas as pd
-    from miru_ray.pipelines.inbox import _unread_group
+    from miru_ray.pipelines.inbox import _unread_bucket_group
 
-    def mk(ts_sides):
-        ts, sides = zip(*ts_sides)
+    def mk(rows):   # (user, ts_sec, side)
+        u, ts, sides = zip(*rows)
         return pd.DataFrame({
             "ts": np.array(ts, dtype="datetime64[s]").astype("datetime64[us]"),
-            "user_id": np.int64(9), "side": np.array(sides, np.int8)})
+            "user_id": np.array(u, np.int64),
+            "side": np.array(sides, np.int8)})
 
-    r = _unread_group(mk([(10, 0), (20, 0), (30, 0)]))          # no marks
-    assert (r["n_inbox"].iloc[0], r["n_unread"].iloc[0]) == (3, 3)
-    assert pd.isna(r["read_ts"].iloc[0])
-
-    r = _unread_group(mk([(10, 0), (20, 1), (20, 0), (30, 0)]))  # cursor=20
-    assert (r["n_inbox"].iloc[0], r["n_unread"].iloc[0]) == (3, 1)
-
-    r = _unread_group(mk([(10, 1), (20, 1)]))                    # marks only
-    assert len(r) == 0
+    r = _unread_bucket_group(mk([
+        (9, 10, 0), (9, 20, 0), (9, 30, 0),          # user 9: no marks
+        (5, 10, 0), (5, 20, 1), (5, 20, 0), (5, 30, 0),  # user 5: cursor=20
+        (7, 10, 1), (7, 20, 1),                       # user 7: marks only
+    ])).set_index("user_id")
+    assert (r.loc[9, "n_inbox"], r.loc[9, "n_unread"]) == (3, 3)
+    assert pd.isna(r.loc[9, "read_ts"])
+    assert (r.loc[5, "n_inbox"], r.loc[5, "n_unread"]) == (3, 1)
+    assert r.loc[5, "read_ts"] == np.datetime64(20, "s")
+    assert 7 not in r.index
+    assert len(_unread_bucket_group(mk([(7, 10, 1)]))) == 0
 
 
 def test_customer_revenue_bucket_kernel():
