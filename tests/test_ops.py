@@ -112,26 +112,30 @@ def test_trending_consistent_with_waveform(ray_session):
 
 
 def test_join_group_kernels_vs_bruteforce():
-    """_asof_group / _interval_group / _window_group == O(n²) brute force
-    on a small synthetic history with ts collisions and empty sides."""
+    """_asof_bucket_group / _interval_bucket_group == O(n²) brute force
+    on a multi-user bucket with ts collisions and empty sides."""
     import numpy as np
     import pandas as pd
-    from miru_ray.pipelines.joins import (HOUR_US, _asof_group,
-                                          _interval_group, _window_group)
+    from miru_ray.pipelines.joins import (HOUR_US, _asof_bucket_group,
+                                          _interval_bucket_group)
 
     rng = np.random.RandomState(7)
-    n = 60
+    n = 120
     ts = np.sort(rng.randint(0, 3 * HOUR_US, n)).astype("datetime64[us]")
     ts[10] = ts[11] = ts[12]          # planted collisions
     side = rng.randint(0, 2, n).astype(np.int8)
+    users = rng.choice([3, 5, 9], n).astype(np.int64)
     val = np.round(rng.uniform(0, 50, n), 2)
     g = pd.DataFrame({"event_id": np.arange(n), "ts": ts,
-                      "user_id": np.int64(5), "value": val, "side": side})
-
-    a = _asof_group(g).sort_values("event_id").reset_index(drop=True)
+                      "user_id": users, "value": val, "side": side})
     left, right = g[g.side == 0], g[g.side == 1]
+
+    a = _asof_bucket_group(g).sort_values("event_id").reset_index(drop=True)
+    assert len(a) == len(left)
     for _, row in a.iterrows():
-        cand = right[right["ts"].to_numpy() <= np.datetime64(row["ts"], "us")]
+        cand = right[(right["user_id"] == row["user_id"])
+                     & (right["ts"].to_numpy()
+                        <= np.datetime64(row["ts"], "us"))]
         if cand.empty:
             assert pd.isna(row["view_ts"]) and pd.isna(row["view_value"])
         else:
@@ -139,32 +143,25 @@ def test_join_group_kernels_vs_bruteforce():
             assert row["view_ts"] == best_ts
             assert row["view_value"] == cand[cand["ts"] == best_ts]["value"].max()
 
-    iv = _interval_group(g).sort_values("event_id").reset_index(drop=True)
+    iv = (_interval_bucket_group(g).sort_values("event_id")
+          .reset_index(drop=True))
+    assert len(iv) == len(left)
     for _, row in iv.iterrows():
-        t0 = np.datetime64(left[left.event_id == row["event_id"]]["ts"].iloc[0], "us")
-        m = right[(right["ts"].to_numpy() >= t0 - np.timedelta64(HOUR_US, "us"))
+        lrow = left[left.event_id == row["event_id"]].iloc[0]
+        t0 = np.datetime64(lrow["ts"], "us")
+        m = right[(right["user_id"] == lrow["user_id"])
+                  & (right["ts"].to_numpy() >= t0 - np.timedelta64(HOUR_US, "us"))
                   & (right["ts"].to_numpy() < t0)]
         assert row["n_clicks"] == len(m)
         assert row["click_value"] == float(
             np.rint(m["value"].to_numpy() * 100).astype(np.int64).sum()) / 100.0
 
-    g2 = g.assign(event_type="x")
-    w = _window_group(g2).sort_values("event_id").reset_index(drop=True)
-    for _, row in w.iterrows():
-        t0 = np.datetime64(row["ts"], "us")
-        m = g2[(g2["ts"].to_numpy() >= t0 - np.timedelta64(HOUR_US, "us"))
-               & (g2["ts"].to_numpy() <= t0)]
-        assert row["w_n"] == len(m)
-        assert row["w_sum"] == float(
-            np.rint(m["value"].to_numpy() * 100).astype(np.int64).sum()) / 100.0
-
-    # empty right side: all-left group still yields NULL matches / zeros
+    # empty right side: all-left bucket still yields NULL matches / zeros
     gl = g[g.side == 0]
-    a0 = _asof_group(gl)
+    a0 = _asof_bucket_group(gl)
     assert a0["view_ts"].isna().all() and a0["view_value"].isna().all()
-    i0 = _interval_group(gl)
+    i0 = _interval_bucket_group(gl)
     assert (i0["n_clicks"] == 0).all() and (i0["click_value"] == 0).all()
-
 
 def test_ann_ivf_subset_of_bruteforce_space(ray_session):
     """IVF top-k sims must carry EXACT brute-force sims for shared ids
