@@ -18,8 +18,9 @@ aggregations (each cites its reference semantics):
   waveforms ranked by peak score (driver-side peak detection over the
   small waveform result).
 - sessions — streaming-shaped: per-user session windows over the ordered
-  log (gap > 30 min splits), via groupby(user).map_groups with in-group
-  ts sort (SURVEY.md §2.10 ordering note).
+  log (gap > 30 min splits), via ONE user-bucket exchange with a
+  vectorized all-users sessionize kernel per bucket (SURVEY.md §2.10
+  ordering note).
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Sum
 
 from miru_ray.sources.tables import read_table
 
@@ -105,10 +106,30 @@ def distinct_count_users(sf_dir: str, event_type: str = "click") -> pa.Table:
 
 def aggregate_counts(sf_dir: str) -> pa.Table:
     """(user_id, n_events, last_ts) — AggregateCounts rollup: collapsed
-    count + latest activity per aggregate key."""
+    count + latest activity per aggregate key. Combiner partial-agg per
+    batch, then ONE exchange keyed on user_id % 64 BUCKETS with a C-path
+    pandas rollup per bucket (Ray's native per-key aggregate pays ~ms per
+    group — measured 45 s at 15k groups; the bucketed form is flat in the
+    key count)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"),
-                                          Max("ts", alias_name="last_ts"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "ts": t["ts"].to_numpy().astype("datetime64[us]")})
+        g = (df.groupby("user_id", sort=False)
+               .agg(n_events=("ts", "size"), last_ts=("ts", "max"))
+               .reset_index())
+        g["bucket"] = g["user_id"].to_numpy() % 64
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("user_id", sort=True)
+                 .agg(n_events=("n_events", "sum"), last_ts=("last_ts", "max"))
+                 .reset_index())
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket").map_groups(roll, batch_format="pandas"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return pa.table({"user_id": t["user_id"].cast(pa.int64()),
                      "n_events": t["n_events"].cast(pa.int64()),
@@ -237,8 +258,23 @@ def paired_latest(sf_dir: str) -> pa.Table:
     (miru-service/.../stream/MiruIndexPairedLatest.java:159: composite
     fieldA ∧ latest-per-fieldB bitmaps). Composite-key groupby argmax."""
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id", "ts"])
-    out = ds.groupby(["event_type", "user_id"]).aggregate(
-        Max("ts", alias_name="last_ts"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(),
+            "user_id": t["user_id"].to_numpy(),
+            "ts": t["ts"].to_numpy().astype("datetime64[us]")})
+        g = (df.groupby(["event_type", "user_id"], sort=False)["ts"].max()
+               .reset_index(name="last_ts"))
+        g["bucket"] = g["user_id"].to_numpy() % 64
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["event_type", "user_id"], sort=True)["last_ts"]
+                 .max().reset_index())
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket").map_groups(roll, batch_format="pandas"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return pa.table({"event_type": t["event_type"],
                      "user_id": t["user_id"].cast(pa.int64()),
@@ -281,12 +317,21 @@ def anomaly_waveform(sf_dir: str, event_type: str = "error") -> pa.Table:
     })
 
 
-def _sessionize(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("ts", kind="stable")
+def _sessionize_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """One user-bucket: 30-min-gap sessionization for ALL its users in
+    one vectorized pass — sort by (user, ts), session breaks at user
+    boundaries or gaps, per-user session ids via a first-row offset."""
+    g = group.sort_values(["user_id", "ts"], kind="stable")
     ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    new_session = np.concatenate([[True], np.diff(ts) > SESSION_GAP_US])
-    sid = np.cumsum(new_session) - 1
-    out = (pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid})
+    u = g["user_id"].to_numpy()
+    new_user = np.concatenate([[True], u[1:] != u[:-1]])
+    new_session = new_user | np.concatenate([[True],
+                                             np.diff(ts) > SESSION_GAP_US])
+    sid_global = np.cumsum(new_session) - 1
+    first_sid = sid_global[new_user]           # one per user, in order
+    user_ord = np.cumsum(new_user) - 1
+    sid = sid_global - first_sid[user_ord]
+    out = (pd.DataFrame({"user_id": u, "session_id": sid})
            .groupby(["user_id", "session_id"], sort=True)
            .size().reset_index(name="n_events"))
     return out
@@ -294,9 +339,17 @@ def _sessionize(group: pd.DataFrame) -> pd.DataFrame:
 
 def user_sessions(sf_dir: str) -> pa.Table:
     """(user_id, session_id, n_events) — 30-min-gap session windows per
-    user over the ordered event log (groupby key, sort-in-group)."""
+    user over the ordered event log. One exchange on user_id % 64
+    buckets; the per-bucket kernel sessionizes all users vectorized."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    out = ds.groupby("user_id").map_groups(_sessionize, batch_format="pandas")
+
+    def tag(t: pa.Table) -> pa.Table:
+        bucket = t["user_id"].to_numpy() % 64
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("bucket").map_groups(_sessionize_bucket,
+                                           batch_format="pandas"))
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return pa.table({"user_id": t["user_id"].cast(pa.int64()),
                      "session_id": t["session_id"].cast(pa.int64()),
