@@ -26,8 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Sum
-
+from miru_ray.functions.rollup import bucketed_sum_rollup
 from miru_ray.sources.tables import read_table
 
 __all__ = ["cf_recommend", "strut_scores", "catwalk_model"]
@@ -97,9 +96,9 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
         g = df.groupby("custkey", sort=False).size().reset_index(name="w")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    contrib = (li.map_batches(contributors_batch, batch_format="pyarrow")
-                 .groupby("custkey").aggregate(Sum("w", alias_name="w"))
-                 .to_pandas())
+    contrib = bucketed_sum_rollup(
+        li.map_batches(contributors_batch, batch_format="pyarrow"),
+        keys=["custkey"], val_cols=["w"]).to_pandas()
     contrib = contrib.sort_values(["w", "custkey"],
                                   ascending=[False, True]).head(n_contributors)
     cw = dict(zip(contrib["custkey"].astype(int), contrib["w"].astype(int)))
@@ -148,9 +147,10 @@ def catwalk_model(sf_dir: str, top_n: int = 5) -> pa.Table:
         g = df.groupby(["event_type", "user_id"], sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(["event_type", "user_id"])
-             .aggregate(Sum("n", alias_name="n")).to_pandas())
+    out = bucketed_sum_rollup(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "user_id"], val_cols=["n"],
+        bucket_key="user_id").to_pandas()
     out = (out.sort_values(["event_type", "n", "user_id"],
                            ascending=[True, False, True])
               .groupby("event_type", sort=True).head(top_n))
@@ -175,10 +175,9 @@ def strut_scores(sf_dir: str, label: str = "purchase", k: int = 50) -> pa.Table:
             num=("num", "sum"), den=("num", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("user_id")
-             .aggregate(Sum("num", alias_name="num"), Sum("den", alias_name="den"))
-             .to_pandas())
+    out = bucketed_sum_rollup(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"], val_cols=["num", "den"]).to_pandas()
     out["score"] = np.round(out["num"] / out["den"], 6)
     out = out.sort_values(["score", "user_id"], ascending=[False, True]).head(k)
     return pa.table({"user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),

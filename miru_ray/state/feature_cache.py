@@ -36,7 +36,6 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from miru_ray.state.layout import read_json, write_json_atomic
 
@@ -79,9 +78,9 @@ class StrutFeatureCache:
         delta = ds.map_batches(partial, batch_format="pyarrow")
         if os.path.exists(self.features_path):
             delta = delta.union(rd.read_parquet(self.features_path))
-        merged = (delta.groupby("user_id")
-                       .aggregate(Sum("num", alias_name="num"),
-                                  Sum("den", alias_name="den")))
+        from miru_ray.functions.rollup import bucketed_sum_rollup
+        merged = bucketed_sum_rollup(delta, keys=["user_id"],
+                                     val_cols=["num", "den"])
         t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
         t = pa.table({"user_id": t["user_id"].cast(pa.int64()),
                       "num": t["num"].cast(pa.int64()),
