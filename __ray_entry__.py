@@ -7,11 +7,16 @@ here calls ray.init()/ray.shutdown().
   documents-as-pages and run a BM25 query batch through the actor-pool
   searcher.
 - ``queries()`` — one entry per implemented operator family
-  (SURVEY.md §2): fulltext/BM25, term stats, distincts, events analytics
-  (waveform/metrics/distinct-count/aggregate-counts/trending/sessions),
+  (SURVEY.md §2): fulltext/BM25 (plain/fielded/numeric-range/composite/
+  scattered/authz/highlight), term stats, distincts, events analytics
+  (waveform/metrics/anomaly/distinct-count/aggregate-counts+pagination/
+  trending/sessions/paired-latest/quantiles/inbox-unread), custom joins
+  (as-of, interval, sliding window + halo form, partitioned hash join),
   relational (partial+final agg, sort+limit, broadcast semi-join), dedup
-  (exact, minhash-LSH, simhash), text stats (tokens/quality/fingerprint/
-  lang-id), ANN (brute-force + LSH).
+  (exact, minhash-LSH, simhash, embedding near-dups), text stats
+  (tokens/quality/fingerprint/lang-id/hash-sample), ANN (brute-force,
+  LSH, IVF), reco/models (cf, strut, catwalk, feature cache), multimodal
+  (image/video/audio actor-pool stages).
 - ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible;
   float columns rounded to 6 (money to 2) dp on BOTH sides so fp
   summation-order drift cannot flip the value hash.
