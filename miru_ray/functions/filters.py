@@ -111,15 +111,18 @@ def parse_query(q: str, schema=None) -> Filter:
             ns = field_ns(fname)
             if fd is not None and fd.kind == "numeric":
                 from miru_ray.state.schema import encode_numeric_one
-                if ".." in fval:   # inclusive range lo..hi (either open)
-                    lo_s, hi_s = fval.split("..", 1)
-                    lo = encode_numeric_one(int(lo_s)) if lo_s \
-                        else encode_numeric_one(-(1 << 63))
-                    hi = encode_numeric_one(int(hi_s)) if hi_s \
-                        else encode_numeric_one((1 << 63) - 1)
-                    node = TermRange(ns + lo, ns + hi)
-                else:
-                    node = Term(ns + encode_numeric_one(int(fval)))
+                try:
+                    if ".." in fval:   # inclusive range lo..hi (either open)
+                        lo_s, hi_s = fval.split("..", 1)
+                        lo = encode_numeric_one(int(lo_s)) if lo_s \
+                            else encode_numeric_one(-(1 << 63))
+                        hi = encode_numeric_one(int(hi_s)) if hi_s \
+                            else encode_numeric_one((1 << 63) - 1)
+                        node = TermRange(ns + lo, ns + hi)
+                    else:
+                        node = Term(ns + encode_numeric_one(int(fval)))
+                except ValueError:
+                    continue   # malformed numeric: drop like other garbage
             elif fd is not None and fd.kind == "tokenized":
                 ftoks = tokenize(fval)
                 if not ftoks:

@@ -137,7 +137,11 @@ def norm_chunks(sf_dir: str, num_chunks: int = _NEAR_DUP_CHUNKS) -> str:
 def _chunk_pair_sims(root: str, ci: int, cj: int, threshold: float) -> pa.Table:
     """Exact cosine pairs ≥ threshold between chunk ci and cj (ci ≤ cj)."""
     def load(c):
-        t = pq.read_table(os.path.join(root, f"chunk={c:05d}.parquet"))
+        path = os.path.join(root, f"chunk={c:05d}.parquet")
+        if not os.path.exists(path):   # empty vec_id % B residue class
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, 1), dtype=np.float64))
+        t = pq.read_table(path)
         ids, mat = _embedding_matrix(t)
         nrm = np.linalg.norm(mat, axis=1)
         nrm[nrm == 0] = 1.0
@@ -147,6 +151,10 @@ def _chunk_pair_sims(root: str, ci: int, cj: int, threshold: float) -> pa.Table:
         ids_j, m_j = ids_i, m_i
     else:
         ids_j, m_j = load(cj)
+    if not len(ids_i) or not len(ids_j):
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
     sims = m_i @ m_j.T
     rows, cols = np.nonzero(sims >= threshold)
     a, b = ids_i[rows], ids_j[cols]

@@ -60,8 +60,9 @@ def _shingles_from_flat(tok_hashes: np.ndarray,
     Returns:
         (doc index per shingle, shingle hash) with per-doc DISTINCT
         shingles, grouped by doc in doc order. Docs with fewer than
-        SHINGLE_K tokens contribute ONE shingle over all their tokens
-        (empty docs contribute none).
+        SHINGLE_K tokens contribute NO shingles (mirrors the oracle's
+        greatest(len(toks)-K+1, 0) shingle count — such docs can never
+        be near-duplicates).
     """
     n = int(doclens.sum())
     doc_of = np.repeat(np.arange(len(doclens), dtype=np.int64), doclens)
@@ -75,18 +76,6 @@ def _shingles_from_flat(tok_hashes: np.ndarray,
     else:
         docs = np.empty(0, dtype=np.int64)
         hashes = np.empty(0, dtype=np.uint64)
-    # short docs (0 < len < K): one shingle over all tokens
-    short = np.flatnonzero((doclens > 0) & (doclens < SHINGLE_K))
-    if len(short):
-        starts = np.concatenate([[0], np.cumsum(doclens)[:-1]])
-        s_hashes = np.empty(len(short), dtype=np.uint64)
-        for i, d in enumerate(short):
-            h = tok_hashes[starts[d]]
-            for j in range(1, int(doclens[d])):
-                h = h * _POLY + tok_hashes[starts[d] + j]
-            s_hashes[i] = h
-        docs = np.concatenate([docs, short])
-        hashes = np.concatenate([hashes, s_hashes])
     if len(docs) == 0:
         return docs, hashes
     # per-doc distinct: sort by (doc, hash), drop adjacent equals
@@ -111,12 +100,17 @@ def shingle_set(text: str, k: int = SHINGLE_K) -> np.ndarray:
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
-    return inter / union if union else 1.0
+    return inter / union if union else 0.0
 
 
-def _batch_signatures(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(n_docs × NUM_HASHES minhash signature matrix, doclens). One numpy
-    pass per hash function; no per-row Python."""
+def _batch_signatures(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_docs × NUM_HASHES minhash signature matrix, doclens, bool mask
+    of docs that HAVE shingles). One numpy pass per hash function; no
+    per-row Python. Docs without shingles keep the all-sentinel signature
+    and must be EXCLUDED from LSH banding — otherwise every empty doc
+    collides with every other in every band (quadratic candidate blowup)
+    while the oracle, which emits no shingles for them, never pairs
+    them."""
     tok_lists = tokenize_column(texts)
     offsets = tok_lists.offsets.to_numpy(zero_copy_only=False)
     doclens = np.diff(offsets).astype(np.int64)
@@ -132,7 +126,10 @@ def _batch_signatures(texts) -> tuple[np.ndarray, np.ndarray]:
         for j in range(NUM_HASHES):
             v = (sh * _A[j] + _B[j]) % np.uint64(_MERSENNE)
             sig[present, j] = np.minimum.reduceat(v, starts)
-    return sig, doclens
+    has = np.zeros(ndocs, dtype=bool)
+    if len(sh):
+        has[present] = True
+    return sig, doclens, has
 
 
 def _band_rows(batch: pa.Table, *, num_pair_parts: int) -> pa.Table:
@@ -144,14 +141,15 @@ def _band_rows(batch: pa.Table, *, num_pair_parts: int) -> pa.Table:
     GROUP, and bucket count ≈ docs × NUM_BANDS."""
     from miru_ray.functions.runtime import limit_worker_threads
     limit_worker_threads()
-    sig, _dl = _batch_signatures(batch["text"])
+    sig, _dl, has = _batch_signatures(batch["text"])
+    sig = sig[has]
+    doc_ids = batch["doc_id"].to_numpy()[has]
     ndocs = sig.shape[0]
     bands = sig.reshape(ndocs, NUM_BANDS, ROWS_PER_BAND)
     key = np.broadcast_to(np.arange(NUM_BANDS, dtype=np.uint64), (ndocs, NUM_BANDS)).copy()
     for r in range(ROWS_PER_BAND):
         key = key * _POLY + bands[:, :, r]
     key = key.reshape(-1)
-    doc_ids = batch["doc_id"].to_numpy()
     return pa.table({
         "bpart": pa.array((key % np.uint64(num_pair_parts)).astype(np.int64),
                           pa.int64()),
@@ -188,9 +186,12 @@ def _pairs_many(group: pd.DataFrame) -> pd.DataFrame:
         return empty
     da = np.concatenate(out_a)
     db = np.concatenate(out_b)
-    pair = (da.astype(np.uint64) << np.uint64(32)) | db.astype(np.uint64)
-    _, idx = np.unique(pair, return_index=True)
-    return pd.DataFrame({"doc_a": da[idx], "doc_b": db[idx]})
+    # 64-bit-safe dedup: lexsort + adjacent-equality (bit-packing into one
+    # word would corrupt keys once doc_id crosses 2^32)
+    order = np.lexsort((db, da))
+    da, db = da[order], db[order]
+    keep = np.concatenate([[True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])])
+    return pd.DataFrame({"doc_a": da[keep], "doc_b": db[keep]})
 
 
 class PairVerifier:
@@ -199,6 +200,8 @@ class PairVerifier:
     parquet predicate pushdown PER BATCH and shingle sets cached per actor
     — the driver never sees unverified pairs or candidate texts
     (VERDICT r1 "What's wrong" #1)."""
+
+    _CACHE_MAX = 65536   # bound per-actor memory on boilerplate-heavy data
 
     def __init__(self, src: str, threshold: float):
         self.src = src
@@ -211,6 +214,8 @@ class PairVerifier:
         missing = sorted(d for d in need if d not in self._cache)
         if not missing:
             return
+        if len(self._cache) + len(missing) > self._CACHE_MAX:
+            self._cache.clear()   # simple epoch eviction; refetch is cheap
         tbl = pq.read_table(self.src, columns=["doc_id", "text"],
                             filters=pads.field("doc_id").isin(missing))
         sig_docs, sig_hashes = _shingles_from_flat_texts(tbl["text"])

@@ -179,7 +179,20 @@ def fulltext_scattered(sf_dir: str, query: str = "sort merge", k: int = 20) -> p
         from miru_ray.state.layout import write_json_atomic
         write_json_atomic(tag_path, tag)
     from miru_ray.pipelines.search import search_scattered
-    hits = search_scattered(idx, query, k=k + 50)   # pool absorbs boundary ties
+    # Adaptive over-fetch: internal rank ties break by partition-major
+    # docID, the oracle's by original doc_id — so the pool must cover the
+    # whole boundary-score tie group. Safe iff either the result is
+    # exhausted (pool not filled) or ≥k rows score strictly above the
+    # boundary; otherwise the tie group straddles the cut and we regrow.
+    pool = k + 50
+    while True:
+        hits = search_scattered(idx, query, k=pool)
+        if hits.num_rows < pool:
+            break
+        scores = hits["score"].to_numpy()
+        if int((scores > scores.min()).sum()) >= k:
+            break
+        pool *= 2
     doc_ids = orig_doc_ids(hits["url"]).to_numpy()
     scores = hits["score"].to_numpy()
     order = np.lexsort((-doc_ids, -scores))[:k]

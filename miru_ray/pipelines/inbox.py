@@ -24,14 +24,12 @@ population.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data as rd
+from miru_ray.sources.tables import read_table
 
 __all__ = ["inbox_unread"]
 
@@ -73,8 +71,8 @@ def inbox_unread(sf_dir: str) -> pa.Table:
     unread count past the read cursor, and the cursor (latest
     read-mark). One column-pruned read, one bucketed user-hash
     exchange."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["ts", "user_id", "event_type"])
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type"])
 
     def tag(t: pa.Table) -> pa.Table:
         side = pc.cast(pc.equal(t["event_type"], _MARK_TYPE), pa.int8())

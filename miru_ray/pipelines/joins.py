@@ -54,14 +54,11 @@ def _two_sided(sf_dir: str, left_type: str, right_type: str):
     run on pandas C paths across all of a bucket's users at once. The
     event_type disjunction and column pruning are pushed into the parquet
     read (row groups holding neither type never leave storage)."""
-    import os
-
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
-    import ray.data as rd
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+    ds = read_table(
+        sf_dir, "events",
         columns=["event_id", "ts", "user_id", "value", "event_type"],
         filter=pads.field("event_type").isin([left_type, right_type]))
 
@@ -245,13 +242,8 @@ def customer_revenue(sf_dir: str, k: int = 20) -> pa.Table:
     partials. Revenue is exact integer 1e-4 units
     (cents(price) x cents(1-discount)) mirroring the oracle's
     DECIMAL(18,4) sum — no fp-order drift."""
-    import os
-
-    import ray.data as rd
-
-    line = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    line = read_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def line_partial(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy()
@@ -265,8 +257,8 @@ def customer_revenue(sf_dir: str, k: int = 20) -> pa.Table:
         g["side"] = np.int8(0)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_orderkey", "o_custkey"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
 
     def orders_tag(t: pa.Table) -> pa.Table:
         ok = t["o_orderkey"].to_numpy()
@@ -327,12 +319,8 @@ def window_sliding_halo(sf_dir: str, n_ranges: int = 8) -> pa.Table:
 
     Two passes: a cheap per-type (min, max) ts aggregate (partial per
     batch, 5-row combine), then the one hash exchange on (type, range)."""
-    import os
-
-    import ray.data as rd
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_id", "ts", "event_type", "value"])
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
 
     def minmax(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -349,11 +337,18 @@ def window_sliding_halo(sf_dir: str, n_ranges: int = 8) -> pa.Table:
         span = max((hi - lo) // n_ranges + 1, HOUR_US + 1)
         spans[et] = (lo, span)
 
+    span_df = pd.DataFrame(
+        [(et, lo, sp) for et, (lo, sp) in spans.items()],
+        columns=["event_type", "_lo", "_span"])
+
     def assign(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         ets = t["event_type"].to_numpy()
-        lo = np.array([spans[e][0] for e in ets], dtype=np.int64)
-        span = np.array([spans[e][1] for e in ets], dtype=np.int64)
+        # C-path gather of (lo, span) per row via a tiny merge table
+        m = pd.DataFrame({"event_type": ets}).merge(span_df, on="event_type",
+                                                    how="left")
+        lo = m["_lo"].to_numpy(dtype=np.int64)
+        span = m["_span"].to_numpy(dtype=np.int64)
         r = (ts - lo) // span
         home = pd.DataFrame({
             "event_id": t["event_id"].to_numpy(), "ts": ts,

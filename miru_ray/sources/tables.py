@@ -30,8 +30,12 @@ __all__ = ["read_table", "documents_as_pages", "DOC_TS_BASE_US", "orig_doc_ids"]
 DOC_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               filter=None) -> rd.Dataset:
+    """Column-pruned (and optionally row-filtered, via parquet predicate
+    pushdown) read of one driver table."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns, filter=filter)
 
 
 def _to_pages(batch: pa.Table) -> pa.Table:

@@ -16,9 +16,14 @@ Strut score over ``events``:
 - the cache itself is a parquet table (user_id, num, den) merged
   DISTRIBUTEDLY (union → groupby sum), so it scales with |users|, not
   |events|, and never materializes on the driver;
-- writes are write-temp-then-rename with the watermark committed LAST, so
-  a crash mid-update re-scans from the old watermark (idempotent: the
-  merge is rebuilt from cache+delta each time, never applied in place).
+- updates commit by GENERATION: the merged table is written to
+  ``features-{new_wm}.parquet`` and the manifest (watermark + filename)
+  is swapped atomically LAST. A crash at any point leaves the manifest
+  pointing at the previous generation + previous watermark, so the next
+  update re-folds the same delta into the OLD table — never into a table
+  that already contains it (true crash idempotence; the old in-place
+  replace could double-count a delta if the process died between the
+  file swap and the watermark write).
 
 Result contract: identical to pipelines.reco.strut_scores (same SQL
 oracle) on any prefix of the stream — pytest-verified equal to a clean
@@ -47,19 +52,43 @@ class StrutFeatureCache:
         self.cache_dir = cache_dir
         self.label = label
         os.makedirs(cache_dir, exist_ok=True)
-        self.features_path = os.path.join(cache_dir, "features.parquet")
         self.wm_path = os.path.join(cache_dir, "watermark.json")
 
-    def _watermark(self) -> int:
+    def _manifest(self) -> tuple[int, str | None]:
+        """(watermark, committed features file or None)."""
         wm = read_json(self.wm_path)
         if wm is None or wm.get("label") != self.label:
-            return -1
-        return int(wm["last_event_id"])
+            return -1, None
+        f = wm.get("file")
+        path = os.path.join(self.cache_dir, f) if f else None
+        if path is not None and not os.path.exists(path):
+            return -1, None   # torn state: rebuild from scratch
+        return int(wm["last_event_id"]), path
+
+    @property
+    def features_path(self) -> str | None:
+        return self._manifest()[1]
 
     def update(self, events_path: str) -> dict:
         """Fold events with event_id > watermark into the feature cache.
         Returns {"new_rows": n, "watermark": id}."""
-        wm = self._watermark()
+        wm, feat_path = self._manifest()
+        # source watermark from parquet row-group STATISTICS (no data read)
+        src_wm = -1
+        meta = pq.ParquetFile(events_path).metadata
+        ci = meta.schema.to_arrow_schema().get_field_index("event_id")
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                src_wm = max(src_wm, int(st.max))
+        if src_wm < wm:
+            # source shrank below the watermark: a rewrite, not an append —
+            # discard the cache and refold from scratch
+            wm, feat_path = -1, None
+        elif src_wm == wm and feat_path is not None:
+            return {"watermark": wm,
+                    "users": pq.ParquetFile(feat_path).metadata.num_rows}
+        new_wm = src_wm
         ds = rd.read_parquet(events_path,
                              columns=["event_id", "user_id", "event_type"],
                              filter=pads.field("event_id") > wm)
@@ -76,8 +105,8 @@ class StrutFeatureCache:
             return pa.Table.from_pandas(g, preserve_index=False)
 
         delta = ds.map_batches(partial, batch_format="pyarrow")
-        if os.path.exists(self.features_path):
-            delta = delta.union(rd.read_parquet(self.features_path))
+        if feat_path is not None:
+            delta = delta.union(rd.read_parquet(feat_path))
         from miru_ray.functions.rollup import bucketed_sum_rollup
         merged = bucketed_sum_rollup(delta, keys=["user_id"],
                                      val_cols=["num", "den"])
@@ -85,25 +114,24 @@ class StrutFeatureCache:
         t = pa.table({"user_id": t["user_id"].cast(pa.int64()),
                       "num": t["num"].cast(pa.int64()),
                       "den": t["den"].cast(pa.int64())})
-        # new watermark from parquet row-group STATISTICS (no data read)
-        new_wm = wm
-        meta = pq.ParquetFile(events_path).metadata
-        ci = meta.schema.to_arrow_schema().get_field_index("event_id")
-        for rg in range(meta.num_row_groups):
-            s = meta.row_group(rg).column(ci).statistics
-            if s is not None and s.has_min_max:
-                new_wm = max(new_wm, int(s.max))
-        tmp = self.features_path + ".tmp"
-        pq.write_table(t, tmp, row_group_size=65536)
-        os.replace(tmp, self.features_path)
+        gen_name = f"features-{new_wm}.parquet"
+        gen_path = os.path.join(self.cache_dir, gen_name)
+        pq.write_table(t, gen_path + ".tmp", row_group_size=65536)
+        os.replace(gen_path + ".tmp", gen_path)
         write_json_atomic(self.wm_path, {"last_event_id": new_wm,
-                                         "label": self.label})
+                                         "label": self.label,
+                                         "file": gen_name})
+        if feat_path is not None and feat_path != gen_path:
+            try:
+                os.remove(feat_path)   # best-effort old-generation cleanup
+            except OSError:
+                pass
         return {"watermark": new_wm, "users": t.num_rows}
 
     def topk(self, k: int = 50) -> pa.Table:
         """(user_id, score) from cached features — reco.strut_scores
         contract: score = num/den, top-k by (score desc, user_id asc)."""
-        t = pq.read_table(self.features_path).to_pandas()
+        t = pq.read_table(self._manifest()[1]).to_pandas()
         score = t["num"].to_numpy() / t["den"].to_numpy()
         order = np.lexsort((t["user_id"].to_numpy(), -score))[:k]
         sel = t.iloc[order]
@@ -121,9 +149,10 @@ def strut_scores_cached(sf_dir: str, label: str = "purchase",
     import re
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    cache_dir = os.path.join("/tmp/miru_ray_featcache",
-                             f"{slug}_{st.st_size}_{st.st_mtime_ns}")
+    # keyed by slug ONLY: appends reuse the cache (that is the point of
+    # the watermark); update() detects rewrites via source-vs-watermark
+    # stats and refolds from scratch, so no stale dirs accumulate
+    cache_dir = os.path.join("/tmp/miru_ray_featcache", slug)
     cache = StrutFeatureCache(cache_dir, label)
     cache.update(src)
     return cache.topk(k)

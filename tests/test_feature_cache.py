@@ -51,7 +51,7 @@ def test_noop_update_is_stable(tmp_path, ray_session):
     before = c.topk(50)
     r = c.update(src)   # watermark already at max → zero-row delta
     assert c.topk(50).equals(before)
-    assert r["watermark"] == c._watermark()
+    assert r["watermark"] == c._manifest()[0]
 
 
 def test_cached_entry_matches_strut_scores(ray_session):
@@ -60,3 +60,31 @@ def test_cached_entry_matches_strut_scores(ray_session):
     a = strut_scores_cached(SF).to_pandas()
     b = strut_scores(SF).to_pandas()
     assert a.equals(b)
+
+
+def test_crash_between_generation_and_manifest_is_safe(tmp_path, ray_session):
+    """A torn update (new generation file written, manifest NOT yet
+    swapped) must not double-count the delta on the next update."""
+    import shutil
+
+    full = pq.read_table(os.path.join(SF, "events.parquet")).sort_by("event_id")
+    cut = full.num_rows * 2 // 3
+    prefix_path = str(tmp_path / "events_prefix.parquet")
+    full_path = str(tmp_path / "events_full.parquet")
+    pq.write_table(full.slice(0, cut), prefix_path)
+    pq.write_table(full, full_path)
+
+    c = StrutFeatureCache(str(tmp_path / "cache"), "purchase")
+    c.update(prefix_path)
+    # simulate the crash: the would-be next generation exists on disk but
+    # the manifest still points at the old generation + old watermark
+    src_wm = int(full["event_id"][full.num_rows - 1].as_py())
+    shutil.copy(c.features_path,
+                os.path.join(c.cache_dir, f"features-{src_wm}.parquet"))
+    c.update(full_path)   # must fold the delta into the OLD generation
+
+    clean = StrutFeatureCache(str(tmp_path / "cache_clean"), "purchase")
+    clean.update(full_path)
+    fa = pq.read_table(c.features_path).sort_by("user_id")
+    fb = pq.read_table(clean.features_path).sort_by("user_id")
+    assert fa.equals(fb)

@@ -86,3 +86,14 @@ def test_bm25_monotonicity():
     # tie-break: equal scores → higher doc id first (FullText.java comparator)
     order = topk_order(np.array([1.0, 1.0, 2.0]), np.array([5, 9, 1]), 3)
     assert list(order) == [2, 1, 0]
+
+
+def test_parse_query_malformed_numeric_degrades():
+    """'n_chars:abc' and 'n_chars:1.5' drop like other garbage tokens
+    instead of raising ValueError."""
+    from miru_ray.functions.filters import parse_query
+    from miru_ray.state.schema import FieldDef, IndexSchema
+    schema = IndexSchema((FieldDef("n_chars", "numeric"),))
+    for q in ("scan n_chars:abc", "scan n_chars:1.5", "scan n_chars:..x"):
+        node = parse_query(q, schema=schema)   # must not raise
+        assert node is not None

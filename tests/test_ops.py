@@ -243,3 +243,21 @@ def test_window_halo_equals_single_group(ray_session):
         b = (window_sliding_halo(SF, n_ranges=n_ranges).to_pandas()
              .sort_values("event_id").reset_index(drop=True))
         assert a.equals(b[a.columns])
+
+
+def test_minhash_short_docs_never_pair():
+    """Docs with <3 tokens have no shingles (oracle semantics): they emit
+    NO band rows (no quadratic empty-doc collisions) and jaccard of two
+    empty shingle sets is 0, not 1."""
+    import pyarrow as pa
+    from miru_ray.pipelines.dedup import _band_rows, jaccard, shingle_set
+
+    texts = ["", "a b", "one two", "", "x"] * 3
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = _band_rows(t, num_pair_parts=4)
+    assert out.num_rows == 0
+    assert len(shingle_set("one two")) == 0
+    assert jaccard(shingle_set(""), shingle_set("")) == 0.0
+    # and a real doc still shingles
+    assert len(shingle_set("one two three four")) == 2
