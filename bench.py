@@ -165,8 +165,10 @@ def run_scaling() -> dict:
     # time carries ambient noise that has been observed to swing a leg 2x
     # between identical back-to-back runs (raw repeats are reported below);
     # interleaving decorrelates slow windows from a level, min is the
-    # standard noise reducer for same-input reruns
-    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
+    # standard noise reducer for same-input reruns. Default 2 keeps the
+    # whole run inside a ~7-minute budget (5 × 800k-doc builds); set
+    # BENCH_SCALE_REPEATS=3 for a tighter band when time allows
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
         lo_runs.append(sub(n_lo))
