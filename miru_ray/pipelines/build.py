@@ -57,7 +57,8 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "authz"]
 
 def current_input_digests(source, num_parts: int,
                           langs: list[str] | None = None,
-                          include_text: bool = False) -> dict[int, int]:
+                          include_text: bool = False,
+                          part_fn=None) -> dict[int, int]:
     """Cheap per-partition digest of the CURRENT input: reads only
     (url, warc_ts) — column pruning means the heavy html/text never leaves
     storage — and reduces per-batch partial XORs (commutative) with a tiny
@@ -87,7 +88,8 @@ def current_input_digests(source, num_parts: int,
         h = hash_strings(urls) ^ ts.astype(np.uint64)
         if include_text:   # fold content hash — matches input_digest(texts=…)
             h = h ^ hash_strings(batch["text"].to_numpy(zero_copy_only=False))
-        parts = part_for(urls, num_parts)
+        parts = part_fn(urls, ts) if part_fn is not None \
+            else part_for(urls, num_parts)
         out_p, out_d, out_n = [], [], []
         for p in np.unique(parts):
             mask = parts == p
@@ -124,6 +126,18 @@ class BuildConfig:
                                      # keyword_list / tokenized columns
                                      # namespaced into the posting space
                                      # (MiruFieldDefinition analogue)
+    partition_mode: str = "hash"     # "hash": part = siphash(url) % P —
+                                     # uniform, order-free (the default).
+                                     # "time_range": part = warc_ts rank
+                                     # bucket — partitions are CONTIGUOUS
+                                     # time ranges like the reference's
+                                     # time-ordered partition ids
+                                     # (MiruPartitionId over time-ordered
+                                     # activity), so partition-major
+                                     # docIDs are globally warc_ts-ordered
+                                     # AND the build parallelizes across
+                                     # P tasks (a num_parts=1 build gets
+                                     # the same global order serially).
     verify_inputs: bool = False      # sip mode: re-digest the current input
                                      # and rebuild partitions whose rows
                                      # changed; off = fast crash-recovery
@@ -148,6 +162,59 @@ def _merge_one_shard(shard: int, part_files: dict[int, str],
 def _stamp_part(batch: pa.Table, *, num_parts: int) -> pa.Table:
     urls = batch["url"].to_numpy(zero_copy_only=False)
     return batch.append_column("part", pa.array(part_for(urls, num_parts), pa.int64()))
+
+
+def _time_parts(ts_us: np.ndarray, num_parts: int, lo: int, hi: int) -> np.ndarray:
+    span = max(hi - lo + 1, 1)
+    return np.clip((ts_us - lo) * num_parts // span, 0, num_parts - 1)
+
+
+def _stamp_part_time(batch: pa.Table, *, num_parts: int, lo: int, hi: int) -> pa.Table:
+    ts = batch["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    return batch.append_column(
+        "part", pa.array(_time_parts(ts, num_parts, lo, hi), pa.int64()))
+
+
+def _ts_bounds(source) -> tuple[int, int]:
+    """Global (min, max) warc_ts in µs. Parquet sources answer from
+    row-group STATISTICS (metadata only — no data read); in-memory
+    sources pay one tiny column pass."""
+    if isinstance(source, pa.Table):
+        mm = pa.compute.min_max(source["warc_ts"])
+        return (mm["min"].cast(pa.int64()).as_py(),
+                mm["max"].cast(pa.int64()).as_py())
+    if isinstance(source, rd.Dataset):
+        def mm(t: pa.Table) -> pa.Table:
+            ts = t["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            return pa.table({"lo": pa.array([int(ts.min())], pa.int64()),
+                             "hi": pa.array([int(ts.max())], pa.int64())})
+        rows = (source.select_columns(["warc_ts"])
+                .map_batches(mm, batch_format="pyarrow").take_all())
+        return (min(r["lo"] for r in rows), max(r["hi"] for r in rows))
+    import glob as _glob
+    import pyarrow.parquet as pq
+    paths = []
+    for s in (source if isinstance(source, (list, tuple)) else [source]):
+        if os.path.isdir(s):
+            paths.extend(sorted(_glob.glob(os.path.join(s, "*.parquet"))))
+        else:
+            paths.append(s)
+    lo, hi = None, None
+    for p in paths:
+        meta = pq.ParquetFile(p).metadata
+        ci = meta.schema.to_arrow_schema().get_field_index("warc_ts")
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                mn = int(pa.scalar(st.min).cast(pa.timestamp("us")).value) \
+                    if not isinstance(st.min, int) else int(st.min)
+                mx = int(pa.scalar(st.max).cast(pa.timestamp("us")).value) \
+                    if not isinstance(st.max, int) else int(st.max)
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return 0, 0
+    return lo, hi
 
 
 def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
@@ -199,8 +266,16 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
                                 batch_size=EXTRACT_BATCH_SIZE)
 
     # --- [B] partition key ---
-    ds = ds.map_batches(functools.partial(_stamp_part, num_parts=cfg.num_parts),
-                        batch_format="pyarrow")
+    part_fn = None
+    if cfg.partition_mode == "time_range":
+        lo_ts, hi_ts = _ts_bounds(source)
+        stamp = functools.partial(_stamp_part_time, num_parts=cfg.num_parts,
+                                  lo=lo_ts, hi=hi_ts)
+        part_fn = lambda urls, ts, n=cfg.num_parts, lo=lo_ts, hi=hi_ts: \
+            _time_parts(ts, n, lo, hi)                      # noqa: E731
+    else:
+        stamp = functools.partial(_stamp_part, num_parts=cfg.num_parts)
+    ds = ds.map_batches(stamp, batch_format="pyarrow")
 
     # --- resume: skip partitions already complete.
     # Fast path (crash recovery, same input): manifest presence+status.
@@ -218,7 +293,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     digest_text = (not has_html) and ("text" in names)
     if done and cfg.verify_inputs:
         current = current_input_digests(source, cfg.num_parts, cfg.langs,
-                                        include_text=digest_text)
+                                        include_text=digest_text,
+                                        part_fn=part_fn)
         stale = [p for p, m in done.items()
                  if current.get(p, 0) != m.get("input_digest")]
         for p in stale:

@@ -36,15 +36,17 @@ _CACHE_ROOT = "/tmp/miru_ray_idx"
 def documents_index(sf_dir: str) -> str:
     """Build (cached) the inverted index over documents_as_pages(sf_dir).
 
-    num_parts=1: the corpus is small and single-partition makes internal
-    docID order == driver doc_id order, aligning tie-breaks with the SQL
-    oracle. (The multi-partition path is exercised by the pages-fixture
-    tests; partition count scales with corpus size.)
+    partition_mode="time_range" with num_parts=4: partitions are
+    contiguous warc_ts ranges, so partition-major internal docIDs stay
+    globally warc_ts-ordered == driver doc_id order (tie-breaks align
+    with the SQL oracle — byte-identical segments to a num_parts=1 build,
+    pytest-pinned) while the build parallelizes. The hash-partitioned
+    path is exercised by the pages-fixture tests and fulltext_scattered.
     """
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 8}
+           "mtime_ns": st.st_mtime_ns, "layout": 9}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
     idx = os.path.join(_CACHE_ROOT, slug)
     tag_path = os.path.join(idx, "source_tag.json")
@@ -54,7 +56,8 @@ def documents_index(sf_dir: str) -> str:
     from miru_ray.state.schema import FieldDef, IndexSchema
     shutil.rmtree(idx, ignore_errors=True)
     build_index(documents_as_pages(sf_dir), idx,
-                BuildConfig(num_parts=1, num_shards=2, store_text=True,
+                BuildConfig(num_parts=4, num_shards=2, store_text=True,
+                            partition_mode="time_range",
                             schema=IndexSchema((
                                 FieldDef("source", "keyword", stored=True),
                                 FieldDef("n_chars", "numeric"),

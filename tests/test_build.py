@@ -95,3 +95,33 @@ def test_resume_skips_completed(pages, index_dir):
     from miru_ray.pipelines.build import BuildConfig, build_index
     meta = build_index(pages, index_dir, BuildConfig(num_parts=4, num_shards=2))
     assert meta["skipped_parts"] == [0, 1, 2, 3]
+
+
+def test_time_range_partitions_match_serial_build(ray_session, tmp_path):
+    """partition_mode='time_range' at P=4 produces byte-identical segments
+    to the num_parts=1 serial build (global docIDs stay ts-ordered)."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.tables import documents_as_pages
+
+    def digest(idx):
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(os.path.join(idx, "segments", "*.parquet"))):
+            t = pq.read_table(f).sort_by("term")
+            for col in ("term", "df", "cf", "docids", "tfs"):
+                if col in t.column_names:
+                    h.update(str(t[col].to_pylist()).encode())
+        return h.hexdigest()
+
+    sf = "/root/testdata/sf0.001"
+    a, b = str(tmp_path / "serial"), str(tmp_path / "ranged")
+    build_index(documents_as_pages(sf), a, BuildConfig(num_parts=1, num_shards=2))
+    build_index(documents_as_pages(sf), b,
+                BuildConfig(num_parts=4, num_shards=2,
+                            partition_mode="time_range"))
+    assert digest(a) == digest(b)
