@@ -127,7 +127,9 @@ class BuildConfig:
                                      # namespaced into the posting space
                                      # (MiruFieldDefinition analogue)
     partition_mode: str = "hash"     # "hash": part = siphash(url) % P —
-                                     # uniform, order-free (the default).
+                                     # uniform, order-free, colocates every
+                                     # fetch of a url so latest-wins dedup
+                                     # is GLOBAL (the default).
                                      # "time_range": part = warc_ts rank
                                      # bucket — partitions are CONTIGUOUS
                                      # time ranges like the reference's
@@ -136,8 +138,26 @@ class BuildConfig:
                                      # activity), so partition-major
                                      # docIDs are globally warc_ts-ordered
                                      # AND the build parallelizes across
-                                     # P tasks (a num_parts=1 build gets
-                                     # the same global order serially).
+                                     # P tasks. CAVEAT (reference-
+                                     # consistent): latest-wins url dedup
+                                     # is then PARTITION-LOCAL — a url
+                                     # re-fetched in a different time
+                                     # bucket keeps both versions, exactly
+                                     # as re-ingested activity lands in a
+                                     # newer Miru time partition; use hash
+                                     # mode (or tombstones at query time)
+                                     # when global url dedup must hold.
+                                     # Byte-identity with a num_parts=1
+                                     # build therefore holds for inputs
+                                     # whose urls are unique (pytest-
+                                     # pinned on the documents adapter).
+    time_bounds: "tuple[int, int] | None" = None
+                                     # optional (lo_us, hi_us) warc_ts
+                                     # bounds for time_range mode; when
+                                     # the caller knows them (or can read
+                                     # them from source statistics),
+                                     # passing them skips _ts_bounds'
+                                     # extra pass over Dataset sources.
     verify_inputs: bool = False      # sip mode: re-digest the current input
                                      # and rebuild partitions whose rows
                                      # changed; off = fast crash-recovery
@@ -268,7 +288,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # --- [B] partition key ---
     part_fn = None
     if cfg.partition_mode == "time_range":
-        lo_ts, hi_ts = _ts_bounds(source)
+        lo_ts, hi_ts = cfg.time_bounds or _ts_bounds(source)
         stamp = functools.partial(_stamp_part_time, num_parts=cfg.num_parts,
                                   lo=lo_ts, hi=hi_ts)
         part_fn = lambda urls, ts, n=cfg.num_parts, lo=lo_ts, hi=hi_ts: \

@@ -156,6 +156,9 @@ def build_index_shuffle_light(source, index_dir: str,
     if cfg.schema:
         raise NotImplementedError("shuffle-light build does not support "
                                   "secondary field schemas yet — use build_index")
+    if cfg.partition_mode != "hash":
+        raise NotImplementedError("shuffle-light build supports "
+                                  "partition_mode='hash' only — use build_index")
     os.makedirs(index_dir, exist_ok=True)
     phase_t: dict[str, float] = {}
     t0 = time.perf_counter()

@@ -211,11 +211,15 @@ class PairVerifier:
     def _shingles_for(self, need: list[int]) -> None:
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
-        missing = sorted(d for d in need if d not in self._cache)
+        need_set = set(need)
+        missing = sorted(d for d in need_set if d not in self._cache)
         if not missing:
             return
         if len(self._cache) + len(missing) > self._CACHE_MAX:
-            self._cache.clear()   # simple epoch eviction; refetch is cheap
+            # evict only entries the CURRENT batch does not need — clearing
+            # everything would drop shingles this batch still reads
+            self._cache = {d: v for d, v in self._cache.items()
+                           if d in need_set}
         tbl = pq.read_table(self.src, columns=["doc_id", "text"],
                             filters=pads.field("doc_id").isin(missing))
         sig_docs, sig_hashes = _shingles_from_flat_texts(tbl["text"])

@@ -54,25 +54,40 @@ class StrutFeatureCache:
         os.makedirs(cache_dir, exist_ok=True)
         self.wm_path = os.path.join(cache_dir, "watermark.json")
 
-    def _manifest(self) -> tuple[int, str | None]:
-        """(watermark, committed features file or None)."""
+    def _manifest(self) -> tuple[int, str | None, tuple | None]:
+        """(watermark, committed features file or None, source stat)."""
         wm = read_json(self.wm_path)
         if wm is None or wm.get("label") != self.label:
-            return -1, None
+            return -1, None, None
         f = wm.get("file")
         path = os.path.join(self.cache_dir, f) if f else None
         if path is not None and not os.path.exists(path):
-            return -1, None   # torn state: rebuild from scratch
-        return int(wm["last_event_id"]), path
+            return -1, None, None   # torn state: rebuild from scratch
+        st = wm.get("src_stat")
+        return int(wm["last_event_id"]), path, tuple(st) if st else None
 
     @property
     def features_path(self) -> str | None:
         return self._manifest()[1]
 
+    def _gc_generations(self, keep: str) -> None:
+        """Best-effort removal of every generation file except ``keep`` —
+        runs after each manifest commit so refold/torn paths cannot
+        accumulate orphans."""
+        import glob
+        for f in glob.glob(os.path.join(self.cache_dir, "features-*.parquet")):
+            if os.path.basename(f) != keep:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
     def update(self, events_path: str) -> dict:
         """Fold events with event_id > watermark into the feature cache.
-        Returns {"new_rows": n, "watermark": id}."""
-        wm, feat_path = self._manifest()
+        Returns {"watermark": id, "users": n}."""
+        wm, feat_path, old_stat = self._manifest()
+        fstat = os.stat(events_path)
+        cur_stat = (fstat.st_size, fstat.st_mtime_ns)
         # source watermark from parquet row-group STATISTICS (no data read)
         src_wm = -1
         meta = pq.ParquetFile(events_path).metadata
@@ -81,8 +96,10 @@ class StrutFeatureCache:
             st = meta.row_group(rg).column(ci).statistics
             if st is not None and st.has_min_max:
                 src_wm = max(src_wm, int(st.max))
-        if src_wm < wm:
-            # source shrank below the watermark: a rewrite, not an append —
+        if src_wm < wm or (src_wm == wm and old_stat is not None
+                           and tuple(cur_stat) != old_stat):
+            # watermark regressed, OR the file changed while its max
+            # event_id stayed put — either way a REWRITE, not an append:
             # discard the cache and refold from scratch
             wm, feat_path = -1, None
         elif src_wm == wm and feat_path is not None:
@@ -120,12 +137,9 @@ class StrutFeatureCache:
         os.replace(gen_path + ".tmp", gen_path)
         write_json_atomic(self.wm_path, {"last_event_id": new_wm,
                                          "label": self.label,
-                                         "file": gen_name})
-        if feat_path is not None and feat_path != gen_path:
-            try:
-                os.remove(feat_path)   # best-effort old-generation cleanup
-            except OSError:
-                pass
+                                         "file": gen_name,
+                                         "src_stat": list(cur_stat)})
+        self._gc_generations(keep=gen_name)
         return {"watermark": new_wm, "users": t.num_rows}
 
     def topk(self, k: int = 50) -> pa.Table:
