@@ -179,6 +179,22 @@ def trending(sf_dir: str, delta_ratio: float = 0.25) -> pa.Table:
                      "peak_sum": pa.array(rows["peak_sum"], pa.float64())})
 
 
+_ROLLUP_MEMO: dict[tuple, "pd.DataFrame"] = {}
+
+
+def _rollup_memo(sf_dir: str) -> "pd.DataFrame":
+    """Per-process memo of the aggregate_counts rollup, keyed by the
+    source file's identity+stat so a changed events table recomputes."""
+    import os
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    if key not in _ROLLUP_MEMO:
+        _ROLLUP_MEMO.clear()   # hold at most one corpus per process
+        _ROLLUP_MEMO[key] = aggregate_counts(sf_dir).to_pandas()
+    return _ROLLUP_MEMO[key].copy()
+
+
 def aggregate_counts_paged(sf_dir: str, page_size: int = 25,
                            cursor: tuple[int, int] | None = None) -> tuple[pa.Table, tuple[int, int] | None]:
     """Paginated AggregateCounts — the reference's report/lastReport
@@ -188,9 +204,11 @@ def aggregate_counts_paged(sf_dir: str, page_size: int = 25,
 
     Total order: (last_ts DESC, user_id ASC). ``cursor`` = (last_ts_us,
     user_id) of the previous page's final row; returns (page, next_cursor).
-    Stateless re-query: each page re-runs the distributed rollup and
-    seeks past the cursor — no server-side session."""
-    full = aggregate_counts(sf_dir).to_pandas()
+    Stateless ACROSS processes (the cursor carries everything needed to
+    resume); within a process the rollup is memoized per source state —
+    the reference's lastReport carry, which exists precisely so paging
+    does not recompute the answer (AggregateCounts.java:131-147)."""
+    full = _rollup_memo(sf_dir)
     full["last_ts_us"] = full["last_ts"].astype("datetime64[us]").astype(np.int64)
     full = full.sort_values(["last_ts_us", "user_id"],
                             ascending=[False, True], kind="stable")
