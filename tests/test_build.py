@@ -125,3 +125,36 @@ def test_time_range_partitions_match_serial_build(ray_session, tmp_path):
                 BuildConfig(num_parts=4, num_shards=2,
                             partition_mode="time_range"))
     assert digest(a) == digest(b)
+
+
+def test_time_range_resume_rebuilds_only_missing_part(ray_session, tmp_path):
+    """Deleting one time-range partition manifest and re-running rebuilds
+    just that partition; segments come back identical."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.tables import documents_as_pages
+    from miru_ray.state import layout
+
+    def digest(idx):
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(os.path.join(idx, "segments", "*.parquet"))):
+            t = pq.read_table(f).sort_by("term")
+            for col in ("term", "df", "cf", "docids", "tfs"):
+                if col in t.column_names:
+                    h.update(str(t[col].to_pylist()).encode())
+        return h.hexdigest()
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ranged")
+    cfg = BuildConfig(num_parts=4, num_shards=2, partition_mode="time_range")
+    build_index(documents_as_pages(sf), idx, cfg)
+    d0 = digest(idx)
+    os.remove(layout.manifest_path(idx, 2))
+    meta = build_index(documents_as_pages(sf), idx, cfg)
+    assert sorted(meta["skipped_parts"]) == [0, 1, 3]   # only part 2 rebuilt
+    assert digest(idx) == d0
