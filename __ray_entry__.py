@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_waveform": events.anomaly_waveform,
         "paired_latest": events.paired_latest,
         "value_quantiles": events.value_quantiles,
+        "distinct_count_hll": events.distinct_count_hll,
         # --- custom joins (as-of / interval / sliding window) ---
         "asof_join": joins.asof_join,
         "interval_join": joins.interval_join,

@@ -261,3 +261,14 @@ def test_minhash_short_docs_never_pair():
     assert jaccard(shingle_set(""), shingle_set("")) == 0.0
     # and a real doc still shingles
     assert len(shingle_set("one two three four")) == 2
+
+
+def test_hll_within_error_bound_of_exact(ray_session):
+    """HLL distinct estimate within 5% of the exact count (4096 registers
+    ≈ 1.6% std error) and deterministic across runs."""
+    from miru_ray.pipelines.events import distinct_count_hll, distinct_count_users
+    exact = distinct_count_users(SF)["n_users"][0].as_py()
+    est1 = distinct_count_hll(SF)["n_users_est"][0].as_py()
+    est2 = distinct_count_hll(SF)["n_users_est"][0].as_py()
+    assert est1 == est2
+    assert abs(est1 - exact) / exact < 0.05
