@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Composed training-data curation pipeline over the ``documents`` table:
+
+    read (pruned) → exact-dedup mask → quality filter → language filter
+    → deterministic hash downsample → per-doc stats → partitioned
+    parquet out
+
+    python examples/training_data_pipeline.py [SF_DIR] [OUT_DIR]
+
+Every stage is a streaming ``map_batches`` over Arrow batches — the
+pipeline never materializes the corpus; the only driver-side object is
+the (small) winner-set of the exact dedup, broadcast once via ray.put.
+Near-dup removal at corpus scale would swap that broadcast for the
+MinHash-LSH pair set (pipelines/dedup.py) keyed the same way. Output is
+one parquet directory partitioned by Ray block — a failed run reruns
+cheaply because every upstream stage is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import ray
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from miru_ray.functions.tokenize import tokenize_column
+    from miru_ray.sources.tables import read_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_docs"
+
+    # --- stage 0: exact-dedup winners (first doc_id per md5(text)) -----
+    # The winner set is O(unique docs) ids — the ONE small broadcast.
+    from miru_ray.pipelines.dedup import dedup_exact
+    winners = set(dedup_exact(sf_dir)["doc_id"].to_pylist())
+    w_ref = ray.put(np.sort(np.fromiter(winners, dtype=np.int64)))
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source"])
+
+    def curate(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        ids = batch["doc_id"].to_numpy()
+        pos = np.searchsorted(w, ids)
+        keep = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == ids)
+        # language filter
+        keep &= np.isin(batch["lang"].to_numpy(zero_copy_only=False),
+                        ("en", "de"))
+        # deterministic ~50% hash downsample (content-keyed)
+        texts = batch["text"].to_pylist()
+        keep &= np.array([hashlib.md5(t.encode()).hexdigest()[:2] < "80"
+                          for t in texts])
+        batch = batch.filter(pa.array(keep, pa.bool_()))
+        # quality stats + filter: ≥20 tokens
+        toks = tokenize_column(batch["text"].combine_chunks())
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        batch = batch.append_column("n_tokens", pa.array(n.astype(np.int64),
+                                                         pa.int64()))
+        return batch.filter(pa.compute.greater_equal(batch["n_tokens"], 20))
+
+    curated = ds.map_batches(curate, batch_format="pyarrow")
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    curated.write_parquet(out_dir)
+
+    import pyarrow.parquet as pq
+    out = pq.read_table(out_dir)
+    total = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    print(f"curated {out.num_rows}/{total} docs -> {out_dir}")
+    print("columns:", out.column_names)
+    print("token total:", pa.compute.sum(out["n_tokens"]).as_py())
+    assert out.num_rows > 0
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

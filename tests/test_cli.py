@@ -62,3 +62,22 @@ def test_cli_ingest(tmp_path):
     hits = [json.loads(l) for l in
             _run("search", idx, "doc7").strip().splitlines()]
     assert len(hits) == 1 and hits[0]["url"] == "https://c/7"
+
+
+def test_training_data_pipeline_example(ray_session):
+    """The composed curation example runs end-to-end and its output obeys
+    every stage's contract (dedup winners only, lang subset, >=20 tokens)."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/curated_docs_test"
+    r = subprocess.run([sys.executable, "examples/training_data_pipeline.py",
+                        "/root/testdata/sf0.001", out_dir],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    t = pq.read_table(out_dir)
+    assert t.num_rows > 0
+    assert set(t["lang"].to_pylist()) <= {"en", "de"}
+    assert min(t["n_tokens"].to_pylist()) >= 20
