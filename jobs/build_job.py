@@ -40,6 +40,11 @@ def main() -> int:
     p.add_argument("--store-text", action="store_true")
     p.add_argument("--verify-inputs", action="store_true")
     p.add_argument("--langs", default=None)
+    p.add_argument("--partition-mode", default="hash",
+                   choices=("hash", "time_range"),
+                   help="hash: global url dedup; time_range: the "
+                        "reference's time-ordered partitions (ts-ordered "
+                        "global docIDs, partition-local dedup)")
     args = p.parse_args()
 
     import ray
@@ -56,6 +61,7 @@ def main() -> int:
     cfg = BuildConfig(num_parts=args.num_parts, num_shards=args.num_shards,
                       store_text=args.store_text,
                       verify_inputs=args.verify_inputs,
+                      partition_mode=args.partition_mode,
                       langs=args.langs.split(",") if args.langs else None)
     t0 = time.perf_counter()
     meta = build_index(args.source, args.index_dir, cfg)
