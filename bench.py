@@ -145,18 +145,28 @@ def run_bench() -> dict:
     }
 
 
+_PROBE_BARRIER = None
+
+
+def _probe_init(barrier):
+    global _PROBE_BARRIER
+    _PROBE_BARRIER = barrier
+
+
 def _triad_rate(n: int) -> float:
     import numpy as np
     a = np.ones(n); b = np.ones(n); c = np.empty(n)
+    if _PROBE_BARRIER is not None:
+        _PROBE_BARRIER.wait()      # all workers hit the bus TOGETHER
     t0 = time.perf_counter()
     for _ in range(3):
-        np.multiply(b, 2.0, out=c)
-        np.add(c, a, out=c)
+        np.multiply(b, 2.0, out=c)   # read b, write c  (2 streams)
+        np.add(c, a, out=c)          # read c+a, write c (3 streams)
     el = time.perf_counter() - t0
-    return 3 * 4 * n * 8 / el
+    return 3 * 5 * n * 8 / el        # 5 streams/element/iteration
 
 
-def _mem_bw_probe(nproc: int = 16, n: int = 20_000_000) -> float:
+def _mem_bw_probe(nproc: int | None = None, n: int = 8_000_000) -> float:
     """Aggregate numpy-triad GB/s across nproc processes — a direct probe
     of the covariate that actually moves the scaling number: co-tenant
     MEMORY-bus interference (invisible to CPU steal%). Same-code scaling
@@ -164,8 +174,11 @@ def _mem_bw_probe(nproc: int = 16, n: int = 20_000_000) -> float:
     legs were slowed ~70% while 4-CPU legs lost only ~13% — the parallel
     leg absorbs the interference, deflating the ratio."""
     import multiprocessing as mp
-
-    with mp.Pool(nproc) as pool:
+    if nproc is None:
+        nproc = min(16, mp.cpu_count() or 4)   # ~190 MB/worker at n=8M
+    barrier = mp.Barrier(nproc)
+    with mp.Pool(nproc, initializer=_probe_init,
+                 initargs=(barrier,)) as pool:
         rates = pool.starmap(_triad_rate, [(n,)] * nproc)
     return round(sum(rates) / 1e9, 1)
 

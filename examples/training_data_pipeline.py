@@ -56,14 +56,16 @@ def main() -> None:
         ids = batch["doc_id"].to_numpy()
         pos = np.searchsorted(w, ids)
         keep = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == ids)
-        # language filter
+        # language filter (cheap vectorized masks FIRST)
         keep &= np.isin(batch["lang"].to_numpy(zero_copy_only=False),
                         ("en", "de"))
-        # deterministic ~50% hash downsample (content-keyed)
-        texts = batch["text"].to_pylist()
-        keep &= np.array([hashlib.md5(t.encode()).hexdigest()[:2] < "80"
-                          for t in texts])
         batch = batch.filter(pa.array(keep, pa.bool_()))
+        # deterministic ~50% hash downsample — content-keyed, so hashing
+        # only the mask survivors changes nothing but the cost
+        texts = batch["text"].to_pylist()
+        samp = np.array([hashlib.md5(t.encode()).hexdigest()[:2] < "80"
+                         for t in texts], dtype=bool)
+        batch = batch.filter(pa.array(samp, pa.bool_()))
         # quality stats + filter: ≥20 tokens
         toks = tokenize_column(batch["text"].combine_chunks())
         n = np.diff(toks.offsets.to_numpy(zero_copy_only=False))

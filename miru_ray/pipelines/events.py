@@ -188,7 +188,7 @@ def _rollup_memo(sf_dir: str) -> "pd.DataFrame":
     import os
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns, st.st_ino)
     if key not in _ROLLUP_MEMO:
         _ROLLUP_MEMO.clear()   # hold at most one corpus per process
         _ROLLUP_MEMO[key] = aggregate_counts(sf_dir).to_pandas()
@@ -421,8 +421,10 @@ def _hll_registers(ids: np.ndarray) -> np.ndarray:
         hit = (~found) & (((rest >> np.uint64(b)) & np.uint64(1)) == 1)
         rank[hit] = b + 1
         found |= hit
-    regs = np.zeros(_HLL_M, dtype=np.int64)
-    np.maximum.at(regs, reg_idx, rank)
+        if found.all():          # >99.99% resolve within ~16 bits
+            break
+    regs = np.zeros(_HLL_M, dtype=np.uint8)   # rank <= 53 fits a byte
+    np.maximum.at(regs, reg_idx, rank.astype(np.uint8))
     return regs
 
 
@@ -438,7 +440,8 @@ def _hll_estimate(regs: np.ndarray) -> float:
 
 def distinct_count_hll(sf_dir: str, event_type: str = "click") -> pa.Table:
     """1-row (n_users_est) — the SKETCH form of distinct_count_users:
-    per-batch HLL registers (1 KB each) merged by elementwise max. The
+    per-batch HLL registers (4 KB each: 4096 uint8) merged by
+    elementwise max. The
     shuffle moves O(batches) kilobyte rows regardless of corpus size —
     the 100-TB path where the exact distinct's user set no longer fits;
     accuracy ±~1.6% is pytest-bounded against the exact count."""
@@ -447,13 +450,13 @@ def distinct_count_hll(sf_dir: str, event_type: str = "click") -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         keep = pa.compute.equal(t["event_type"], event_type)
         ids = t.filter(keep)["user_id"].to_numpy()
-        regs = _hll_registers(ids) if len(ids) else np.zeros(_HLL_M, np.int64)
+        regs = _hll_registers(ids) if len(ids) else np.zeros(_HLL_M, np.uint8)
         return pa.table({"regs": pa.array([regs.tolist()],
-                                          pa.list_(pa.int64()))})
+                                          pa.list_(pa.uint8()))})
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged = np.zeros(_HLL_M, dtype=np.int64)
+    merged = np.zeros(_HLL_M, dtype=np.uint8)
     for r in rows:
-        merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.int64))
+        merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.uint8))
     return pa.table({"n_users_est": pa.array([int(round(_hll_estimate(merged)))],
                                              pa.int64())})

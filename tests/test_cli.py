@@ -72,10 +72,12 @@ def test_training_data_pipeline_example(ray_session):
 
     import pyarrow.parquet as pq
 
+    import os
     out_dir = "/tmp/curated_docs_test"
-    r = subprocess.run([sys.executable, "examples/training_data_pipeline.py",
+    script = os.path.join(REPO, "examples", "training_data_pipeline.py")
+    r = subprocess.run([sys.executable, script,
                         "/root/testdata/sf0.001", out_dir],
-                       capture_output=True, text=True, cwd="/root/repo")
+                       capture_output=True, text=True, cwd=REPO)
     assert r.returncode == 0, r.stderr[-500:]
     t = pq.read_table(out_dir)
     assert t.num_rows > 0
