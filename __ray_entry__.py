@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_waveform": events.anomaly_waveform,
         "paired_latest": events.paired_latest,
         "value_quantiles": events.value_quantiles,
+        "value_quantiles_sketch": events.value_quantiles_sketch,
         "distinct_count_hll": events.distinct_count_hll,
         # --- custom joins (as-of / interval / sliding window) ---
         "asof_join": joins.asof_join,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_near_dups": ann.embedding_near_dups,
+        "embedding_near_dups_lsh": ann.embedding_near_dups_lsh,
         # --- reco / model scoring ---
         "cf_recommend": reco.cf_recommend,
         "strut_scores": reco.strut_scores,
@@ -591,35 +593,14 @@ SELECT doc_id::BIGINT AS doc_id,
                                   ELSE 0::HUGEINT END)::UBIGINT), 16, '0')) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """,
-        # minhash_near_dups: the LSH bucketing is not SQL, but the RESULT
-        # contract is — all pairs with word-3-shingle Jaccard ≥ 0.8
-        # (engine recall at j≥0.8 with 16×4 bands ≈ 0.9996; fixture dup
-        # pairs sit near j=1 where every band collides, and the signature
-        # pipeline is fully deterministic — verified value-exact at
-        # sf0.001/0.01/0.1).
-        "minhash_near_dups": """
-WITH d AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-  FROM d
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-)
-SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
-       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
-""",
+        # minhash_near_dups: rows-only BY CONTRACT (ADVICE r2). LSH
+        # candidate generation is probabilistic by construction (recall
+        # ≈0.9996 at j=0.8 with 16×4 bands): a borderline pair can be
+        # deterministically missed on a different corpus, so an
+        # exact-all-pairs SQL oracle would overclaim. The honest oracle
+        # is the python one in tests/test_ops.py: engine ⊆ exact
+        # all-pairs with exact jaccard values (precision 1.0, guaranteed
+        # by the verify stage) + full recall on the fixture corpora.
         # Language-ID heuristic is fully deterministic: score(lang) =
         # #distinct marker words present in the first 200 tokens; winner =
         # alphabetically-first lang with the max score ('unknown' at 0).

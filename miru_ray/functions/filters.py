@@ -83,9 +83,13 @@ def parse_query(q: str, schema=None) -> Filter:
 
     ``field:value`` targets a secondary indexed field (state/schema.py),
     like the reference's per-field Lucene syntax
-    (LuceneBackedQueryParser.java:48-144). Without a ``schema`` the value
-    is matched RAW (keyword semantics); with a schema, ``tokenized``
-    fields normalize the value through the text tokenizer. Combines with
+    (LuceneBackedQueryParser.java:48-144). Field syntax applies ONLY to
+    fields DECLARED on the schema: with no schema, or when ``field`` is
+    not a schema field, the whole token (colon included) is tokenized as
+    primary text — so ``http://example.com`` or ``error:timeout`` in an
+    AND query match text instead of fabricating an unknown-field term
+    that can never hit. ``tokenized`` fields normalize the value through
+    the text tokenizer; keyword/composite match RAW. Combines with
     ``-``/``*``: ``-source:src3``, ``site:exa*``.
     """
     from miru_ray.state.schema import field_ns
@@ -106,10 +110,11 @@ def parse_query(q: str, schema=None) -> Filter:
             tok = tok[:-1]
         node: Filter
         fname, _, fval = tok.partition(":")
-        if _ and fname and fval:
-            fd = schema.field(fname) if schema is not None else None
+        fd = (schema.field(fname) if (schema is not None and _ and fname and fval)
+              else None)
+        if fd is not None:
             ns = field_ns(fname)
-            if fd is not None and fd.kind == "numeric":
+            if fd.kind == "numeric":
                 from miru_ray.state.schema import encode_numeric_one
                 try:
                     if ".." in fval:   # inclusive range lo..hi (either open)
@@ -123,7 +128,7 @@ def parse_query(q: str, schema=None) -> Filter:
                         node = Term(ns + encode_numeric_one(int(fval)))
                 except ValueError:
                     continue   # malformed numeric: drop like other garbage
-            elif fd is not None and fd.kind == "tokenized":
+            elif fd.kind == "tokenized":
                 ftoks = tokenize(fval)
                 if not ftoks:
                     continue
@@ -134,7 +139,7 @@ def parse_query(q: str, schema=None) -> Filter:
                 else:
                     node = And(tuple(Term(ns + t) for t in ftoks))
             else:   # keyword/composite fields match the RAW value
-                if fd is not None and fd.kind == "composite":
+                if fd.kind == "composite":
                     from miru_ray.state.schema import COMPOSE_SEP
                     fval = fval.replace("|", COMPOSE_SEP)
                 node = Prefix(ns + fval) if is_prefix else Term(ns + fval)

@@ -351,9 +351,13 @@ def simhash64(sf_dir: str) -> pa.Table:
                         .astype(np.int64) * 2 - 1)
                 acc = np.add.reduceat(sign * tf_i, starts)
                 sims[present] |= (acc > 0).astype(np.uint64) << np.uint64(bit)
-        return pa.table({"doc_id": batch["doc_id"],
-                         "simhash": pa.array([f"{int(s):016x}" for s in sims],
-                                             pa.string())})
+        # Docs with zero tokens have no simhash: the unnest-based SQL
+        # oracle emits no row for them, so neither do we (ADVICE r2).
+        keep = doclens > 0
+        return pa.table({"doc_id": batch["doc_id"].filter(pa.array(keep)),
+                         "simhash": pa.array(
+                             [f"{int(s):016x}" for s in sims[keep]],
+                             pa.string())})
 
     out = ds.map_batches(f, batch_format="pyarrow")
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

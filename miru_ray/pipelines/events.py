@@ -36,7 +36,8 @@ from miru_ray.sources.tables import read_table
 __all__ = ["analytics_waveform", "metrics_sum", "distinct_count_users",
            "aggregate_counts", "trending", "user_sessions", "props_k_stats",
            "anomaly_waveform", "aggregate_counts_paged", "aggregate_counts_page2",
-           "paired_latest", "value_quantiles", "distinct_count_hll"]
+           "paired_latest", "value_quantiles", "value_quantiles_sketch",
+           "distinct_count_hll"]
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -396,6 +397,112 @@ def value_quantiles(sf_dir: str) -> pa.Table:
     out = ds.groupby("event_type").map_groups(_quantile_group,
                                               batch_format="pandas")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# ---------------------------------------------------------------- t-digest
+_TD_DELTA = 200                  # compression: ≤ delta centroids per digest
+
+
+def _td_cluster(means: np.ndarray, weights: np.ndarray,
+                delta: int = _TD_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """Compress (mean, weight) pairs SORTED BY MEAN into ≤ ~delta
+    centroids with the t-digest k1 scale function
+    k(q) = delta/(2π)·asin(2q−1) — tail clusters stay tiny, so p99-style
+    tail quantiles keep high resolution. Fully vectorized: each input is
+    assigned floor(k(q_mid)) and same-cluster runs merge via reduceat —
+    deterministic, no RNG, no per-row Python."""
+    w = weights.astype(np.float64)
+    total = w.sum()
+    if total == 0 or len(w) == 0:
+        return means[:0], w[:0]
+    q_mid = (np.cumsum(w) - w / 2) / total
+    k = np.floor(delta / (2 * np.pi)
+                 * np.arcsin(np.clip(2 * q_mid - 1, -1.0, 1.0)))
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    cw = np.add.reduceat(w, starts)
+    cm = np.add.reduceat(means * w, starts) / cw
+    return cm, cw
+
+
+def _td_from_values(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x = np.sort(x.astype(np.float64), kind="stable")
+    return _td_cluster(x, np.ones(len(x)))
+
+
+def _td_merge(parts: list[tuple[np.ndarray, np.ndarray]]
+              ) -> tuple[np.ndarray, np.ndarray]:
+    m = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    order = np.argsort(m, kind="stable")
+    return _td_cluster(m[order], w[order])
+
+
+def _td_quantile(means: np.ndarray, weights: np.ndarray, lo: float,
+                 hi: float, qs: list[float]) -> list[float]:
+    """Standard t-digest estimate: piecewise-linear through centroid
+    midpoints, anchored at the tracked exact min/max."""
+    total = weights.sum()
+    mids = (np.cumsum(weights) - weights / 2) / total
+    xs = np.concatenate([[0.0], mids, [1.0]])
+    ys = np.concatenate([[lo], means, [hi]])
+    return [float(np.interp(q, xs, ys)) for q in qs]
+
+
+def value_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """(event_type, p50, p90, p99) — the SKETCH form of value_quantiles:
+    per-batch t-digest partials (≤ ~200 centroids ≈ 3 KB per (batch,
+    type)) merged per type, so the shuffle moves O(batches×types)
+    kilobyte rows no matter the corpus size — the 100-TB path where the
+    exact form's per-type mega-group (ALL of a type's values in one
+    task) no longer fits. Rank error ≤ ~1% is pytest-bounded against the
+    exact entry, which stays the oracle (VERDICT r2 next-round #1a;
+    pattern: distinct_count_hll)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(et, kind="stable")
+        et, val = et[order], val[order]
+        starts = np.flatnonzero(np.concatenate([[True], et[1:] != et[:-1]]))
+        ends = np.append(starts[1:], len(et))
+        rows = {"event_type": [], "means": [], "weights": [],
+                "lo": [], "hi": []}
+        for s, e in zip(starts, ends):    # loop over TYPES, not rows
+            cm, cw = _td_from_values(val[s:e])
+            rows["event_type"].append(et[s])
+            rows["means"].append(cm.tolist())
+            rows["weights"].append(cw.tolist())
+            rows["lo"].append(float(val[s:e].min()))
+            rows["hi"].append(float(val[s:e].max()))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "means": pa.array(rows["means"], pa.list_(pa.float64())),
+            "weights": pa.array(rows["weights"], pa.list_(pa.float64())),
+            "lo": pa.array(rows["lo"], pa.float64()),
+            "hi": pa.array(rows["hi"], pa.float64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    by_type: dict[str, list] = {}
+    for r in rows:   # O(batches × types) small sketch rows
+        by_type.setdefault(r["event_type"], []).append(r)
+    out = {"event_type": [], "p50": [], "p90": [], "p99": []}
+    for et in sorted(by_type):
+        parts = [(np.asarray(r["means"]), np.asarray(r["weights"]))
+                 for r in by_type[et]]
+        cm, cw = _td_merge(parts)
+        lo = min(r["lo"] for r in by_type[et])
+        hi = max(r["hi"] for r in by_type[et])
+        p50, p90, p99 = _td_quantile(cm, cw, lo, hi, [0.5, 0.9, 0.99])
+        out["event_type"].append(et)
+        out["p50"].append(round(p50, 6))
+        out["p90"].append(round(p90, 6))
+        out["p99"].append(round(p99, 6))
+    return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                     "p50": pa.array(out["p50"], pa.float64()),
+                     "p90": pa.array(out["p90"], pa.float64()),
+                     "p99": pa.array(out["p99"], pa.float64())})
 
 
 _HLL_P = 12                      # 4096 registers → ~1.6% standard error

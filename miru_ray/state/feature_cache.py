@@ -54,17 +54,20 @@ class StrutFeatureCache:
         os.makedirs(cache_dir, exist_ok=True)
         self.wm_path = os.path.join(cache_dir, "watermark.json")
 
-    def _manifest(self) -> tuple[int, str | None, tuple | None]:
-        """(watermark, committed features file or None, source stat)."""
+    def _manifest(self) -> tuple[int, str | None, tuple | None, tuple | None]:
+        """(watermark, committed features file or None, source stat,
+        prefix guard (rows, xor) or None)."""
         wm = read_json(self.wm_path)
         if wm is None or wm.get("label") != self.label:
-            return -1, None, None
+            return -1, None, None, None
         f = wm.get("file")
         path = os.path.join(self.cache_dir, f) if f else None
         if path is not None and not os.path.exists(path):
-            return -1, None, None   # torn state: rebuild from scratch
+            return -1, None, None, None   # torn state: rebuild from scratch
         st = wm.get("src_stat")
-        return int(wm["last_event_id"]), path, tuple(st) if st else None
+        pg = wm.get("prefix_guard")
+        return (int(wm["last_event_id"]), path,
+                tuple(st) if st else None, tuple(pg) if pg else None)
 
     @property
     def features_path(self) -> str | None:
@@ -82,10 +85,43 @@ class StrutFeatureCache:
                 except OSError:
                     pass
 
-    def update(self, events_path: str) -> dict:
+    @staticmethod
+    def _digest_batch(b: pa.RecordBatch | pa.Table) -> tuple[int, int]:
+        """(rows, XOR of per-row hashes) over the exact columns the fold
+        reads (event_id, user_id, event_type) — XOR is commutative, so
+        the digest folds forward additively across deltas."""
+        from miru_ray.functions.hashing import hash_strings
+        eid = b.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+        uid = b.column(1).to_numpy(zero_copy_only=False).astype(np.uint64)
+        et = hash_strings(np.asarray(b.column(2).to_pylist(), dtype=object))
+        h = (eid * np.uint64(0x9E3779B185EBCA87)
+             ^ uid * np.uint64(0xC2B2AE3D27D4EB4F) ^ et)
+        return len(h), int(np.bitwise_xor.reduce(h))
+
+    _DIGEST_COLS = ["event_id", "user_id", "event_type"]
+
+    def _prefix_digest(self, events_path: str, wm: int) -> tuple[int, int]:
+        """Digest of rows with event_id <= wm — a pushdown scan of the
+        history prefix over the fold's own three columns. Catches the
+        rewrite that both mutates history AND appends higher ids (which
+        looks like a pure append to the watermark check alone): O(prefix)
+        column read, far cheaper than a refold (no shuffle), and
+        skippable (verify_prefix=False) for WALs that guarantee
+        append-only."""
+        rows, x = 0, 0
+        for b in pads.dataset(events_path).to_batches(
+                columns=self._DIGEST_COLS,
+                filter=pads.field("event_id") <= wm):
+            if b.num_rows:
+                n, h = self._digest_batch(b)
+                rows += n
+                x ^= h
+        return rows, x
+
+    def update(self, events_path: str, verify_prefix: bool = True) -> dict:
         """Fold events with event_id > watermark into the feature cache.
         Returns {"watermark": id, "users": n}."""
-        wm, feat_path, old_stat = self._manifest()
+        wm, feat_path, old_stat, old_guard = self._manifest()
         fstat = os.stat(events_path)
         cur_stat = (fstat.st_size, fstat.st_mtime_ns)
         # source watermark from parquet row-group STATISTICS (no data read)
@@ -101,10 +137,17 @@ class StrutFeatureCache:
             # watermark regressed, OR the file changed while its max
             # event_id stayed put — either way a REWRITE, not an append:
             # discard the cache and refold from scratch
-            wm, feat_path = -1, None
+            wm, feat_path, old_guard = -1, None, None
         elif src_wm == wm and feat_path is not None:
             return {"watermark": wm,
                     "users": pq.ParquetFile(feat_path).metadata.num_rows}
+        if (verify_prefix and feat_path is not None and src_wm > wm
+                and old_guard is not None
+                and tuple(cur_stat) != (old_stat or ())):
+            # apparent append (higher max id, changed file): verify the
+            # history prefix is untouched before trusting the delta fold
+            if self._prefix_digest(events_path, wm) != old_guard:
+                wm, feat_path, old_guard = -1, None, None
         new_wm = src_wm
         ds = rd.read_parquet(events_path,
                              columns=["event_id", "user_id", "event_type"],
@@ -131,6 +174,21 @@ class StrutFeatureCache:
         t = pa.table({"user_id": t["user_id"].cast(pa.int64()),
                       "num": t["num"].cast(pa.int64()),
                       "den": t["den"].cast(pa.int64())})
+        # prefix guard rolls forward ADDITIVELY: XOR/count of the delta's
+        # event_ids folds into the stored prefix digest — no history read
+        d_rows, d_xor = 0, 0
+        for b in pads.dataset(events_path).to_batches(
+                columns=self._DIGEST_COLS,
+                filter=pads.field("event_id") > wm):
+            if b.num_rows:
+                n, h = self._digest_batch(b)
+                d_rows += n
+                d_xor ^= h
+        if feat_path is not None and old_guard is None and wm >= 0:
+            # pre-guard manifest being appended onto: backfill the prefix
+            # digest once so the NEW manifest's guard covers all history
+            old_guard = self._prefix_digest(events_path, wm)
+        base_rows, base_xor = old_guard if (old_guard and feat_path) else (0, 0)
         gen_name = f"features-{new_wm}.parquet"
         gen_path = os.path.join(self.cache_dir, gen_name)
         pq.write_table(t, gen_path + ".tmp", row_group_size=65536)
@@ -138,7 +196,9 @@ class StrutFeatureCache:
         write_json_atomic(self.wm_path, {"last_event_id": new_wm,
                                          "label": self.label,
                                          "file": gen_name,
-                                         "src_stat": list(cur_stat)})
+                                         "src_stat": list(cur_stat),
+                                         "prefix_guard": [base_rows + d_rows,
+                                                          base_xor ^ d_xor]})
         self._gc_generations(keep=gen_name)
         return {"watermark": new_wm, "users": t.num_rows}
 

@@ -1,0 +1,120 @@
+"""Round-3 ADVICE fixes: unknown-field query fallback, simhash empty-doc
+parity, feature-cache mutate+append rewrite detection."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_query_unknown_field_falls_back_to_text():
+    """A ':' token whose field is NOT declared (or with no schema at all)
+    tokenizes as primary text — 'error:timeout' / URLs must not fabricate
+    an unmatchable namespaced term (ADVICE r2, medium)."""
+    from miru_ray.functions.filters import And, Term, parse_query
+    from miru_ray.state.schema import IndexSchema, FieldDef
+
+    # no schema: plain text semantics
+    t = parse_query("error:timeout")
+    assert t == And((And((Term("error"), Term("timeout"))),))
+
+    t = parse_query("http://example.com")
+    assert t == And((And((Term("http"), Term("example"), Term("com"))),))
+
+    # schema present but field undeclared: same fallback
+    schema = IndexSchema((FieldDef("source", "keyword"),))
+    t = parse_query("error:timeout", schema=schema)
+    assert t == And((And((Term("error"), Term("timeout"))),))
+
+    # declared field keeps raw-keyword namespaced semantics
+    t = parse_query("source:src3", schema=schema)
+    assert t == And((Term("\x00source\x00src3"),))
+
+
+def test_fulltext_query_with_url_token_matches_text(index_dir, ray_session):
+    """End-to-end: a query containing a colon token must hit docs whose
+    TEXT contains the tokens, not silently return zero."""
+    from miru_ray.pipelines.search import search
+    from miru_ray.state.reader import IndexReader
+    reader = IndexReader(index_dir)
+    base = search(reader, "w00001 w00002", k=5)
+    colon = search(reader, "w00001:w00002", k=5)
+    assert len(base) > 0
+    assert list(colon["doc_id"]) == list(base["doc_id"])
+
+
+def test_simhash_skips_zero_token_docs(tmp_path, ray_session):
+    """Docs with no tokens emit NO simhash row — matching the unnest-based
+    SQL oracle on a corpus that contains empty/punctuation-only docs."""
+    import duckdb
+    import __ray_entry__ as E
+    from miru_ray.pipelines.dedup import simhash64
+
+    d = str(tmp_path)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["the quick brown fox", "", "?!...", "lazy dog",
+                          "the quick brown fox"]),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = simhash64(d).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = con.sql(E.oracle_sql()["simhash64"]).df()
+    assert list(got["doc_id"]) == list(ora["doc_id"]) == [0, 3, 4]
+    assert list(got["simhash"]) == list(ora["simhash"])
+
+
+def test_feature_cache_detects_mutate_plus_append(tmp_path, ray_session):
+    """A rewrite that BOTH mutates history AND appends higher event_ids
+    looks like a pure append to the watermark check alone; the prefix
+    digest guard must catch it and refold from scratch (ADVICE r2)."""
+    from miru_ray.state.feature_cache import StrutFeatureCache
+
+    full = pq.read_table(os.path.join(SF, "events.parquet")).sort_by("event_id")
+    cut = full.num_rows * 2 // 3
+    src = str(tmp_path / "events.parquet")
+    pq.write_table(full.slice(0, cut), src)
+
+    c = StrutFeatureCache(str(tmp_path / "cache"), "purchase")
+    c.update(src)
+
+    # rewrite: flip one historical event's type AND append the tail
+    mut = full.to_pandas()
+    hist_idx = cut // 2
+    old_type = mut.loc[hist_idx, "event_type"]
+    mut.loc[hist_idx, "event_type"] = (
+        "purchase" if old_type != "purchase" else "click")
+    pq.write_table(pa.Table.from_pandas(mut, preserve_index=False), src)
+
+    c.update(src)
+    clean = StrutFeatureCache(str(tmp_path / "cache_clean"), "purchase")
+    clean.update(src)
+    fa = pq.read_table(c.features_path).sort_by("user_id")
+    fb = pq.read_table(clean.features_path).sort_by("user_id")
+    assert fa.equals(fb)
+
+
+def test_feature_cache_pure_append_stays_incremental(tmp_path, ray_session):
+    """The guard must NOT force refolds on genuine appends: after an
+    append-only grow, the fold scans only event_id > watermark (delta)."""
+    from miru_ray.state.feature_cache import StrutFeatureCache
+
+    full = pq.read_table(os.path.join(SF, "events.parquet")).sort_by("event_id")
+    cut = full.num_rows * 2 // 3
+    src = str(tmp_path / "events.parquet")
+    pq.write_table(full.slice(0, cut), src)
+    c = StrutFeatureCache(str(tmp_path / "cache"), "purchase")
+    c.update(src)
+    wm1 = c._manifest()[0]
+    pq.write_table(full, src)
+    c.update(src)
+    assert c._manifest()[0] > wm1
+    clean = StrutFeatureCache(str(tmp_path / "cache_clean"), "purchase")
+    clean.update(src)
+    assert pq.read_table(c.features_path).sort_by("user_id").equals(
+        pq.read_table(clean.features_path).sort_by("user_id"))
