@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "sort merge src_lang:src3|en", 20),
         "fulltext_scattered": lambda sf: fulltext.fulltext_scattered(
             sf, "sort merge", 20),
+        "fulltext_lang_analyzed": lambda sf: fulltext.fulltext_lang_analyzed(
+            sf, "scan merge group", lang="de", k=20),
         "fulltext_highlight": fulltext.fulltext_highlighted,
         "authz_search": fulltext.authz_search,
         "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
@@ -133,6 +135,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _stop_pred_sql() -> str:
+    """The per-language stopword filter as a DuckDB lambda predicate —
+    generated from the ONE miru_ray STOPWORDS table (index, query and
+    oracle share it)."""
+    from miru_ray.functions.tokenize import STOPWORDS
+    cases = " ".join(
+        "WHEN '{}' THEN x IN ({})".format(
+            lg, ", ".join(f"'{w}'" for w in sorted(ws)))
+        for lg, ws in sorted(STOPWORDS.items()))
+    return f"NOT CASE lang {cases} ELSE false END"
+
+
+def _bm25_lang_sql(terms: list[str], k: int, lang: str) -> str:
+    """BM25 over the per-language-ANALYZED corpus: every doc's tokens are
+    filtered by its own language's stopword set (so dl/avgdl/df/N are the
+    analyzed corpus's), candidates restricted to ``lang`` docs."""
+    termlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_extract_all(lower(text), '{TOKEN_SQL}'),
+           x -> {_stop_pred_sql()})) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ({termlist}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ) AS raw,
+         count(*) AS nterms
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 6) AS score FROM scores
+WHERE nterms = {len(terms)}
+  AND doc_id IN (SELECT doc_id FROM documents d WHERE d.lang = '{lang}')
+ORDER BY raw DESC, doc_id DESC LIMIT {k}
+"""
+
+
 def _bm25_sql(terms: list[str], k: int, require_all: bool,
               doc_filter: str = "") -> str:
     """BM25 in ANSI SQL. ``doc_filter`` restricts CANDIDATE docs (an extra
@@ -187,6 +234,8 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "sort"], 20, require_all=True,
             doc_filter="d.source = 'src3' AND d.lang = 'en'"),
         "fulltext_scattered": _bm25_sql(["merge", "sort"], 20, require_all=True),
+        "fulltext_lang_analyzed": _bm25_lang_sql(["group", "merge", "scan"],
+                                                 20, lang="de"),
         # Caller entitlement 'grp0' = docs labeled grp0 at build: residue 0
         # carries [grp0], residue 2 carries [grp0, grp1] (tables._to_pages).
         "authz_search": _bm25_sql(["scan", "table"], 20, require_all=True,

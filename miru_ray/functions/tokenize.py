@@ -21,11 +21,64 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["TOKEN_RE", "tokenize", "tokenize_column", "term_frequencies"]
+__all__ = ["TOKEN_RE", "tokenize", "tokenize_column", "term_frequencies",
+           "STOPWORDS", "tokenize_lang", "tokenize_column_lang"]
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 # SQL-equivalent pattern for oracle parity (DuckDB regexp_extract_all).
 TOKEN_RE_SQL = "[a-z0-9]+"
+
+# Per-language stopword sets for the ``per_lang`` analyzer — the
+# reference's per-locale analyzer chains with language stopword filters
+# (miru-plugin/.../query/TermAnalyzers.java:45-138, EnStopwords.java et
+# al), reduced to the [a-z0-9]+ grammar (accented forms tokenize into
+# fragments under this grammar and are deliberately excluded). ONE table
+# shared by index build, query analysis and the SQL oracle.
+STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset(("a", "an", "and", "are", "as", "at", "be", "by",
+                     "for", "from", "in", "is", "it", "of", "on", "or",
+                     "that", "the", "to", "with")),
+    "de": frozenset(("der", "die", "das", "und", "ist", "nicht", "ein",
+                     "eine", "zu", "den", "von", "mit", "im", "auf",
+                     "des", "sich", "auch")),
+    "fr": frozenset(("le", "la", "les", "des", "est", "une", "un", "et",
+                     "de", "du", "en", "que", "qui", "dans", "pour",
+                     "sur", "pas", "ne")),
+    "es": frozenset(("el", "los", "las", "es", "una", "un", "y", "de",
+                     "del", "en", "que", "se", "por", "con", "para",
+                     "no", "al")),
+}
+
+
+def tokenize_lang(text: str, lang: str) -> list[str]:
+    """Per-language analyzer: base tokenizer then the language's stopword
+    filter (unknown languages pass through unfiltered). Pure — the query
+    parser and SQL oracle use this exact function/table."""
+    stop = STOPWORDS.get(lang)
+    toks = tokenize(text)
+    return [t for t in toks if t not in stop] if stop else toks
+
+
+def tokenize_column_lang(texts: pa.Array | pa.ChunkedArray,
+                         langs: np.ndarray) -> pa.ListArray:
+    """Vectorized per-language tokenize: base ``tokenize_column`` then one
+    ``isin`` mask pass per language present in the batch (4 passes max,
+    never per-row Python) — value-identical to tokenize_lang row-wise."""
+    base = tokenize_column(texts)
+    offsets = base.offsets.to_numpy(zero_copy_only=False)
+    flat = base.flatten()
+    doclens = np.diff(offsets)
+    tok_lang = np.repeat(np.asarray(langs, dtype=object), doclens)
+    keep = np.ones(len(flat), dtype=bool)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    for lg, stop in STOPWORDS.items():
+        sel = tok_lang == lg
+        if sel.any():
+            keep[sel] &= ~np.isin(flat_np[sel], list(stop))
+    kept_cum = np.concatenate([[0], np.cumsum(keep)])
+    new_offsets = kept_cum[offsets]
+    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()),
+                                    flat.filter(pa.array(keep)))
 
 
 def tokenize(text: str) -> list[str]:

@@ -121,6 +121,13 @@ class BuildConfig:
     extract_actors: bool = False     # actor-pool extract (use when the
                                      # extractor has expensive init; the
                                      # default regex extractor does not)
+    analyzer: str = "simple"         # primary-field analyzer chain:
+                                     # "simple" = the one [a-z0-9]+
+                                     # tokenizer; "per_lang" = + per-doc
+                                     # language stopword filter
+                                     # (TermAnalyzers.java:45-138 dual);
+                                     # recorded in meta.json so the query
+                                     # side analyzes identically
     schema: "IndexSchema | None" = None   # secondary indexed fields
                                      # (state/schema.py): keyword /
                                      # keyword_list / tokenized columns
@@ -306,8 +313,16 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # a manifest built by a DIFFERENT extractor version is stale regardless
     # of input digest — resume must never mix extractor versions in one
     # index (layout.py contract)
+    # ... and so is one built under a DIFFERENT IndexSchema: a resumed
+    # index must never mix partitions with different field postings
+    # (the reference's additive-schema guard,
+    # MiruSchema.checkAdditive:303-314). Old manifests without the key
+    # compare unequal and rebuild — the safe direction.
+    want_schema = cfg.schema.to_meta() if cfg.schema else []
     for p in [p for p, m in done.items()
-              if m.get("extractor_version") != EXTRACTOR_VERSION]:
+              if m.get("extractor_version") != EXTRACTOR_VERSION
+              or m.get("schema_meta") != want_schema
+              or m.get("analyzer", "simple") != cfg.analyzer]:
         done.pop(p)
         os.remove(layout.manifest_path(index_dir, p))
     digest_text = (not has_html) and ("text" in names)
@@ -347,7 +362,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
                                 num_shards=cfg.num_shards,
                                 store_text=cfg.store_text,
                                 digest_text=digest_text,
-                                schema=cfg.schema)
+                                schema=cfg.schema, analyzer=cfg.analyzer)
     # memory-bandwidth guard: the build bodies are streaming kernels whose
     # aggregate throughput saturates a single socket around ~16 concurrent
     # tasks (measured: per-task cost inflates ~3x at 32). Reserve 2 CPUs
@@ -365,7 +380,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         meta = {"num_parts": cfg.num_parts, "num_shards": cfg.num_shards,
                 "n_docs": 0, "avgdl": 0.0, "bases": {}, "k1": cfg.k1, "b": cfg.b,
                 "extractor_version": EXTRACTOR_VERSION, "skipped_parts": skipped,
-                "schema": cfg.schema.to_meta() if cfg.schema else []}
+                "schema": cfg.schema.to_meta() if cfg.schema else [],
+                "analyzer": cfg.analyzer}
         write_json_atomic(meta_path(index_dir), meta)
         return meta
     parts_sorted = sorted(done)
@@ -405,6 +421,7 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         "extractor_version": EXTRACTOR_VERSION,
         "skipped_parts": skipped,
         "schema": cfg.schema.to_meta() if cfg.schema else [],
+        "analyzer": cfg.analyzer,
         "tokenizer": "[a-z0-9]+ lowercase",
         "n_terms": int(sum(r["n_terms"] for r in seg_stats)),
         "segment_bytes": int(sum(r["bytes"] for r in seg_stats)),

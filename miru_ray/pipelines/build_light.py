@@ -87,7 +87,7 @@ def _assign_ids(group: pd.DataFrame, *, index_dir: str) -> pd.DataFrame:
     os.replace(tmp, os.path.join(pdir, "docs.parquet"))
     write_manifest(index_dir, part, {
         "part": part, "status": "ids", "input_digest": digest,
-        "extractor_version": EXTRACTOR_VERSION,
+        "extractor_version": EXTRACTOR_VERSION, "schema_meta": [],
         "n_rows_in": len(group), "n_docs": n,
         "sum_doclen": 0, "n_terms": -1, "elapsed_s": 0.0,
     })
@@ -153,6 +153,10 @@ def build_index_shuffle_light(source, index_dir: str,
     if cfg.langs:
         raise NotImplementedError("shuffle-light build does not support the "
                                   "lang pushdown filter yet — use build_index")
+    if cfg.analyzer != "simple":
+        raise NotImplementedError("build_index_shuffle_light does not "
+                                  "support analyzer chains yet — use "
+                                  "build_index")
     if cfg.schema:
         raise NotImplementedError("shuffle-light build does not support "
                                   "secondary field schemas yet — use build_index")

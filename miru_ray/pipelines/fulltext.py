@@ -28,12 +28,13 @@ from miru_ray.state.reader import IndexReader
 __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "distinct_terms", "needle_search", "fulltext_filtered",
            "fulltext_highlighted", "term_first_last", "authz_search",
-           "fulltext_fielded", "fulltext_scattered"]
+           "fulltext_fielded", "fulltext_scattered",
+           "fulltext_lang_analyzed"]
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
 
-def documents_index(sf_dir: str) -> str:
+def documents_index(sf_dir: str, analyzer: str = "simple") -> str:
     """Build (cached) the inverted index over documents_as_pages(sf_dir).
 
     partition_mode="time_range" with num_parts=4: partitions are
@@ -42,13 +43,16 @@ def documents_index(sf_dir: str) -> str:
     with the SQL oracle — byte-identical segments to a num_parts=1 build,
     pytest-pinned) while the build parallelizes. The hash-partitioned
     path is exercised by the pages-fixture tests and fulltext_scattered.
+    ``analyzer="per_lang"`` builds the language-analyzed variant (its own
+    cache dir — the two indexes have different postings AND doclens).
     """
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 9}
+           "mtime_ns": st.st_mtime_ns, "layout": 9, "analyzer": analyzer}
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
-    idx = os.path.join(_CACHE_ROOT, slug)
+    idx = os.path.join(_CACHE_ROOT,
+                       slug + ("" if analyzer == "simple" else f"_{analyzer}"))
     tag_path = os.path.join(idx, "source_tag.json")
     if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
         return idx
@@ -72,6 +76,7 @@ def documents_index(sf_dir: str) -> str:
     build_index(documents_as_pages(sf_dir), idx,
                 BuildConfig(num_parts=4, num_shards=2, store_text=True,
                             partition_mode="time_range", time_bounds=bounds,
+                            analyzer=analyzer,
                             schema=IndexSchema((
                                 FieldDef("source", "keyword", stored=True),
                                 FieldDef("n_chars", "numeric"),
@@ -168,6 +173,24 @@ def fulltext_fielded(sf_dir: str, query: str = "sort merge source:src3",
     schemas). Field terms restrict candidates; only text terms score."""
     reader = IndexReader(documents_index(sf_dir))
     hits = search(reader, query, k=k)
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })
+
+
+def fulltext_lang_analyzed(sf_dir: str, query: str = "scan merge group",
+                           lang: str = "de", k: int = 20) -> pa.Table:
+    """BM25 top-k over the PER-LANGUAGE-analyzed index, restricted to one
+    language's docs — the reference's per-locale analyzer chain
+    (TermAnalyzers.java:45-138: locale → analyzer with that language's
+    stopword set) as a first-class index variant. Index side: every doc's
+    tokens pass its OWN language's stopword filter (doclens shrink, which
+    feeds BM25 avgdl corpus-wide); query side: search() analyzes the
+    query with the domain language's chain — both through the ONE
+    STOPWORDS table the SQL oracle also uses."""
+    reader = IndexReader(documents_index(sf_dir, analyzer="per_lang"))
+    hits = search(reader, query, k=k, langs=[lang])
     return pa.table({
         "doc_id": orig_doc_ids(hits["url"]),
         "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),

@@ -7,10 +7,15 @@ plugins re-expressed over the TPC-H-ish tables.
   of those parents minus me, top-N contributors by co-occurrence count;
   (3) gather contributors' other parents, scored by contributor weight.
   Users = customers (via orders), docs = lineitems, parents = parts.
-  Small sides (my part set, orderkey→custkey map) are broadcast via
-  ray.put; the big lineitem scan streams through map_batches. At larger
-  scale the orderkey→custkey resolution becomes a partitioned hash join
-  (bucket both sides on orderkey) — noted, not needed at sf≤1.
+  NOTHING corpus-sized is broadcast (VERDICT r2 next-round #1c): the
+  only ray.put sides are genuinely small (my part set, my orderkeys,
+  the 20 contributors' orderkeys — all resolved by parquet predicate
+  pushdown on orders). Hop 2's arbitrary orderkey→custkey resolution —
+  the one place that NEEDS the full orders table — goes through the
+  same ``orderkey % B`` co-partitioned hash exchange as
+  joins.customer_revenue: matched-lineitem partials and orders meet in
+  one bucketed shuffle, so per-task memory is O(orders/B), not
+  O(orders).
 - strut_scores — Catwalk model build + Strut scoring
   (miru-stream-plugins/.../catwalk/Catwalk.java:64-200,
   strut/Strut.java:82-240): per-(label, feature) counts as numerators,
@@ -32,25 +37,39 @@ from miru_ray.sources.tables import read_table
 __all__ = ["cf_recommend", "strut_scores", "catwalk_model"]
 
 
-def _orderkey_to_custkey(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """orderkey→custkey lookup, broadcast to every hop task via ray.put.
+_CF_BUCKETS = 64
 
-    Broadcast-size bound: 16 B/order (two int64 columns). TPC-H keeps
-    orders at 1.5M rows/SF → 24 MB/SF: ≈ 2.4 GB at SF=100, which still
-    fits one object-store copy per node but marks the ceiling. Beyond
-    that, replace hops 2/3 with a partitioned hash join: shuffle lineitem
-    AND orders by orderkey (ONE co-partitioning reused by both hops),
-    join per partition, then the existing partial-agg rollup — the same
-    number of all-to-alls as today's broadcast plan, so we defer until a
-    corpus actually crosses the bound (VERDICT r1 #6/#8)."""
+
+def _orders_for_custkeys(sf_dir: str, custkeys) -> tuple[np.ndarray, np.ndarray]:
+    """(orderkey sorted, custkey aligned) for a SMALL custkey set, via
+    parquet predicate pushdown — only these customers' order rows leave
+    storage (hop 1's 'my orders', hop 3's contributor orders)."""
     import os
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
-    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                           columns=["o_orderkey", "o_custkey"])
-    ok = orders["o_orderkey"].to_numpy()
-    ck = orders["o_custkey"].to_numpy()
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_orderkey", "o_custkey"],
+                      filters=pads.field("o_custkey").isin(list(custkeys)))
+    ok = t["o_orderkey"].to_numpy()
+    ck = t["o_custkey"].to_numpy()
     order = np.argsort(ok)
     return ok[order], ck[order]
+
+
+def _hop2_bucket_group(g: pd.DataFrame, me: int) -> pd.DataFrame:
+    """One orderkey bucket: join matched-lineitem weight partials with
+    the bucket's orders rows, drop me, partial-sum per custkey."""
+    line = g[g["side"] == 0]
+    orders = g[g["side"] == 1]
+    j = line[["orderkey", "w"]].merge(orders[["orderkey", "custkey"]],
+                                      on="orderkey", how="inner")
+    j = j[j["custkey"] != me]
+    if j.empty:
+        return pd.DataFrame({"custkey": pd.Series([], dtype=np.int64),
+                             "w": pd.Series([], dtype=np.int64)})
+    out = j.groupby("custkey", sort=False)["w"].sum().reset_index()
+    return pd.DataFrame({"custkey": out["custkey"].astype(np.int64),
+                         "w": out["w"].astype(np.int64)})
 
 
 def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
@@ -58,10 +77,8 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
     """(p_partkey, score) — parts recommended to ``custkey`` by the 3-hop
     walk; score = Σ contributor co-occurrence weight; top-k by
     (score desc, partkey asc)."""
-    ok_s, ck_s = _orderkey_to_custkey(sf_dir)
-
-    # hop 1: my orders → my distinct parts (small; driver-side gather)
-    my_orders = ok_s[ck_s == custkey]
+    # hop 1: my orders (pushdown: one customer) → my distinct parts
+    my_orders, _ = _orders_for_custkeys(sf_dir, [custkey])
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     my_orders_ref = ray.put(np.sort(my_orders))
 
@@ -78,26 +95,42 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
          li.map_batches(my_parts_batch, batch_format="pyarrow")
            .iter_batches(batch_format="pyarrow")] or [np.array([], np.int64)]))
 
-    # hop 2: other users of my parts → contributor weights
-    lookup_ref = ray.put((ok_s, ck_s, np.sort(my_parts)))
+    # hop 2: other users of my parts → contributor weights, via the
+    # orderkey%B co-partitioned exchange (joins.customer_revenue plan):
+    # only MATCHED lineitems (partkey ∈ my_parts, pre-counted per
+    # orderkey inside the batch) + the orders table move; no broadcast.
+    import functools
+    mp_ref = ray.put(np.sort(my_parts))
 
-    def contributors_batch(t: pa.Table) -> pa.Table:
-        oks, cks, mp = ray.get(lookup_ref)
+    def line_weights(t: pa.Table) -> pa.Table:
+        mp = ray.get(mp_ref)
         pk = t["l_partkey"].to_numpy()
         pos = np.searchsorted(mp, pk)
         hit = (pos < len(mp)) & (mp[np.minimum(pos, len(mp) - 1)] == pk)
-        if not hit.any():
-            return pa.table({"custkey": pa.array([], pa.int64()),
-                             "w": pa.array([], pa.int64())})
         okk = t["l_orderkey"].to_numpy()[hit]
-        cust = cks[np.searchsorted(oks, okk)]
-        keep = cust != custkey
-        df = pd.DataFrame({"custkey": cust[keep]})
-        g = df.groupby("custkey", sort=False).size().reset_index(name="w")
+        df = pd.DataFrame({"orderkey": okk})
+        g = df.groupby("orderkey", sort=False).size().reset_index(name="w")
+        g["bucket"] = g["orderkey"].to_numpy() % _CF_BUCKETS
+        g["custkey"] = np.int64(0)
+        g["side"] = np.int8(0)
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    orders_ds = read_table(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey"])
+
+    def orders_tag(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "orderkey": ok, "w": np.int64(0), "bucket": ok % _CF_BUCKETS,
+            "custkey": t["o_custkey"].to_numpy(), "side": np.int8(1),
+        }), preserve_index=False)
+
+    both = (li.map_batches(line_weights, batch_format="pyarrow")
+              .union(orders_ds.map_batches(orders_tag, batch_format="pyarrow")))
     contrib = bucketed_sum_rollup(
-        li.map_batches(contributors_batch, batch_format="pyarrow"),
+        both.groupby("bucket").map_groups(
+            functools.partial(_hop2_bucket_group, me=custkey),
+            batch_format="pandas"),
         keys=["custkey"], val_cols=["w"]).to_pandas()
     contrib = contrib.sort_values(["w", "custkey"],
                                   ascending=[False, True]).head(n_contributors)
@@ -105,16 +138,18 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
 
     # hop 3: contributors' other parts, scored by contributor weight over
     # DISTINCT (contributor, part) pairs (CollaborativeFiltering.java:197
-    # subtracts my parents; distinct parents per contributor)
-    hop3_ref = ray.put((ok_s, ck_s, np.sort(np.array(sorted(cw), dtype=np.int64)),
-                        np.sort(my_parts)))
+    # subtracts my parents; distinct parents per contributor). The
+    # contributor ORDER set is small (n_contributors customers) —
+    # pushdown-read it and broadcast that, never the full orders map.
+    ok_c, ck_c = _orders_for_custkeys(sf_dir, sorted(cw))
+    hop3_ref = ray.put((ok_c, ck_c, np.sort(my_parts)))
 
     def pairs_batch(t: pa.Table) -> pa.Table:
-        oks, cks, cs, mp = ray.get(hop3_ref)
+        oks, cks, mp = ray.get(hop3_ref)
         okk = t["l_orderkey"].to_numpy()
-        cust = cks[np.searchsorted(oks, okk)]
-        pos = np.searchsorted(cs, cust)
-        is_contrib = (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == cust)
+        pos = np.searchsorted(oks, okk)
+        is_contrib = (pos < len(oks)) & (oks[np.minimum(pos, len(oks) - 1)] == okk)
+        cust = cks[np.minimum(pos, len(oks) - 1)]
         pk = t["l_partkey"].to_numpy()
         ppos = np.searchsorted(mp, pk)
         not_mine = ~((ppos < len(mp)) & (mp[np.minimum(ppos, len(mp) - 1)] == pk))

@@ -142,6 +142,14 @@ def search(reader: IndexReader, query: str, k: int = 10,
     ``field:value`` query syntax resolves against the index's own schema
     (reader.schema, persisted in meta.json at build time).
     """
+    if reader.analyzer == "per_lang" and langs and len(langs) == 1:
+        # per-language index: analyze the QUERY with the same stopword
+        # chain its docs were indexed with (one lang domain → one chain;
+        # field:value tokens contain ':' and never match a stopword)
+        from miru_ray.functions.tokenize import STOPWORDS
+        stop = STOPWORDS.get(langs[0], frozenset())
+        query = " ".join(t for t in query.split()
+                         if t.lower().lstrip("-") not in stop)
     tree = parse_query(query, reader.schema)
     domain = None
     if time_range is not None:

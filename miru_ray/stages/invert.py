@@ -17,24 +17,29 @@ import numpy as np
 import pyarrow as pa
 
 from miru_ray.functions.postings import encode_many_ids, encode_many_tfs
-from miru_ray.functions.tokenize import tokenize_column
+from miru_ray.functions.tokenize import tokenize_column, tokenize_column_lang
 
 __all__ = ["invert_docs", "doc_lengths"]
 
 
 def invert_docs(texts: pa.Array | pa.ChunkedArray,
-                doc_ids: np.ndarray) -> tuple[pa.Table, np.ndarray]:
+                doc_ids: np.ndarray,
+                langs: np.ndarray | None = None) -> tuple[pa.Table, np.ndarray]:
     """Invert documents into postings.
 
     Args:
         texts: string column of document bodies (already extracted).
         doc_ids: int64 array, one id per text (sorted ascending).
+        langs: optional per-doc language codes — enables the ``per_lang``
+            analyzer chain (stopword filter per language; doclens shrink
+            accordingly, which feeds BM25 length normalization).
 
     Returns:
         (postings table with columns term/df/cf/docids/tfs sorted by term,
          doclen int64 array aligned with input docs).
     """
-    tok_lists = tokenize_column(texts)
+    tok_lists = (tokenize_column_lang(texts, langs) if langs is not None
+                 else tokenize_column(texts))
     offsets = tok_lists.offsets.to_numpy(zero_copy_only=False)
     doclens = np.diff(offsets).astype(np.int64)
     flat = tok_lists.flatten()

@@ -76,7 +76,7 @@ def input_digest(urls, warc_ts_us: np.ndarray, texts=None) -> int:
 def build_partition(group: pd.DataFrame, *, index_dir: str,
                     num_shards: int, store_text: bool = False,
                     digest_text: bool = False,
-                    schema=None) -> pd.DataFrame:
+                    schema=None, analyzer: str = "simple") -> pd.DataFrame:
     """map_groups body: one partition in, one manifest row out."""
     from miru_ray.functions.runtime import limit_worker_threads
     limit_worker_threads()
@@ -122,7 +122,10 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
     local_ids = np.arange(n_docs, dtype=np.int64)
 
     texts = pa.array(df["text"].tolist(), pa.string())
-    postings, doclens = invert_docs(texts, local_ids)
+    postings, doclens = invert_docs(
+        texts, local_ids,
+        langs=(df["lang"].to_numpy(dtype=object)
+               if analyzer == "per_lang" else None))
     extra: list[pa.Table] = []
     composed_cols: dict[str, np.ndarray] = {}
     if has_authz:
@@ -207,6 +210,10 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
         "status": "complete",
         "input_digest": digest,
         "extractor_version": EXTRACTOR_VERSION,
+        # resume staleness guard: a partition built under a DIFFERENT
+        # field schema must rebuild (MiruSchema.checkAdditive:303-314)
+        "schema_meta": schema.to_meta() if schema else [],
+        "analyzer": analyzer,
         "n_rows_in": n_rows_in,
         "n_docs": n_docs,
         "n_terms": postings.num_rows,

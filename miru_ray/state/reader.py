@@ -62,6 +62,9 @@ class IndexReader:
         # the index carries its field schema (MiruSchema bound to the
         # partition); queries resolve field:value syntax against it
         self.schema = IndexSchema.from_meta(meta.get("schema"))
+        # primary-field analyzer the index was BUILT with — the query side
+        # must analyze identically (TermAnalyzers contract)
+        self.analyzer: str = meta.get("analyzer", "simple")
         self.parts: list[int] = sorted(int(p) for p in meta["bases"])
         self.bases = np.array([meta["bases"][str(p)] for p in self.parts],
                               dtype=np.int64)
@@ -79,6 +82,7 @@ class IndexReader:
         self._prefix_ids_cache: dict = {}
         self._range_ids_cache: dict = {}
         self._docs_cache: dict[int, pa.Table] = {}
+        self._doc_cols: dict[tuple[int, str], pa.ChunkedArray] = {}
         self._terms_cache: dict[int, np.ndarray] = {}
 
     # --- postings ---
@@ -230,21 +234,34 @@ class IndexReader:
         return np.searchsorted(self.bases, doc_ids.astype(np.int64), side="right") - 1
 
     def docs_table(self, part: int) -> pa.Table:
+        """The FULL docs.parquet of one partition (all columns, incl.
+        stored text). Inspection/debug surface — query paths go through
+        doc_column/gather_docs, which column-prune."""
         if part not in self._docs_cache:
             f = os.path.join(part_dir(self.index_dir, part), "docs.parquet")
             self._docs_cache[part] = pq.read_table(f)
         return self._docs_cache[part]
 
+    def doc_column(self, part: int, col: str) -> pa.ChunkedArray:
+        """ONE metadata column of one partition, column-pruned and cached
+        per (part, col) — a time-range or lang domain resolve touches
+        8-16 B/doc of the partitions it covers, never the stored text
+        (which can be ~KB/doc when store_text=True)."""
+        key = (part, col)
+        if key not in self._doc_cols:
+            if part in self._docs_cache:
+                arr = self._docs_cache[part][col]
+            else:
+                f = os.path.join(part_dir(self.index_dir, part), "docs.parquet")
+                arr = pq.read_table(f, columns=[col])[col]
+            self._doc_cols[key] = arr
+        return self._doc_cols[key]
+
     def _doclen_part(self, pi: int) -> np.ndarray:
         """doclen column of ONE partition, column-pruned read, cached."""
         if pi not in self._doclen_parts:
-            if self.parts[pi] in self._docs_cache:
-                arr = self._docs_cache[self.parts[pi]]["doclen"].to_numpy()
-            else:
-                f = os.path.join(part_dir(self.index_dir, self.parts[pi]),
-                                 "docs.parquet")
-                arr = pq.read_table(f, columns=["doclen"])["doclen"].to_numpy()
-            self._doclen_parts[pi] = arr
+            self._doclen_parts[pi] = (
+                self.doc_column(self.parts[pi], "doclen").to_numpy())
         return self._doclen_parts[pi]
 
     def doclens(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -278,14 +295,32 @@ class IndexReader:
             part = self.parts[pi]
             sel = np.flatnonzero(pidx == pi)
             local = doc_ids[sel].astype(np.int64) - self.bases[pi]
-            tbl = self.docs_table(part)
+            heavy = [c for c in columns
+                     if c == "text" and part not in self._docs_cache]
             for c in columns:
-                vals = tbl[c].take(pa.array(local)).to_pylist()
+                if c in heavy:
+                    continue
+                vals = self.doc_column(part, c).take(pa.array(local)).to_pylist()
                 for j, v in zip(sel, vals):
                     cols[c][j] = v
+            if heavy:
+                # stored text is ~KB/doc: never cache the whole column for
+                # a handful of hits — row-group-pruned read of just the
+                # requested local_ids (docs.parquet is local_id-sorted)
+                f = os.path.join(part_dir(self.index_dir, part), "docs.parquet")
+                tbl = pq.read_table(
+                    f, columns=["local_id"] + heavy,
+                    filters=pads.field("local_id").isin(local.tolist()))
+                lid = tbl["local_id"].to_numpy()
+                pos = np.searchsorted(lid, local)
+                for c in heavy:
+                    vals = tbl[c].take(pa.array(pos)).to_pylist()
+                    for j, v in zip(sel, vals):
+                        cols[c][j] = v
         out = {"doc_id": pa.array(doc_ids.astype(np.int64), pa.int64())}
         for c in columns:
-            typ = self.docs_table(self.parts[0]).schema.field(c).type
+            typ = (_DOC_FIELD_TYPES.get(c)
+                   or self.doc_column(self.parts[0], c).type)
             out[c] = pa.array(cols[c], typ)
         return pa.table(out)
 
@@ -297,7 +332,7 @@ class IndexReader:
         test the actual column, not just the boundaries)."""
         doms = []
         for pi, part in enumerate(self.parts):
-            ts = self.docs_table(part)["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            ts = self.doc_column(part, "warc_ts").to_numpy().astype("datetime64[us]").astype(np.int64)
             mask = np.ones(len(ts), dtype=bool)
             if lo_us is not None:
                 mask &= ts >= lo_us
@@ -323,7 +358,7 @@ class IndexReader:
         keep = set(langs)
         doms = []
         for pi, part in enumerate(self.parts):
-            lg = self.docs_table(part)["lang"].to_numpy(zero_copy_only=False)
+            lg = self.doc_column(part, "lang").to_numpy(zero_copy_only=False)
             mask = np.isin(lg, sorted(keep))
             doms.append((np.flatnonzero(mask) + self.bases[pi]).astype(np.uint64))
         return np.concatenate(doms) if doms else np.empty(0, dtype=np.uint64)

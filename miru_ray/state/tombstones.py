@@ -55,8 +55,8 @@ def resolve_tombstones(reader) -> np.ndarray:
         pi = part_index.get(int(p))
         if pi is None:
             continue
-        tbl = reader.docs_table(reader.parts[pi])
-        col = tbl["url"].to_pylist()  # small per-partition scan, cached table
+        col = reader.doc_column(reader.parts[pi], "url").to_pylist()
+        # column-pruned per-partition scan, cached per (part, col)
         try:
             local = col.index(url)
         except ValueError:

@@ -99,6 +99,36 @@ def test_feature_cache_detects_mutate_plus_append(tmp_path, ray_session):
     assert fa.equals(fb)
 
 
+def test_schema_change_invalidates_resume(tmp_path, ray_session):
+    """Resuming an index_dir with a CHANGED IndexSchema must rebuild the
+    completed partitions (never mix field-posting generations —
+    MiruSchema.checkAdditive semantics); resuming with the SAME schema
+    must skip them all (VERDICT r2 next-round #2)."""
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.fixtures import generate_pages
+    from miru_ray.state.schema import FieldDef, IndexSchema
+
+    pages = generate_pages(0, 300)
+    d = str(tmp_path / "idx")
+    m1 = build_index(pages, d, BuildConfig(num_parts=3, num_shards=2))
+    assert m1["skipped_parts"] == []
+
+    schema = IndexSchema((FieldDef("lang", "keyword"),))
+    m2 = build_index(pages, d, BuildConfig(num_parts=3, num_shards=2,
+                                           schema=schema))
+    assert m2["skipped_parts"] == []   # every part rebuilt under new schema
+
+    # the rebuilt index actually HAS the new field postings
+    from miru_ray.pipelines.search import search
+    from miru_ray.state.reader import IndexReader
+    hits = search(IndexReader(d), "lang:de", k=5)
+    assert hits.num_rows > 0
+
+    m3 = build_index(pages, d, BuildConfig(num_parts=3, num_shards=2,
+                                           schema=schema))
+    assert sorted(m3["skipped_parts"]) == [0, 1, 2]   # same schema: resume
+
+
 def test_feature_cache_pure_append_stays_incremental(tmp_path, ray_session):
     """The guard must NOT force refolds on genuine appends: after an
     append-only grow, the fold scans only event_id > watermark (delta)."""
@@ -118,3 +148,37 @@ def test_feature_cache_pure_append_stays_incremental(tmp_path, ray_session):
     clean.update(src)
     assert pq.read_table(c.features_path).sort_by("user_id").equals(
         pq.read_table(clean.features_path).sort_by("user_id"))
+
+
+def test_reader_domain_reads_never_load_text(tmp_path, ray_session):
+    """Time-range / lang domain resolution and top-k gather on a
+    store_text=True index must column-prune: stored text is read ONLY
+    row-selectively for highlight gathers, never cached whole (VERDICT
+    r2 next-round #5)."""
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import search
+    from miru_ray.sources.fixtures import generate_pages
+    from miru_ray.state.reader import IndexReader
+
+    pages = generate_pages(0, 400)
+    d = str(tmp_path / "idx")
+    build_index(pages, d, BuildConfig(num_parts=2, num_shards=2,
+                                      store_text=True))
+    r = IndexReader(d)
+    ts_us = pages["warc_ts"].cast(pa.int64())
+    lo, hi = ts_us[100].as_py(), ts_us[300].as_py()
+    hits = search(r, "w00001", k=5, time_range=(lo, hi))
+    _ = search(r, "w00002", k=5, langs=["en"])
+    assert hits.num_rows >= 0
+    assert r._docs_cache == {}                       # no full-table reads
+    assert not any(c == "text" for _, c in r._doc_cols)   # text never cached
+
+    # highlight-style text gather works (row-selective read) and still
+    # leaves the text column uncached
+    ids = hits["doc_id"].to_numpy().astype("uint64")[:3]
+    if len(ids):
+        import numpy as np
+        got = r.gather_docs(np.asarray(ids), columns=["text"])
+        assert got.num_rows == len(ids)
+        assert all(isinstance(t, str) and t for t in got["text"].to_pylist())
+    assert not any(c == "text" for _, c in r._doc_cols)
