@@ -256,16 +256,14 @@ def _shingles_from_flat_texts(texts) -> tuple[np.ndarray, np.ndarray]:
 
 
 def dedup_exact(sf_dir: str) -> pa.Table:
-    """(doc_id, n_copies) — one survivor (min doc_id) per distinct text."""
+    """(doc_id, n_copies) — one survivor (min doc_id) per distinct text.
+    Fingerprints via textstats.md5_fingerprint_batch (the ONE shared md5
+    kernel); this entry keeps the DISTRIBUTED hash-shuffle groupby — at
+    corpus scale the duplicate-group reduce must not be driver-side."""
+    from miru_ray.pipelines.textstats import md5_fingerprint_batch
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fp(batch: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
-               for t in batch["text"].to_pylist()]
-        return pa.table({"fingerprint": pa.array(fps, pa.string()),
-                         "doc_id": batch["doc_id"]})
-
-    out = (ds.map_batches(fp, batch_format="pyarrow")
+    out = (ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow")
              .groupby("fingerprint")
              .aggregate(Min("doc_id", alias_name="doc_id"),
                         Count(alias_name="n_copies")))

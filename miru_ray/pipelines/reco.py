@@ -34,7 +34,8 @@ import ray
 from miru_ray.functions.rollup import bucketed_sum_rollup
 from miru_ray.sources.tables import read_table
 
-__all__ = ["cf_recommend", "strut_scores", "catwalk_model"]
+__all__ = ["cf_recommend", "strut_scores", "catwalk_model",
+           "catwalk_model_multi", "strut_scores_strategy"]
 
 
 _CF_BUCKETS = 64
@@ -217,3 +218,173 @@ def strut_scores(sf_dir: str, label: str = "purchase", k: int = 50) -> pa.Table:
     out = out.sort_values(["score", "user_id"], ascending=[False, True]).head(k)
     return pa.table({"user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
                      "score": pa.array(out["score"].to_numpy(), pa.float64())})
+
+
+# --- multi-feature Catwalk + Strut combine strategies (VERDICT r2 #4) ---
+#
+# The reference's CatwalkDefinition carries MULTIPLE features, each a
+# TUPLE of fields (Catwalk.java:88-103 featureFields → featureFieldIds);
+# the model keeps, per feature, per distinct value-tuple: numerator =
+# answer count matching the label term set, denominator = cardinality of
+# ALL activities carrying that tuple (Catwalk.java:145-200), top-N value
+# tuples per feature. Strut then scores a document by combining its
+# per-feature model scores with a Strategy (Strut.java:367-395
+# finalizeScore): UNIT_WEIGHTED = sum(positive scores)/n_features,
+# REGRESSION_WEIGHTED = sum(positive scores), MAX = max(positive, 0).
+#
+# Mapping onto the events table: docs = events, label = event_type ==
+# ``label``; features F0=(user_id,), F1=(props.k,), F2=(user_id, props.k)
+# — F2 is a true multi-field tuple. Absent fields carry sentinel -1 (the
+# output stays all-int64; the SQL oracle uses the same sentinel).
+
+_MULTI_SENTINEL = -1
+
+
+def _events_uk(t: pa.Table, label: str) -> pd.DataFrame:
+    """(user_id, k, is_l) frame for one batch — props.k extracted the
+    same way props_k_stats does (json per row; schema is {"k": int})."""
+    import json
+    ks = np.array([json.loads(p).get("k", 0)
+                   for p in t["props"].to_pylist()], dtype=np.int64)
+    return pd.DataFrame({
+        "user_id": t["user_id"].to_numpy(),
+        "k": ks,
+        "is_l": (t["event_type"].to_numpy(zero_copy_only=False)
+                 == label).astype(np.int64),
+    })
+
+
+def catwalk_model_multi(sf_dir: str, label: str = "purchase",
+                        top_n: int = 5) -> pa.Table:
+    """(feature_id, f_user_id, f_k, numerator, denominator) — the
+    multi-feature Catwalk model: one streaming pass computes partials for
+    ALL features (per-batch combiner), one bucketed exchange sums them,
+    per-bucket top-N (each key tuple lives in exactly one bucket, so the
+    per-batch top-N is a superset of the global one) and a tiny final
+    top-N per feature by (numerator desc, f_user_id asc, f_k asc)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = _events_uk(t, label)
+        outs = []
+        for fid, cols in enumerate((("user_id",), ("k",), ("user_id", "k"))):
+            g = df.groupby(list(cols), sort=False)["is_l"].agg(
+                ["sum", "size"]).reset_index()
+            o = pd.DataFrame({
+                "feature_id": np.int64(fid),
+                "f_user_id": (g["user_id"].to_numpy() if "user_id" in cols
+                              else np.int64(_MULTI_SENTINEL)),
+                "f_k": (g["k"].to_numpy() if "k" in cols
+                        else np.int64(_MULTI_SENTINEL)),
+                "numerator": g["sum"].to_numpy(dtype=np.int64),
+                "denominator": g["size"].to_numpy(dtype=np.int64),
+            })
+            outs.append(o)
+        out = pd.concat(outs, ignore_index=True)
+        # mixed-field bucket key: spread single-field features across
+        # buckets too (f_user_id alone would pin all F1 rows to one)
+        out["_bk"] = (out["f_user_id"] * np.int64(1000003)
+                      + out["f_k"] * np.int64(31) + out["feature_id"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rolled = bucketed_sum_rollup(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["feature_id", "f_user_id", "f_k"],
+        val_cols=["numerator", "denominator"], bucket_key="_bk")
+
+    def topn_batch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["feature_id", "numerator", "f_user_id", "f_k"],
+                          ascending=[True, False, True, True], kind="stable")
+        return g.groupby("feature_id", sort=False).head(top_n)
+
+    out = (rolled.map_batches(topn_batch, batch_format="pandas")
+                 .to_pandas())
+    out = (out.sort_values(["feature_id", "numerator", "f_user_id", "f_k"],
+                           ascending=[True, False, True, True], kind="stable")
+              .groupby("feature_id", sort=True).head(top_n))
+    return pa.table({
+        "feature_id": pa.array(out["feature_id"].to_numpy(), pa.int64()),
+        "f_user_id": pa.array(out["f_user_id"].to_numpy(), pa.int64()),
+        "f_k": pa.array(out["f_k"].to_numpy(), pa.int64()),
+        "numerator": pa.array(out["numerator"].to_numpy(), pa.int64()),
+        "denominator": pa.array(out["denominator"].to_numpy(), pa.int64()),
+    })
+
+
+def _combine_scores(s: list[np.ndarray], strategy: str) -> np.ndarray:
+    """Strut.finalizeScore (Strut.java:367-395), vectorized; scores are
+    num/den >= 0 so 'positive and counted' == s_i > 0."""
+    pos = [np.where(si > 0.0, si, 0.0) for si in s]
+    if strategy == "unit_weighted":
+        return (pos[0] + pos[1] + pos[2]) / float(len(s))
+    if strategy == "regression_weighted":
+        return pos[0] + pos[1] + pos[2]
+    if strategy == "max":
+        return np.maximum(np.maximum(pos[0], pos[1]), pos[2])
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def strut_scores_strategy(sf_dir: str, label: str = "purchase",
+                          strategy: str = "max", k: int = 50,
+                          model_top_n: int = 50) -> pa.Table:
+    """(event_id, score) — Strut scoring against the multi-feature
+    Catwalk model with a combine Strategy (Strut.java:82-240,
+    finalizeScore:367-395). The model is O(features x top_n) rows —
+    broadcast once via ray.put; the events scan streams, per batch doing
+    three sorted-array lookups, the strategy combine, and a partial
+    top-k ((-score, event_id) is a total order, so per-batch top-k is
+    exact). Scores rounded 6dp for display; ranking uses unrounded."""
+    if strategy not in ("unit_weighted", "regression_weighted", "max"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    model = catwalk_model_multi(sf_dir, label, top_n=model_top_n).to_pandas()
+
+    def _lookup(fid: int, keys: np.ndarray):
+        m = model[model["feature_id"] == fid]
+        sc = m["numerator"].to_numpy() / m["denominator"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        return keys[order], sc[order]
+
+    mu = model["f_user_id"].to_numpy()
+    mk = model["f_k"].to_numpy()
+    f0 = _lookup(0, mu[model["feature_id"] == 0])
+    f1 = _lookup(1, mk[model["feature_id"] == 1])
+    f2 = _lookup(2, (mu[model["feature_id"] == 2] * np.int64(1 << 32)
+                     + mk[model["feature_id"] == 2]))
+    model_ref = ray.put((f0, f1, f2))
+
+    def probe(keys: np.ndarray, lut) -> np.ndarray:
+        ks, sc = lut
+        if len(ks) == 0:
+            return np.zeros(len(keys))
+        pos = np.searchsorted(ks, keys)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == keys)
+        out = np.zeros(len(keys))
+        out[hit] = sc[pos[hit]]
+        return out
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id", "props"])
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        l0, l1, l2 = ray.get(model_ref)
+        df = _events_uk(t, label)
+        u, kk = df["user_id"].to_numpy(), df["k"].to_numpy()
+        s = [probe(u, l0), probe(kk, l1),
+             probe(u * np.int64(1 << 32) + kk, l2)]
+        score = _combine_scores(s, strategy)
+        eid = t["event_id"].to_numpy()
+        order = np.lexsort((eid, -score))[:k]
+        return pa.table({"event_id": pa.array(eid[order], pa.int64()),
+                         "score": pa.array(score[order], pa.float64())})
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(score_batch, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow")))
+    eid = parts["event_id"].to_numpy()
+    score = parts["score"].to_numpy()
+    order = np.lexsort((eid, -score))[:k]
+    return pa.table({
+        "event_id": pa.array(eid[order], pa.int64()),
+        "score": pa.array(np.round(score[order], 6), pa.float64()),
+    })
