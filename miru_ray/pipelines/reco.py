@@ -11,11 +11,13 @@ plugins re-expressed over the TPC-H-ish tables.
   only ray.put sides are genuinely small (my part set, my orderkeys,
   the 20 contributors' orderkeys — all resolved by parquet predicate
   pushdown on orders). Hop 2's arbitrary orderkey→custkey resolution —
-  the one place that NEEDS the full orders table — goes through the
-  same ``orderkey % B`` co-partitioned hash exchange as
-  joins.customer_revenue: matched-lineitem partials and orders meet in
-  one bucketed shuffle, so per-task memory is O(orders/B), not
-  O(orders).
+  the one place that NEEDS the full orders table — picks its plan by
+  MEASURED cardinality of the matched-orderkey partials (the classic
+  broadcast-vs-shuffle join choice): a small matched side resolves via
+  a pushdown isin read of orders; a large one goes through the same
+  ``orderkey % B`` co-partitioned hash exchange as
+  joins.customer_revenue, so per-task memory stays O(orders/B) no
+  matter how hot the parts are.
 - strut_scores — Catwalk model build + Strut scoring
   (miru-stream-plugins/.../catwalk/Catwalk.java:64-200,
   strut/Strut.java:82-240): per-(label, feature) counts as numerators,
@@ -39,6 +41,12 @@ __all__ = ["cf_recommend", "strut_scores", "catwalk_model",
 
 
 _CF_BUCKETS = 64
+# hop-2 plan cutover: below this many matched (orderkey, w) partial rows
+# the orderkey→custkey resolve is a pushdown isin read + driver combine
+# (~16 B/row, so the cap bounds driver+broadcast memory at ~8 MB); above
+# it, the co-partitioned orderkey%B exchange. Both plans are value-
+# identical (pytest + the shared DuckDB oracle).
+_CF_BROADCAST_MAX_ORDERKEYS = 500_000
 
 
 def _orders_for_custkeys(sf_dir: str, custkeys) -> tuple[np.ndarray, np.ndarray]:
@@ -96,10 +104,14 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
          li.map_batches(my_parts_batch, batch_format="pyarrow")
            .iter_batches(batch_format="pyarrow")] or [np.array([], np.int64)]))
 
-    # hop 2: other users of my parts → contributor weights, via the
-    # orderkey%B co-partitioned exchange (joins.customer_revenue plan):
-    # only MATCHED lineitems (partkey ∈ my_parts, pre-counted per
-    # orderkey inside the batch) + the orders table move; no broadcast.
+    # hop 2: other users of my parts → contributor weights. Plan selection
+    # by measured cardinality (broadcast-vs-shuffle join choice): the
+    # matched-lineitem partials (partkey ∈ my_parts, pre-counted per
+    # orderkey inside each batch) are materialized DISTRIBUTED — never
+    # gathered blind — and counted; a small matched set resolves custkeys
+    # with a pushdown isin read of orders (one tiny broadcast), a large
+    # one goes through the orderkey%B co-partitioned exchange
+    # (joins.customer_revenue plan) so per-task memory stays O(orders/B).
     import functools
     mp_ref = ray.put(np.sort(my_parts))
 
@@ -116,23 +128,43 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
         g["side"] = np.int8(0)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    orders_ds = read_table(sf_dir, "orders",
-                           columns=["o_orderkey", "o_custkey"])
+    partials = li.map_batches(line_weights,
+                              batch_format="pyarrow").materialize()
+    if partials.count() <= _CF_BROADCAST_MAX_ORDERKEYS:
+        # small side: per-batch partials fit the driver; distinct matched
+        # orderkeys → pushdown read of just those orders rows
+        pdf = partials.to_pandas()
+        pw = pdf.groupby("orderkey", sort=True)["w"].sum()
+        ok_m = pw.index.to_numpy(dtype=np.int64)
+        import os
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        ot = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey"],
+                           filters=pads.field("o_orderkey").isin(ok_m.tolist()))
+        pos = np.searchsorted(ok_m, ot["o_orderkey"].to_numpy())
+        j = pd.DataFrame({"custkey": ot["o_custkey"].to_numpy(),
+                          "w": pw.to_numpy()[pos]})
+        j = j[j["custkey"] != custkey]
+        contrib = j.groupby("custkey", sort=True)["w"].sum().reset_index()
+    else:
+        orders_ds = read_table(sf_dir, "orders",
+                               columns=["o_orderkey", "o_custkey"])
 
-    def orders_tag(t: pa.Table) -> pa.Table:
-        ok = t["o_orderkey"].to_numpy()
-        return pa.Table.from_pandas(pd.DataFrame({
-            "orderkey": ok, "w": np.int64(0), "bucket": ok % _CF_BUCKETS,
-            "custkey": t["o_custkey"].to_numpy(), "side": np.int8(1),
-        }), preserve_index=False)
+        def orders_tag(t: pa.Table) -> pa.Table:
+            ok = t["o_orderkey"].to_numpy()
+            return pa.Table.from_pandas(pd.DataFrame({
+                "orderkey": ok, "w": np.int64(0), "bucket": ok % _CF_BUCKETS,
+                "custkey": t["o_custkey"].to_numpy(), "side": np.int8(1),
+            }), preserve_index=False)
 
-    both = (li.map_batches(line_weights, batch_format="pyarrow")
-              .union(orders_ds.map_batches(orders_tag, batch_format="pyarrow")))
-    contrib = bucketed_sum_rollup(
-        both.groupby("bucket").map_groups(
-            functools.partial(_hop2_bucket_group, me=custkey),
-            batch_format="pandas"),
-        keys=["custkey"], val_cols=["w"]).to_pandas()
+        both = partials.union(
+            orders_ds.map_batches(orders_tag, batch_format="pyarrow"))
+        contrib = bucketed_sum_rollup(
+            both.groupby("bucket").map_groups(
+                functools.partial(_hop2_bucket_group, me=custkey),
+                batch_format="pandas"),
+            keys=["custkey"], val_cols=["w"]).to_pandas()
     contrib = contrib.sort_values(["w", "custkey"],
                                   ascending=[False, True]).head(n_contributors)
     cw = dict(zip(contrib["custkey"].astype(int), contrib["w"].astype(int)))
@@ -325,6 +357,25 @@ def _combine_scores(s: list[np.ndarray], strategy: str) -> np.ndarray:
     raise ValueError(f"unknown strategy: {strategy}")
 
 
+_MODEL_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
+def _cached_model(sf_dir: str, label: str, top_n: int) -> pd.DataFrame:
+    """Per-source Catwalk model cache (the reference's StrutModelCache,
+    miru-stream-plugins/.../strut/StrutModelCache.java: scorers fetch a
+    cached model rather than rebuilding per query). Keyed on the events
+    source identity + model parameters; the model itself is O(features
+    x top_n) rows."""
+    import os
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns, label, top_n)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = catwalk_model_multi(sf_dir, label,
+                                                top_n=top_n).to_pandas()
+    return _MODEL_CACHE[key]
+
+
 def strut_scores_strategy(sf_dir: str, label: str = "purchase",
                           strategy: str = "max", k: int = 50,
                           model_top_n: int = 50) -> pa.Table:
@@ -337,7 +388,7 @@ def strut_scores_strategy(sf_dir: str, label: str = "purchase",
     exact). Scores rounded 6dp for display; ranking uses unrounded."""
     if strategy not in ("unit_weighted", "regression_weighted", "max"):
         raise ValueError(f"unknown strategy: {strategy}")
-    model = catwalk_model_multi(sf_dir, label, top_n=model_top_n).to_pandas()
+    model = _cached_model(sf_dir, label, model_top_n)
 
     def _lookup(fid: int, keys: np.ndarray):
         m = model[model["feature_id"] == fid]

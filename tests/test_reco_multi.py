@@ -81,3 +81,14 @@ def test_strut_strategy_unknown_raises(ray_session):
     from miru_ray.pipelines.reco import strut_scores_strategy
     with pytest.raises(ValueError):
         strut_scores_strategy(SF, strategy="nope", k=5)
+
+
+def test_cf_hop2_plans_value_identical(ray_session, monkeypatch):
+    """cf_recommend's hop-2 broadcast-vs-shuffle plan choice must be
+    invisible in the result: force the co-partitioned exchange (cutover
+    at 0) and compare with the default pushdown plan."""
+    from miru_ray.pipelines import reco
+    a = reco.cf_recommend(SF, custkey=1, k=20)
+    monkeypatch.setattr(reco, "_CF_BROADCAST_MAX_ORDERKEYS", 0)
+    b = reco.cf_recommend(SF, custkey=1, k=20)
+    assert a.equals(b)
