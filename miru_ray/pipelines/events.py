@@ -248,13 +248,12 @@ def props_k_stats(sf_dir: str) -> pa.Table:
     """(event_type, sum_k, n) — scalar-function family (SURVEY.md §2.9:
     the reference's only scalar ops are term compose + JSON): parse the
     ``props`` JSON column, extract key ``k``, aggregate per event_type."""
-    import json
+    from miru_ray.functions.jsonprops import props_int_column
 
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
-        ks = np.array([json.loads(p).get("k", 0)
-                       for p in t["props"].to_pylist()], dtype=np.int64)
+        ks = props_int_column(t["props"], "k")
         df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
                            "k": ks})
         g = df.groupby("event_type", sort=False).agg(

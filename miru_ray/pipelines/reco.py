@@ -273,11 +273,11 @@ _MULTI_SENTINEL = -1
 
 
 def _events_uk(t: pa.Table, label: str) -> pd.DataFrame:
-    """(user_id, k, is_l) frame for one batch — props.k extracted the
-    same way props_k_stats does (json per row; schema is {"k": int})."""
-    import json
-    ks = np.array([json.loads(p).get("k", 0)
-                   for p in t["props"].to_pylist()], dtype=np.int64)
+    """(user_id, k, is_l) frame for one batch — props.k extracted with
+    the shared vectorized kernel (functions/jsonprops.py), identical to
+    json.loads(row).get('k', 0) and to the oracle's json_extract."""
+    from miru_ray.functions.jsonprops import props_int_column
+    ks = props_int_column(t["props"], "k")
     return pd.DataFrame({
         "user_id": t["user_id"].to_numpy(),
         "k": ks,

@@ -144,12 +144,17 @@ def search(reader: IndexReader, query: str, k: int = 10,
     """
     if reader.analyzer == "per_lang" and langs and len(langs) == 1:
         # per-language index: analyze the QUERY with the same stopword
-        # chain its docs were indexed with (one lang domain → one chain;
-        # field:value tokens contain ':' and never match a stopword)
+        # chain its docs were indexed with (one lang domain → one chain).
+        # Grammar tokens pass through UNANALYZED, like the reference's
+        # Lucene parser (operators/wildcards/field syntax are not terms):
+        # the OR operator (en 'or' IS a stopword!), field:value tokens
+        # (contain ':'), and prefix patterns (trailing '*').
         from miru_ray.functions.tokenize import STOPWORDS
         stop = STOPWORDS.get(langs[0], frozenset())
-        query = " ".join(t for t in query.split()
-                         if t.lower().lstrip("-") not in stop)
+        query = " ".join(
+            t for t in query.split()
+            if t.upper() == "OR" or ":" in t or t.endswith("*")
+            or t.lower().lstrip("-") not in stop)
     tree = parse_query(query, reader.schema)
     domain = None
     if time_range is not None:

@@ -69,3 +69,30 @@ def test_analyzer_change_invalidates_resume(tmp_path, ray_session):
     m3 = build_index(pages, d, BuildConfig(num_parts=3, num_shards=2,
                                            analyzer="per_lang"))
     assert sorted(m3["skipped_parts"]) == [0, 1, 2]
+
+
+def test_per_lang_query_keeps_grammar_tokens(tmp_path, ray_session):
+    """en 'or' is a stopword but ``OR`` is the union OPERATOR; field:value
+    and prefix* tokens are grammar too — the per-language query analyzer
+    must never swallow them (ADVICE-class regression guard)."""
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import search
+    from miru_ray.sources.fixtures import generate_pages
+
+    from miru_ray.state.reader import IndexReader
+
+    pages = generate_pages(0, 400)
+    d = str(tmp_path / "idx")
+    build_index(pages, d, BuildConfig(num_parts=2, num_shards=2,
+                                      analyzer="per_lang"))
+    r = IndexReader(d)
+    u = search(r, "w00001 OR w00002", k=400, langs=["en"])
+    a = search(r, "w00001 w00002", k=400, langs=["en"])
+    # OR semantics must survive: union is a STRICT superset of the AND
+    # result on this fixture (284 vs 271 docs) — if the en stopword 'or'
+    # swallowed the operator, the two would collapse to the same rows
+    assert u.num_rows > a.num_rows
+    assert set(a["doc_id"].to_pylist()) <= set(u["doc_id"].to_pylist())
+    # prefix pattern equal to a stopword prefix still expands
+    p = search(r, "w0000*", k=400, langs=["en"])
+    assert p.num_rows >= u.num_rows
