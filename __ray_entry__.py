@@ -124,6 +124,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strut_scores_strategy": lambda sf: reco.strut_scores_strategy(
             sf, strategy="max", k=50),
         "term_first_last": fulltext.term_first_last,
+        # --- paired-value bloom sidecar (BloomIndex.java mightContain:
+        # bloom prefilter over the sidecar, exact verify of survivors
+        # via pushdown read — false positives die in verify, false
+        # negatives impossible, so the entry is value-exact) ---
+        "paired_bloom_contains": lambda sf: __import__(
+            "miru_ray.pipelines.bloom_pairs",
+            fromlist=["paired_bloom_contains"]).paired_bloom_contains(sf),
         # window_sliding_halo is value-identical to window_sliding by a
         # shared oracle + pytest pin (tests/test_joins.py); parked here so
         # every DISTINCT oracle-bearing result fits the driver's entry cap
@@ -456,6 +463,15 @@ ORDER BY score DESC, user_id LIMIT 50
         "paired_latest": """
 SELECT event_type, user_id::BIGINT AS user_id, max(ts) AS last_ts
 FROM events GROUP BY event_type, user_id
+""",
+        # probe list == bloom_pairs.PROBE_KS (6 present + 2 absent values);
+        # the bloom is a lossless prefilter, so confirmed == plain DISTINCT
+        "paired_bloom_contains": """
+SELECT DISTINCT user_id::BIGINT AS user_id,
+       json_extract(props, '$.k')::BIGINT AS k
+FROM events
+WHERE json_extract(props, '$.k')::BIGINT IN (0, 7, 13, 42, 77, 98, 250, 999)
+ORDER BY user_id, k
 """,
         # exact linear-interpolated quantiles (quantile_cont == np.quantile
         # 'linear'); 6-dp rounding on both sides absorbs ulp drift

@@ -198,6 +198,7 @@ def run_scaling() -> dict:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    bw_pre = _mem_bw_probe()   # bracket the run: the bus can shift between
     sub(n_lo)       # untimed warm-up: generate fixture + warm page cache
     # best-of-N per level, INTERLEAVED (lo hi lo hi ...): single-node wall
     # time carries ambient noise that has been observed to swing a leg 2x
@@ -223,6 +224,9 @@ def run_scaling() -> dict:
         f"query_p50_ms_{n_lo}": lo["query_p50_ms"], f"query_p50_ms_{n_hi}": hi["query_p50_ms"],
         "scaling_efficiency": round(eff, 3),
         "n_docs": lo["n_docs"],
+        # probe the bus covariate BEFORE and AFTER the legs — a single
+        # post-run sample can catch a window the run itself never saw
+        "mem_bw_gbps_16p_pre": bw_pre,
         "mem_bw_gbps_16p": _mem_bw_probe(),
         # raw per-repeat walls so the cross-run noise band is visible
         f"runs_build_sec_{n_lo}": [r["build_sec"] for r in lo_runs],
