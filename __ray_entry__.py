@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paired_bloom_contains": lambda sf: __import__(
             "miru_ray.pipelines.bloom_pairs",
             fromlist=["paired_bloom_contains"]).paired_bloom_contains(sf),
+        # exact n-gram Jaccard (inverted-index candidate generation →
+        # NO recall caveat, unlike minhash_near_dups): value-exact
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # window_sliding_halo is value-identical to window_sliding by a
         # shared oracle + pytest pin (tests/test_joins.py); parked here so
         # every DISTINCT oracle-bearing result fits the driver's entry cap
@@ -732,6 +735,37 @@ SELECT doc_id::BIGINT AS doc_id,
        lower(lpad(to_hex(sum(CASE WHEN acc > 0 THEN (1::HUGEINT << bit)
                                   ELSE 0::HUGEINT END)::UBIGINT), 16, '0')) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id
+""",
+        # exact n-gram Jaccard: candidate generation is an inverted
+        # index (every pair with a shared 3-shingle IS generated), so a
+        # value-exact SQL oracle is sound here — the only divergence
+        # channel is a 64-bit shingle-hash collision (~2^-64/pair).
+        # Shingles are string 3-grams in SQL vs polynomial token-hash
+        # 3-grams in the engine: identical SET cardinalities.
+        "ngram_jaccard_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+     FOR i IN range(1, greatest(len(t) - 1, 1))])) AS s
+  FROM toks
+),
+lens AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(inter::DOUBLE / (la.n + lb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN lens la ON la.doc_id = doc_a
+JOIN lens lb ON lb.doc_id = doc_b
+WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.8
+ORDER BY doc_a, doc_b
 """,
         # minhash_near_dups: rows-only BY CONTRACT (ADVICE r2). LSH
         # candidate generation is probabilistic by construction (recall

@@ -272,3 +272,27 @@ def test_hll_within_error_bound_of_exact(ray_session):
     est2 = distinct_count_hll(SF)["n_users_est"][0].as_py()
     assert est1 == est2
     assert abs(est1 - exact) / exact < 0.05
+
+
+def test_ngram_jaccard_exact_equals_bruteforce(ray_session):
+    """The inverted-index exact tier must equal brute-force all-pairs
+    EXACTLY (no recall caveat — every pair sharing a shingle is
+    generated), and at a LOW threshold where LSH banding would be
+    allowed to miss pairs, it must still be exhaustive."""
+    from miru_ray.pipelines.dedup import (jaccard, ngram_jaccard_pairs,
+                                          shingle_set)
+    got = ngram_jaccard_pairs(SF, threshold=0.2).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    sh = {i: shingle_set(t) for i, t in zip(ids, texts)}
+    brute = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jv = jaccard(sh[ids[i]], sh[ids[j]])
+            if jv >= 0.2:
+                a, b = min(ids[i], ids[j]), max(ids[i], ids[j])
+                brute[(a, b)] = round(jv, 6)
+    mine = {(a, b): jv for a, b, jv in
+            zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    assert mine == brute
