@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact n-gram Jaccard (inverted-index candidate generation →
         # NO recall caveat, unlike minhash_near_dups): value-exact
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # lookup/range WAL reader: pushdown window + cursor resume
+        "wal_range_lookup": events.wal_range_lookup,
         # window_sliding_halo is value-identical to window_sliding by a
         # shared oracle + pytest pin (tests/test_joins.py); parked here so
         # every DISTINCT oracle-bearing result fits the driver's entry cap
@@ -466,6 +468,15 @@ ORDER BY score DESC, user_id LIMIT 50
         "paired_latest": """
 SELECT event_type, user_id::BIGINT AS user_id, max(ts) AS last_ts
 FROM events GROUP BY event_type, user_id
+""",
+        # page 2 of the cursor-paged range lookup == rows 51..100 of the
+        # (ts, event_id)-ordered window (the cursor is page 1's last key)
+        "wal_range_lookup": """
+SELECT event_id::BIGINT AS event_id, ts, user_id::BIGINT AS user_id,
+       event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+ORDER BY ts, event_id LIMIT 50 OFFSET 50
 """,
         # probe list == bloom_pairs.PROBE_KS (6 present + 2 absent values);
         # the bloom is a lossless prefilter, so confirmed == plain DISTINCT

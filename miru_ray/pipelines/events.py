@@ -566,3 +566,64 @@ def distinct_count_hll(sf_dir: str, event_type: str = "click") -> pa.Table:
         merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.uint8))
     return pa.table({"n_users_est": pa.array([int(round(_hll_estimate(merged)))],
                                              pa.int64())})
+
+
+def _wal_page(sf_dir: str, t0: str, t1: str, page_size: int,
+              cursor: tuple | None) -> pd.DataFrame:
+    """One page of the range lookup: predicate-pushdown read of the
+    window (+ cursor bound), per-batch local top-k, small driver merge
+    (each batch surfaces <= page_size rows)."""
+    import pyarrow.dataset as pads
+    expr = (pads.field("ts") >= pd.Timestamp(t0)) & \
+           (pads.field("ts") < pd.Timestamp(t1))
+    if cursor is not None:
+        cts, cid = cursor
+        expr = expr & ((pads.field("ts") > cts) |
+                       ((pads.field("ts") == cts) &
+                        (pads.field("event_id") > cid)))
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"],
+                    filter=expr)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["ts", "event_id"]).head(page_size),
+            preserve_index=False)
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if cand.empty:    # no row group matched: typed empty page
+        return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                             "ts": pd.Series([], dtype="datetime64[us]"),
+                             "user_id": pd.Series([], dtype=np.int64),
+                             "event_type": pd.Series([], dtype=object)})
+    return (cand.sort_values(["ts", "event_id"]).head(page_size)
+                .reset_index(drop=True))
+
+
+def wal_range_lookup(sf_dir: str, t0: str = "2024-01-10",
+                     t1: str = "2024-01-20", page_size: int = 50) -> pa.Table:
+    """Second PAGE of a cursor-paged activity range lookup — the
+    reference's lookup/range WAL reader (MiruActivityWALReader
+    streamSip/stream: scan a time window in (timestamp, id) order,
+    resuming from an opaque cursor). The Ray shape is parquet predicate
+    pushdown for BOTH the window and the cursor bound (only matching
+    row groups are read — the 'WAL index' is the parquet stats), local
+    top-k per batch, and an O(pages) driver merge. Page 2 is produced
+    from page 1's real cursor, exercising resume-from-cursor exactly
+    like aggregate_counts_page2 does for rollups."""
+    p1 = _wal_page(sf_dir, t0, t1, page_size, None)
+    if len(p1) < page_size:
+        cursor = None       # window fits one page: page 2 is empty
+        p2 = p1.iloc[0:0]
+    else:
+        cursor = (p1["ts"].iloc[-1], int(p1["event_id"].iloc[-1]))
+        p2 = _wal_page(sf_dir, t0, t1, page_size, cursor)
+    return pa.table({
+        "event_id": pa.array(p2["event_id"].to_numpy(), pa.int64()),
+        "ts": pa.array(p2["ts"].to_numpy().astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(p2["user_id"].to_numpy(), pa.int64()),
+        "event_type": pa.array(p2["event_type"].to_numpy(dtype=object),
+                               pa.string()),
+    })
