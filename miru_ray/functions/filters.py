@@ -133,7 +133,11 @@ def parse_query(q: str, schema=None) -> Filter:
                 if not ftoks:
                     continue
                 if is_prefix:
-                    node = Prefix(ns + ftoks[0])
+                    # '*' binds to the LAST token; earlier tokens AND in
+                    # as plain terms (site:exa-mple* = exa AND mple*)
+                    parts = tuple(Term(ns + t) for t in ftoks[:-1]) \
+                        + (Prefix(ns + ftoks[-1]),)
+                    node = parts[0] if len(parts) == 1 else And(parts)
                 elif len(ftoks) == 1:
                     node = Term(ns + ftoks[0])
                 else:
@@ -149,7 +153,11 @@ def parse_query(q: str, schema=None) -> Filter:
         if not toks:
             continue
         if is_prefix:
-            node = Prefix(toks[0])
+            # '*' binds to the LAST token of the (possibly punctuated or
+            # undeclared-field) token: 'site:exa*' = site AND exa*, never
+            # a prefix on the first token with the rest dropped
+            parts = tuple(Term(t) for t in toks[:-1]) + (Prefix(toks[-1]),)
+            node = parts[0] if len(parts) == 1 else And(parts)
         elif len(toks) == 1:
             node = Term(toks[0])
         else:

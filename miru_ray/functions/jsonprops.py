@@ -14,6 +14,7 @@ the fallback set is empty on well-formed corpora.
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -27,17 +28,38 @@ def props_int_column(arr: pa.Array | pa.ChunkedArray, key: str = "k",
     """int64 values of ``key`` per row of a JSON-string column.
 
     Matches ``json.loads(row).get(key, default)`` exactly for integer
-    values; rows where the fast pattern misses (absent key, non-integer
-    value, escapes) fall back to real json parsing row-wise.
+    values on any VALID-JSON corpus: the fast regex is trusted only on
+    rows that are provably flat (one ``{``, no escapes, single key
+    occurrence, ``{...}``-anchored); nested objects, escaped quotes,
+    duplicate keys, non-integer values and nulls all fall back to real
+    json parsing row-wise. Malformed non-JSON rows return ``default``
+    via the fallback unless they happen to pass every flatness anchor
+    while still being unparseable (e.g. a flat object with a trailing
+    comma) — out of contract, as for the SQL ``json_extract`` oracle.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     # '"k"␣*:␣*(-?digits)' followed by , } or whitespace — not a longer
     # number (json ints cannot run into another token without one)
-    pat = rf'"{key}"\s*:\s*(?P<v>-?\d+)\s*[,}}\s]'
+    pat = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)\s*[,}}\s]'
     m = pc.extract_regex(arr, pat)
     # null flags live on the STRUCT, not its child field
     ok = m.is_valid().to_numpy(zero_copy_only=False)
+    # The regex is positionally blind, so trust it only where the row is
+    # provably flat: exactly one '{' (no nested objects), no backslash
+    # (no escaped quotes that could smuggle '"k":' inside a string
+    # value), and a single '"key"' occurrence (duplicate keys take
+    # json.loads's last-wins). Everything else goes through real json.
+    trimmed = pc.utf8_trim_whitespace(arr)
+    flat = pc.fill_null(
+        pc.and_(pc.and_(pc.and_(pc.and_(
+            pc.equal(pc.count_substring(arr, "{"), 1),
+            pc.equal(pc.count_substring(arr, "\\"), 0)),
+            pc.equal(pc.count_substring(arr, f'"{key}"'), 1)),
+            pc.starts_with(trimmed, "{")),
+            pc.ends_with(trimmed, "}")),
+        False).to_numpy(zero_copy_only=False)
+    ok &= flat
     out = np.full(len(arr), default, dtype=np.int64)
     if ok.any():
         out[ok] = (m.field("v").filter(pa.array(ok))

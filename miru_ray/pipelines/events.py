@@ -37,7 +37,7 @@ __all__ = ["analytics_waveform", "metrics_sum", "distinct_count_users",
            "aggregate_counts", "trending", "user_sessions", "props_k_stats",
            "anomaly_waveform", "aggregate_counts_paged", "aggregate_counts_page2",
            "paired_latest", "value_quantiles", "value_quantiles_sketch",
-           "distinct_count_hll"]
+           "distinct_count_hll", "wal_range_lookup"]
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min

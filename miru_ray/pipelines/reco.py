@@ -349,11 +349,11 @@ def _combine_scores(s: list[np.ndarray], strategy: str) -> np.ndarray:
     num/den >= 0 so 'positive and counted' == s_i > 0."""
     pos = [np.where(si > 0.0, si, 0.0) for si in s]
     if strategy == "unit_weighted":
-        return (pos[0] + pos[1] + pos[2]) / float(len(s))
+        return np.add.reduce(pos) / float(len(s))
     if strategy == "regression_weighted":
-        return pos[0] + pos[1] + pos[2]
+        return np.add.reduce(pos)
     if strategy == "max":
-        return np.maximum(np.maximum(pos[0], pos[1]), pos[2])
+        return np.maximum.reduce(pos)
     raise ValueError(f"unknown strategy: {strategy}")
 
 

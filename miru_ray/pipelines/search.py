@@ -149,12 +149,23 @@ def search(reader: IndexReader, query: str, k: int = 10,
         # Lucene parser (operators/wildcards/field syntax are not terms):
         # the OR operator (en 'or' IS a stopword!), field:value tokens
         # (contain ':'), and prefix patterns (trailing '*').
-        from miru_ray.functions.tokenize import STOPWORDS
+        from miru_ray.functions.tokenize import STOPWORDS, tokenize
         stop = STOPWORDS.get(langs[0], frozenset())
-        query = " ".join(
-            t for t in query.split()
-            if t.upper() == "OR" or ":" in t or t.endswith("*")
-            or t.lower().lstrip("-") not in stop)
+        out = []
+        for t in query.split():
+            if t.upper() == "OR" or ":" in t or t.endswith("*"):
+                out.append(t)
+                continue
+            # Analyze AFTER tokenization, exactly like the index side
+            # (tokenize_column_lang): 'the.' or 'the-merge' must shed the
+            # stopword sub-token, not sneak a zero-posting Term('the')
+            # into an AND. Kept sub-tokens rejoin with '.' (any
+            # non-alnum) so '-' negation still binds the whole token.
+            neg = t.startswith("-")
+            kept = [w for w in tokenize(t.lstrip("-")) if w not in stop]
+            if kept:
+                out.append(("-" if neg else "") + ".".join(kept))
+        query = " ".join(out)
     tree = parse_query(query, reader.schema)
     domain = None
     if time_range is not None:
