@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 
 from miru_ray.sources.tables import read_table
 
-__all__ = ["inbox_unread"]
+__all__ = ["inbox_unread", "apply_unread_delta", "unread_counts",
+           "inbox_unread_delta", "UnreadTracker"]
 
 _MARK_TYPE = "view"
 _BUCKETS = 64
@@ -84,3 +85,174 @@ def inbox_unread(sf_dir: str) -> pa.Table:
              .groupby("bucket").map_groups(_unread_bucket_group,
                                            batch_format="pandas"))
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# --------------------------------------------------- realtime unread deltas
+#
+# The reference delivers per-event unread updates live: MiruUnreadTracking-
+# Index.applyUnread ORs a new doc into the stream's unread bitmap and
+# applyRead ANDNOTs everything at-or-before the read watermark
+# (miru-service/.../index/lab/LabUnreadTrackingIndex.java:120-168). The
+# bulk backfill above rebuilds that state from scratch; the fold below
+# maintains it INCREMENTALLY from event deltas, so a 100-TB deployment
+# replays only the tail, not the corpus. State rows (one table, hash-
+# partitioned by user at scale; parquet-resident between folds):
+#
+#   kind=0  unread inbox item   (user_id, ts)
+#   kind=1  per-user counter    (user_id, ts=read cursor | NaT, n=n_inbox)
+#
+# Delta rows are tagged kind=2 (new inbox item) / kind=3 (new read-mark)
+# and folded per user-bucket: cursors only advance, items never
+# resurrect, so folding in any batch split yields the same state as one
+# bulk pass (pinned by tests/test_intake.py::test_unread_delta_*).
+
+_STATE_SCHEMA = pa.schema([("user_id", pa.int64()),
+                           ("ts", pa.timestamp("us")),
+                           ("kind", pa.int8()),
+                           ("n", pa.int64())])
+
+
+def _fold_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Fold one user-bucket of state + delta rows into new state rows.
+    All-C pandas ops (groupby max/size/sum, one merge)."""
+    cur_rows = g[g["kind"].isin((1, 3))].dropna(subset=["ts"])
+    cur = cur_rows.groupby("user_id")["ts"].max()
+    base = g[g["kind"] == 1].groupby("user_id")["n"].sum()
+    new_n = g[g["kind"] == 2].groupby("user_id").size()
+    n_inbox = base.add(new_n, fill_value=0).astype(np.int64)
+    items = g[g["kind"].isin((0, 2))][["user_id", "ts"]]
+    j = items.merge(cur.rename("cur"), on="user_id", how="left")
+    items = j.loc[j["cur"].isna() | (j["ts"] > j["cur"]),
+                  ["user_id", "ts"]]
+    users = n_inbox.index.union(
+        g.loc[g["kind"].isin((1, 3)), "user_id"].unique())
+    counters = pd.DataFrame({
+        "user_id": np.asarray(users, dtype=np.int64),
+        "ts": cur.reindex(users).astype("datetime64[us]"),
+        "kind": np.int8(1),
+        "n": n_inbox.reindex(users, fill_value=0).astype(np.int64).to_numpy(),
+    })
+    item_rows = pd.DataFrame({
+        "user_id": items["user_id"].astype(np.int64).to_numpy(),
+        "ts": items["ts"].astype("datetime64[us]").to_numpy(),
+        "kind": np.int8(0),
+        "n": np.int64(0),
+    })
+    return pd.concat([item_rows, counters], ignore_index=True)
+
+
+def apply_unread_delta(state: pa.Table | None, delta) -> pa.Table:
+    """Fold a delta of raw events (Dataset or Table with ts/user_id/
+    event_type) into the unread state; ``state=None`` starts empty.
+    One bucketed user-hash exchange over state ∪ delta."""
+    import ray.data as rd
+
+    def tag_delta(t: pa.Table) -> pa.Table:
+        kind = pc.if_else(pc.equal(t["event_type"], _MARK_TYPE),
+                          pa.scalar(3, pa.int8()), pa.scalar(2, pa.int8()))
+        return pa.Table.from_arrays(
+            [t["user_id"].combine_chunks(),
+             pc.cast(t["ts"], pa.timestamp("us")).combine_chunks(),
+             kind.combine_chunks() if isinstance(kind, pa.ChunkedArray)
+             else kind,
+             pa.array(np.zeros(len(t), np.int64))],
+            schema=_STATE_SCHEMA)
+
+    delta_ds = delta if isinstance(delta, rd.Dataset) \
+        else rd.from_arrow(delta)
+    rows = delta_ds.map_batches(tag_delta, batch_format="pyarrow")
+    if state is not None and len(state):
+        rows = rows.union(rd.from_arrow(state))
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        b = t["user_id"].to_numpy() % _BUCKETS
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    out = (rows.map_batches(tag_bucket, batch_format="pyarrow")
+               .groupby("bucket").map_groups(_fold_bucket_group,
+                                             batch_format="pandas"))
+    new_state = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return new_state.select(_STATE_SCHEMA.names).cast(_STATE_SCHEMA)
+
+
+def unread_counts(state: pa.Table) -> pa.Table:
+    """State → the bulk ``inbox_unread`` shape (user_id, n_inbox,
+    n_unread, read_ts), rows only for users with inbox items."""
+    df = state.to_pandas()
+    counters = df[df["kind"] == 1]
+    n_unread = (df[df["kind"] == 0].groupby("user_id").size()
+                .rename("n_unread"))
+    out = counters.loc[counters["n"] > 0,
+                       ["user_id", "n", "ts"]].rename(
+        columns={"n": "n_inbox", "ts": "read_ts"})
+    out = out.merge(n_unread, on="user_id", how="left")
+    out["n_unread"] = out["n_unread"].fillna(0).astype(np.int64)
+    out = out[["user_id", "n_inbox", "n_unread", "read_ts"]] \
+        .sort_values("user_id").reset_index(drop=True)
+    out["read_ts"] = out["read_ts"].astype("datetime64[us]")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def inbox_unread_delta(sf_dir: str,
+                       cuts: tuple[str, ...] = ("2024-01-05",
+                                                "2024-01-10")) -> pa.Table:
+    """The realtime-delivery proof: build unread state from the events
+    BEFORE the first cut, then fold each later slice in as a delta —
+    the result must equal the bulk backfill (same SQL oracle as
+    ``inbox_unread``)."""
+    import pandas as _pd
+    import pyarrow.dataset as pads
+    bounds = [None, *(_pd.Timestamp(c) for c in cuts), None]
+    state = None
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        flt = None
+        f = []
+        if lo is not None:
+            f.append(pads.field("ts") >= pa.scalar(lo, pa.timestamp("us")))
+        if hi is not None:
+            f.append(pads.field("ts") < pa.scalar(hi, pa.timestamp("us")))
+        if f:
+            flt = f[0] if len(f) == 1 else f[0] & f[1]
+        ds = read_table(sf_dir, "events",
+                        columns=["ts", "user_id", "event_type"], filter=flt)
+        state = apply_unread_delta(state, ds)
+    return unread_counts(state)
+
+
+class UnreadTracker:
+    """Per-event realtime form of the same fold — the actor a live
+    deployment would shard by user hash (one tracker per user range;
+    Ray actor pool). Single-event appliance of applyUnread/applyRead;
+    ``counts()`` matches the bulk backfill exactly
+    (tests/test_intake.py::test_unread_tracker_streaming)."""
+
+    def __init__(self):
+        self._n_inbox: dict[int, int] = {}
+        self._cursor: dict[int, object] = {}
+        self._unread: dict[int, list] = {}
+
+    def apply_event(self, user_id: int, event_type: str, ts) -> None:
+        if event_type == _MARK_TYPE:
+            old = self._cursor.get(user_id)
+            if old is None or ts > old:
+                self._cursor[user_id] = ts
+                items = self._unread.get(user_id)
+                if items:
+                    self._unread[user_id] = [t for t in items if t > ts]
+        else:
+            self._n_inbox[user_id] = self._n_inbox.get(user_id, 0) + 1
+            cur = self._cursor.get(user_id)
+            if cur is None or ts > cur:
+                self._unread.setdefault(user_id, []).append(ts)
+
+    def counts(self) -> pa.Table:
+        users = sorted(u for u, n in self._n_inbox.items() if n > 0)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "n_inbox": pa.array([self._n_inbox[u] for u in users],
+                                pa.int64()),
+            "n_unread": pa.array([len(self._unread.get(u, ())) for u in users],
+                                 pa.int64()),
+            "read_ts": pa.array([self._cursor.get(u) for u in users],
+                                pa.timestamp("us")),
+        })

@@ -1,0 +1,124 @@
+"""App-tier intakes (LogMill / SampleTrawl) + realtime unread delivery.
+
+Reference semantics pinned here:
+- LogMill.mill (miru-stumptown-deployable/.../LogMill.java:33-93)
+- SampleTrawl.trawl (miru-anomaly-deployable/.../SampleTrawl.java:32-86)
+- LabUnreadTrackingIndex applyUnread/applyRead
+  (miru-service/.../index/lab/LabUnreadTrackingIndex.java:120-168)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from miru_ray.pipelines.inbox import (UnreadTracker, apply_unread_delta,
+                                      inbox_unread, inbox_unread_delta,
+                                      unread_counts)
+from miru_ray.pipelines.intake import mill_log_batch, trawl_metrics_batch
+
+SF = "/root/testdata/sf0.001"
+I64_MIN = np.iinfo(np.int64).min
+
+
+def test_mill_defaults_and_token_sets():
+    t = pa.table({
+        "datacenter": ["dc1", None, ""],
+        "level": [None, "WARN", ""],
+        "message": ["Don't PANIC panic, 42!", None, "a-b a'b"],
+        "thrown_stack_trace": [
+            ["at Foo.bar(X.java:3)", "at Foo.bar(X.java:3)"], None, []],
+    })
+    m = mill_log_batch(t)
+    # null AND empty both become 'unknown'; level's default is INFO
+    assert m["datacenter"].to_pylist() == ["dc1", "unknown", "unknown"]
+    assert m["level"].to_pylist() == ["INFO", "WARN", "INFO"]
+    # absent columns are all-default
+    assert m["host"].to_pylist() == ["unknown"] * 3
+    # LogMill.tokenize: split on [^a-zA-Z0-9']+, lowercased, SET semantics
+    assert m["message_terms"].to_pylist() == [
+        ["42", "don't", "panic"], [], ["a", "a'b", "b"]]
+    # stack trace lines tokenize into ONE union set per row
+    assert m["stack_terms"].to_pylist() == [
+        ["3", "at", "bar", "foo", "java", "x"], [], []]
+
+
+def test_trawl_bits_sign_and_clamp():
+    t = pa.table({
+        "path": [["a", "b"], [], ["x", "", "y"], ["z"]],
+        "value": pa.array([5, -3, I64_MIN, 0], pa.int64()),
+    })
+    a = trawl_metrics_batch(t)
+    # metric = '>'-joined path; empty path -> 'unknown' (firstNonNull)
+    assert a["metric"].to_pylist() == ["a>b", "unknown", "x>>y", "z"]
+    bits = a["bits"].to_pylist()
+    assert bits[0] == ["+", "0", "2"]            # 5 = 0b101
+    assert bits[1] == ["-", "0", "1"]            # -3 -> |3| = 0b11
+    # Long.MIN_VALUE clamps to MAX_VALUE: bits 0..62 all set
+    assert bits[2] == ["-"] + [str(i) for i in range(63)]
+    assert bits[3] == ["+"]                      # zero: sign token only
+    # tags = sanitize(path): empties dropped, order kept
+    assert a["tags"].to_pylist() == [["a", "b"], [], ["x", "y"], ["z"]]
+
+
+def test_bits_reconstruct_exact_sum():
+    # Anomaly.java:16-60 / SampleTrawl.main identity: for any int64s,
+    # sum = Σ⁺ count(bit_i)·2^i − Σ⁻ count(bit_i)·2^i  (exact)
+    rng = np.random.RandomState(7)
+    v = rng.randint(-10**12, 10**12, size=500).astype(np.int64)
+    t = pa.table({"path": [["m"]] * len(v), "value": pa.array(v)})
+    a = trawl_metrics_batch(t)
+    total = 0
+    for row in a["bits"].to_pylist():
+        sign = 1 if row[0] == "+" else -1
+        total += sign * sum(1 << int(b) for b in row[1:])
+    assert total == int(v.astype(object).sum())
+
+
+def test_unread_delta_matches_bulk(ray_session):
+    bulk = inbox_unread(SF).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    delta = inbox_unread_delta(SF).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    cols = ["user_id", "n_inbox", "n_unread", "read_ts"]
+    pd.testing.assert_frame_equal(bulk[cols], delta[cols])
+
+
+def _ev(user, typ, ts):
+    return {"user_id": user, "event_type": typ, "ts": pd.Timestamp(ts)}
+
+
+def test_unread_delta_late_mark_clears(ray_session):
+    # fold 1: two inbox items; fold 2: a read-mark AFTER both -> both
+    # cleared, n_inbox preserved; a third fold's newer item stays unread
+    d1 = pa.Table.from_pandas(pd.DataFrame(
+        [_ev(1, "click", "2024-01-01"), _ev(1, "click", "2024-01-02")]),
+        preserve_index=False)
+    d2 = pa.Table.from_pandas(pd.DataFrame(
+        [_ev(1, "view", "2024-01-03")]), preserve_index=False)
+    d3 = pa.Table.from_pandas(pd.DataFrame(
+        [_ev(1, "click", "2024-01-04"), _ev(2, "view", "2024-01-01")]),
+        preserve_index=False)
+    st = apply_unread_delta(None, d1)
+    st = apply_unread_delta(st, d2)
+    st = apply_unread_delta(st, d3)
+    c = unread_counts(st).to_pandas()
+    # user 2 has marks only -> no row (bulk parity)
+    assert c["user_id"].tolist() == [1]
+    assert c["n_inbox"].tolist() == [3]
+    assert c["n_unread"].tolist() == [1]
+    assert c["read_ts"].tolist() == [pd.Timestamp("2024-01-03")]
+
+
+def test_unread_tracker_streaming_matches_bulk(ray_session):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["ts", "user_id", "event_type"])
+    tr = UnreadTracker()
+    for r in t.to_pandas().sort_values("ts").itertuples():
+        tr.apply_event(r.user_id, r.event_type, r.ts)
+    bulk = inbox_unread(SF).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    got = tr.counts().to_pandas()
+    pd.testing.assert_frame_equal(got, bulk)
