@@ -141,56 +141,90 @@ def _fold_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([item_rows, counters], ignore_index=True)
 
 
-def apply_unread_delta(state: pa.Table | None, delta) -> pa.Table:
-    """Fold a delta of raw events (Dataset or Table with ts/user_id/
-    event_type) into the unread state; ``state=None`` starts empty.
-    One bucketed user-hash exchange over state ∪ delta."""
+def _counts_from_state(st: pd.DataFrame) -> pd.DataFrame:
+    """Per-user counts from folded state rows (one bucket's worth)."""
+    counters = st[st["kind"] == 1]
+    n_unread = (st[st["kind"] == 0].groupby("user_id").size()
+                .rename("n_unread"))
+    out = counters.loc[counters["n"] > 0, ["user_id", "ts", "n"]].rename(
+        columns={"n": "n_inbox", "ts": "read_ts"})
+    out = out.merge(n_unread, on="user_id", how="left")
+    out["n_unread"] = out["n_unread"].fillna(0).astype(np.int64)
+    out["read_ts"] = out["read_ts"].astype("datetime64[us]")
+    return out[["user_id", "n_inbox", "n_unread", "read_ts"]]
+
+
+def _folded(state, delta, group_fn):
+    """state ∪ tagged delta → ONE bucketed user-hash exchange →
+    ``group_fn`` per bucket. Shared plumbing for fold and fold+count."""
     import ray.data as rd
 
     def tag_delta(t: pa.Table) -> pa.Table:
         kind = pc.if_else(pc.equal(t["event_type"], _MARK_TYPE),
                           pa.scalar(3, pa.int8()), pa.scalar(2, pa.int8()))
+        if isinstance(kind, pa.ChunkedArray):
+            kind = kind.combine_chunks()
         return pa.Table.from_arrays(
             [t["user_id"].combine_chunks(),
              pc.cast(t["ts"], pa.timestamp("us")).combine_chunks(),
-             kind.combine_chunks() if isinstance(kind, pa.ChunkedArray)
-             else kind,
-             pa.array(np.zeros(len(t), np.int64))],
+             kind, pa.array(np.zeros(len(t), np.int64))],
             schema=_STATE_SCHEMA)
 
     delta_ds = delta if isinstance(delta, rd.Dataset) \
         else rd.from_arrow(delta)
     rows = delta_ds.map_batches(tag_delta, batch_format="pyarrow")
-    if state is not None and len(state):
-        rows = rows.union(rd.from_arrow(state))
+    if state is not None:
+        state_ds = state if isinstance(state, rd.Dataset) \
+            else rd.from_arrow(state)
+        rows = rows.union(state_ds)
 
     def tag_bucket(t: pa.Table) -> pa.Table:
         b = t["user_id"].to_numpy() % _BUCKETS
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
-    out = (rows.map_batches(tag_bucket, batch_format="pyarrow")
-               .groupby("bucket").map_groups(_fold_bucket_group,
-                                             batch_format="pandas"))
-    new_state = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return new_state.select(_STATE_SCHEMA.names).cast(_STATE_SCHEMA)
+    return (rows.map_batches(tag_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(group_fn,
+                                              batch_format="pandas"))
 
 
-def unread_counts(state: pa.Table) -> pa.Table:
+def apply_unread_delta(state, delta):
+    """Fold a delta of raw events (Dataset or Table with ts/user_id/
+    event_type) into the unread state; ``state=None`` starts empty.
+    One bucketed user-hash exchange over state ∪ delta.
+
+    Returns the new state as a LAZY Dataset: folds chain without driver
+    materialization (the state is O(unread items) — far too big to
+    collect at deployment scale) and execute when consumed. A deployment
+    persisting state between jobs writes ``state.write_parquet(dir)``
+    (already partitioned by user-hash bucket) and reloads with
+    ``read_parquet``; consumers reading one fold twice should
+    ``.materialize()`` it themselves."""
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return _fold_bucket_group(g)
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        return t.select(_STATE_SCHEMA.names).cast(_STATE_SCHEMA)
+
+    return _folded(state, delta, fold).map_batches(
+        fix_schema, batch_format="pyarrow")
+
+
+def unread_counts(state) -> pa.Table:
     """State → the bulk ``inbox_unread`` shape (user_id, n_inbox,
-    n_unread, read_ts), rows only for users with inbox items."""
-    df = state.to_pandas()
-    counters = df[df["kind"] == 1]
-    n_unread = (df[df["kind"] == 0].groupby("user_id").size()
-                .rename("n_unread"))
-    out = counters.loc[counters["n"] > 0,
-                       ["user_id", "n", "ts"]].rename(
-        columns={"n": "n_inbox", "ts": "read_ts"})
-    out = out.merge(n_unread, on="user_id", how="left")
-    out["n_unread"] = out["n_unread"].fillna(0).astype(np.int64)
-    out = out[["user_id", "n_inbox", "n_unread", "read_ts"]] \
-        .sort_values("user_id").reset_index(drop=True)
-    out["read_ts"] = out["read_ts"].astype("datetime64[us]")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    n_unread, read_ts), rows only for users with inbox items. The
+    per-user reduce runs distributed; only the RESULT is collected."""
+    import ray.data as rd
+    state_ds = state if isinstance(state, rd.Dataset) else rd.from_arrow(state)
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        b = t["user_id"].to_numpy() % _BUCKETS
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    res = (state_ds.map_batches(tag_bucket, batch_format="pyarrow")
+                   .groupby("bucket").map_groups(_counts_from_state,
+                                                 batch_format="pandas"))
+    df = res.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def inbox_unread_delta(sf_dir: str,
@@ -199,24 +233,39 @@ def inbox_unread_delta(sf_dir: str,
     """The realtime-delivery proof: build unread state from the events
     BEFORE the first cut, then fold each later slice in as a delta —
     the result must equal the bulk backfill (same SQL oracle as
-    ``inbox_unread``)."""
+    ``inbox_unread``).
+
+    Topology mirrors the reference deployment: unread state is OWNED by
+    a user shard and never moves (LabUnreadTrackingIndex lives inside
+    its partition); deltas are routed to shards. So events exchange
+    ONCE on the user-hash bucket, and each shard folds its slices
+    sequentially in place — per-user state transitions identical to
+    cross-job ``apply_unread_delta`` folds (pinned equal in
+    tests/test_intake.py), without paying one distributed exchange per
+    delta. The per-user count reduce fuses into the same exchange."""
     import pandas as _pd
-    import pyarrow.dataset as pads
-    bounds = [None, *(_pd.Timestamp(c) for c in cuts), None]
-    state = None
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        flt = None
-        f = []
-        if lo is not None:
-            f.append(pads.field("ts") >= pa.scalar(lo, pa.timestamp("us")))
-        if hi is not None:
-            f.append(pads.field("ts") < pa.scalar(hi, pa.timestamp("us")))
-        if f:
-            flt = f[0] if len(f) == 1 else f[0] & f[1]
-        ds = read_table(sf_dir, "events",
-                        columns=["ts", "user_id", "event_type"], filter=flt)
-        state = apply_unread_delta(state, ds)
-    return unread_counts(state)
+    cut_ts = [_pd.Timestamp(c) for c in cuts]
+
+    def fold_slices(g: pd.DataFrame) -> pd.DataFrame:
+        bounds = [None, *cut_ts, None]
+        state = None
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            m = _pd.Series(True, index=g.index)
+            if lo is not None:
+                m &= g["ts"] >= lo
+            if hi is not None:
+                m &= g["ts"] < hi
+            delta = g.loc[m, ["user_id", "ts", "kind", "n"]]
+            state = _fold_bucket_group(
+                delta if state is None
+                else _pd.concat([state, delta], ignore_index=True))
+        return _counts_from_state(state)
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type"])
+    res = _folded(None, ds, fold_slices)
+    df = res.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 class UnreadTracker:

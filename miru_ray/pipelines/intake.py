@@ -138,12 +138,15 @@ def mill_log_events(ds):
 
 # ---------------------------------------------------------------- stumptown
 
-def _log_events_from_events(t: pa.Table) -> pa.Table:
+def _log_events_from_events(t: pa.Table,
+                            with_message: bool = True) -> pa.Table:
     """Deterministic MiruLogEvent derivation from the driver's ``events``
     table — the fixture's stand-in for the logappender's HTTP stream.
     Mirrored EXACTLY by the ``logev`` CTE in the SQL oracle; ``cluster``
     is sometimes NULL and ``level`` NULL for purchases so the mill's
-    unknown/INFO defaults are exercised, not just passed through."""
+    unknown/INFO defaults are exercised, not just passed through.
+    ``with_message=False`` prunes the message column (columnar
+    projection pushdown for consumers that never touch the multiTerm)."""
     u = t["user_id"].to_numpy()
     e = t["event_id"].to_numpy()
     et = t["event_type"]
@@ -158,12 +161,15 @@ def _log_events_from_events(t: pa.Table) -> pa.Table:
                      pc.if_else(pc.equal(et, "purchase"),
                                 pa.scalar(None, pa.string()),
                                 pa.scalar("INFO")))
-    msg = pc.binary_join_element_wise(et, t["props"], pa.scalar(" "))
-    return pa.Table.from_arrays(
-        [pa.array(e), dc, cl, host, et.combine_chunks(), inst, ver,
-         lvl.combine_chunks(), msg.combine_chunks()],
-        names=["event_id", "datacenter", "cluster", "host", "service",
-               "instance", "version", "level", "message"])
+    cols = [pa.array(e), dc, cl, host, et.combine_chunks(), inst, ver,
+            lvl.combine_chunks()]
+    names = ["event_id", "datacenter", "cluster", "host", "service",
+             "instance", "version", "level"]
+    if with_message:
+        msg = pc.binary_join_element_wise(et, t["props"], pa.scalar(" "))
+        cols.append(msg.combine_chunks())
+        names.append("message")
+    return pa.Table.from_arrays(cols, names=names)
 
 # SQL mirror of _log_events_from_events, shared by both stumptown oracles.
 LOGEV_SQL = """
@@ -193,10 +199,11 @@ def stumptown_level_counts(sf_dir: str) -> pa.Table:
     exchange on a key-hash bucket — the exchange moves O(distinct
     ServiceIds), never O(events)."""
     ds = read_table(sf_dir, "events",
-                    columns=["event_id", "user_id", "event_type", "props"])
+                    columns=["event_id", "user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        milled = mill_log_batch(_log_events_from_events(t))
+        milled = mill_log_batch(
+            _log_events_from_events(t, with_message=False))
         df = (milled.select(_LC_KEYS).to_pandas()
               .groupby(_LC_KEYS, sort=False).size().rename("n").reset_index())
         key = df[_LC_KEYS].agg("\x00".join, axis=1).to_numpy(dtype=object) \
