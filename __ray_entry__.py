@@ -56,8 +56,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_or": lambda sf: fulltext.needle_search(sf, "vector OR window", 50),
         "fulltext_lang": lambda sf: fulltext.fulltext_filtered(
             sf, "table scan", langs=["en"]),
-        "fulltext_timerange": lambda sf: fulltext.fulltext_filtered(
-            sf, "table scan", doc_id_range=(100, 400)),
         "fulltext_fielded": lambda sf: fulltext.fulltext_fielded(
             sf, "sort merge source:src3", 20),
         "fulltext_numrange": lambda sf: fulltext.fulltext_fielded(
@@ -111,6 +109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stumptown_message_terms": lambda sf: __import__(
             "miru_ray.pipelines.intake", fromlist=["stumptown_message_terms"]
         ).stumptown_message_terms(sf),
+        # intake composed with the index engine end to end: mill the log
+        # corpus, build a schema'd index over it, fielded BM25 on top
+        "stumptown_search": lambda sf: __import__(
+            "miru_ray.pipelines.intake", fromlist=["stumptown_search"]
+        ).stumptown_search(sf),
         # bit-sliced metric trawl; SUM reconstructed from bit counts
         "anomaly_bits_sum": lambda sf: __import__(
             "miru_ray.pipelines.intake", fromlist=["anomaly_bits_sum"]
@@ -150,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # still-checked entry:
         #   fulltext_fielded_not / fulltext_fielded_prefix: parser
         #     variants of the checked fulltext_fielded (r2 hash-exact)
+        #   fulltext_timerange: domain-mask variant (fulltext_lang and
+        #     authz_search keep domain masks driver-checked; r2 hash-exact)
         #   distinct_count_users / top_orders: r2 hash-exact, simple ops
         #   window_sliding_halo: value-identical to window_sliding by a
         #     shared oracle + pytest pin
@@ -163,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "table scan -source:src3", 20),
         "fulltext_fielded_prefix": lambda sf: fulltext.fulltext_fielded(
             sf, "table scan source:src1*", 20),
+        "fulltext_timerange": lambda sf: fulltext.fulltext_filtered(
+            sf, "table scan", doc_id_range=(100, 400)),
         "distinct_count_users": events.distinct_count_users,
         "top_orders": relational.top_orders,
         "window_sliding_halo": joins.window_sliding_halo,
@@ -647,6 +654,38 @@ toks AS (
 )
 SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term
 ORDER BY df DESC, term LIMIT 20
+""",
+        # fielded BM25 over the milled log corpus: text terms scored with
+        # corpus-global df/N/avgdl, level: filters candidates (domain
+        # mask), tie-break docID DESC — same contract as the fulltext
+        # family, over the intake-derived corpus
+        "stumptown_search": """
+WITH logdocs AS (
+  SELECT event_id AS doc_id, event_type || ' ' || props AS text,
+         CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level
+  FROM events
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM logdocs
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('purchase', 'k') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ) AS raw,
+         count(*) AS nterms
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id
+)
+SELECT doc_id::BIGINT AS event_id, round(raw, 6) AS score FROM scores
+WHERE nterms = 2
+  AND doc_id IN (SELECT doc_id FROM logdocs WHERE level = 'info')
+ORDER BY raw DESC, doc_id DESC LIMIT 20
 """,
         # SampleTrawl bit-slice round-trip: the engine reconstructs
         # SUM(value) from per-bit cardinalities (Anomaly.java:16-60);

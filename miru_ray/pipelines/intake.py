@@ -28,6 +28,9 @@ topology, never by the event count.
 
 from __future__ import annotations
 
+import os
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -38,7 +41,8 @@ from miru_ray.sources.tables import read_table
 
 __all__ = ["mill_log_batch", "mill_log_events", "stumptown_level_counts",
            "stumptown_message_terms", "trawl_metrics_batch",
-           "anomaly_bits_sum", "LOG_SINGLE_FIELDS"]
+           "anomaly_bits_sum", "stumptown_index", "stumptown_search",
+           "LOG_SINGLE_FIELDS"]
 
 # LogMill's single-term fields, in schema order (StumptownSchemaConstants
 # fields 0-8 + 10, 12-14; 'message'/'thrownStackTrace' are the multiTerms).
@@ -375,3 +379,97 @@ def anomaly_bits_sum(sf_dir: str) -> pa.Table:
                         "n": nrows.reindex(totals.index).to_numpy()
                         .astype(np.int64)}).sort_values("metric")
     return pa.Table.from_pandas(res, preserve_index=False)
+
+
+# ------------------------------------------------- stumptown search (e2e)
+
+def _log_pages(t: pa.Table) -> pa.Table:
+    """events batch → indexable log pages: the stumptown deployment in
+    miniature. ``text`` is the log MESSAGE (BM25-scored primary field —
+    stumptown's 'message' multiTerm), ``level``/``service`` are exact
+    keyword fields (singleTerm fields 6/3 of StumptownSchemaConstants).
+    Keyword values are stored lowercased: the query parser analyzes
+    field values with the shared tokenizer, so index-side values must be
+    normalized by the same rule (one analyzer for index+query+oracle).
+    warc_ts := base + event_id·1s keeps internal docIDs monotone in
+    event_id, aligning tie-breaks with the SQL oracle (FIXTURES.md)."""
+    from miru_ray.sources.tables import DOC_TS_BASE_US
+    e = t["event_id"].to_numpy()
+    et = t["event_type"]
+    url = pc.binary_join_element_wise(
+        pa.scalar("log://"), pa.array(e.astype("U20")), pa.scalar(""))
+    ts = pa.array(DOC_TS_BASE_US + e * 1_000_000).cast(pa.timestamp("us"))
+    text = pc.binary_join_element_wise(et, t["props"], pa.scalar(" "))
+    # milled level, lowercased: error→'error'; purchase derives NULL and
+    # the mill defaults it to INFO; everything else INFO
+    level = pc.if_else(pc.equal(et, "error"), pa.scalar("error"),
+                       pa.scalar("info"))
+    names = ["url", "warc_ts", "text", "lang", "level", "service"]
+    cols = [url, ts, text, pa.array(np.repeat("en", len(t))), level, et]
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in cols], names=names)
+
+
+def stumptown_index(sf_dir: str) -> str:
+    """Build (cached per source stats) the searchable log index over the
+    milled events — intake composed with the index engine, like the
+    stumptown deployable feeds its miru cluster."""
+    import pyarrow.parquet as pq
+
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.tables import DOC_TS_BASE_US, read_table as _rt
+    from miru_ray.state.layout import read_json, write_json_atomic
+    from miru_ray.state.schema import FieldDef, IndexSchema
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = {"src": os.path.abspath(src), "size": st.st_size,
+           "mtime_ns": st.st_mtime_ns, "layout": 1}
+    slug = re.sub(r"[^A-Za-z0-9_.-]", "_",
+                  os.path.abspath(sf_dir)).strip("_")
+    idx = os.path.join("/tmp/miru_ray_idx", slug + "_stumptown")
+    tag_path = os.path.join(idx, "source_tag.json")
+    if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
+        return idx
+    import shutil
+    shutil.rmtree(idx, ignore_errors=True)
+    meta_pq = pq.ParquetFile(src).metadata
+    ci = meta_pq.schema.to_arrow_schema().get_field_index("event_id")
+    lo = hi = None
+    for rg in range(meta_pq.num_row_groups):
+        s = meta_pq.row_group(rg).column(ci).statistics
+        if s is not None and s.has_min_max:
+            lo = int(s.min) if lo is None else min(lo, int(s.min))
+            hi = int(s.max) if hi is None else max(hi, int(s.max))
+    bounds = (DOC_TS_BASE_US + lo * 1_000_000,
+              DOC_TS_BASE_US + hi * 1_000_000) if lo is not None else None
+    pages = _rt(sf_dir, "events",
+                columns=["event_id", "event_type", "props"]) \
+        .map_batches(_log_pages, batch_format="pyarrow")
+    build_index(pages, idx,
+                BuildConfig(num_parts=4, num_shards=2,
+                            partition_mode="time_range", time_bounds=bounds,
+                            schema=IndexSchema((
+                                FieldDef("level", "keyword"),
+                                FieldDef("service", "keyword")))))
+    write_json_atomic(tag_path, tag)
+    return idx
+
+
+def stumptown_search(sf_dir: str, query: str = "purchase k level:info",
+                     k: int = 20) -> pa.Table:
+    """Fielded BM25 over the milled log corpus (intake → index → query,
+    end to end): text terms are BM25-scored, ``level:`` filters candidates
+    while df/N/avgdl stay corpus-global — the engine's domain-mask
+    semantics, mirrored by the SQL oracle."""
+    from miru_ray.pipelines.search import search
+    from miru_ray.state.reader import IndexReader
+
+    hits = search(IndexReader(stumptown_index(sf_dir)), query, k=k)
+    urls = hits["url"].to_pylist()
+    return pa.table({
+        "event_id": pa.array([int(u[6:]) for u in urls], pa.int64()),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6),
+                          pa.float64()),
+    })
