@@ -122,3 +122,51 @@ def test_unread_tracker_streaming_matches_bulk(ray_session):
         .reset_index(drop=True)
     got = tr.counts().to_pandas()
     pd.testing.assert_frame_equal(got, bulk)
+
+
+# ---- property tests: vectorized kernels vs pure-python references ----
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PY_SPLIT = _re.compile(r"[^a-z0-9']+")
+
+
+def _py_mill_tokens(msg):
+    """LogMill.tokenize reproduced row-wise in plain Python."""
+    if msg is None:
+        return []
+    return sorted({t for t in _PY_SPLIT.split(msg.lower()) if t})
+
+
+@settings(max_examples=80, deadline=None)
+@given(msgs=st.lists(st.one_of(st.none(), st.text(max_size=40)),
+                     max_size=12))
+def test_mill_tokenize_matches_python(msgs):
+    t = pa.table({"message": pa.array(msgs, pa.string())})
+    got = mill_log_batch(t)["message_terms"].to_pylist()
+    assert got == [_py_mill_tokens(m) for m in msgs]
+
+
+def _py_bits(v: int) -> list[str]:
+    """SampleTrawl.trawl bit tokens reproduced in plain Python."""
+    out = ["+" if v >= 0 else "-"]
+    mag = v if v >= 0 else (I64_MAX_PY if v == I64_MIN else -v)
+    out.extend(str(i) for i in range(64) if (mag >> i) & 1)
+    return out
+
+
+I64_MAX_PY = (1 << 63) - 1
+
+
+@settings(max_examples=80, deadline=None)
+@given(vals=st.lists(st.integers(min_value=I64_MIN,
+                                 max_value=I64_MAX_PY), max_size=12))
+def test_trawl_bits_match_python(vals):
+    t = pa.table({"path": pa.array([["m"]] * len(vals),
+                                   pa.list_(pa.string())),
+                  "value": pa.array(vals, pa.int64())})
+    got = trawl_metrics_batch(t)["bits"].to_pylist()
+    assert got == [_py_bits(v) for v in vals]
