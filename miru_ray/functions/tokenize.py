@@ -34,6 +34,9 @@ TOKEN_RE_SQL = "[a-z0-9]+"
 # al), reduced to the [a-z0-9]+ grammar (accented forms tokenize into
 # fragments under this grammar and are deliberately excluded). ONE table
 # shared by index build, query analysis and the SQL oracle.
+# NOTE: pipelines/textstats.py carries a SEPARATE (smaller) English list
+# for quality scoring with its own oracle mirror — the two intentionally
+# differ and must not be "unified".
 STOPWORDS: dict[str, frozenset] = {
     "en": frozenset(("a", "an", "and", "are", "as", "at", "be", "by",
                      "for", "from", "in", "is", "it", "of", "on", "or",

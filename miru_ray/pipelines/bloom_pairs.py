@@ -155,12 +155,21 @@ def paired_bloom_contains(sf_dir: str,
                        for b in side["bloom"].to_pylist()])
     probes = np.asarray(sorted(probe_ks), dtype=np.int64)
     h1p, h2p = _k_hashes(probes)
-    n_u, n_k = len(users), len(probes)
-    rows = np.repeat(np.arange(n_u), n_k)
-    hits = might_contain(blooms[rows], np.tile(h1p, n_u), np.tile(h2p, n_u),
-                         _NUM_BITS, _NUM_HASHES)
-    cand_u = users[rows[hits]]
-    cand_k = np.tile(probes, n_u)[hits]
+    n_u = len(users)
+    # probe per k value (≤ len(probe_ks) passes) over the SHARED bloom
+    # matrix — never materialize the users×probes cross-product: peak
+    # memory stays O(users), not O(users·probes) duplicated bloom rows
+    cand_u_parts, cand_k_parts = [], []
+    for j, kval in enumerate(probes):
+        m = might_contain(blooms, np.full(n_u, h1p[j], dtype=h1p.dtype),
+                          np.full(n_u, h2p[j], dtype=h2p.dtype),
+                          _NUM_BITS, _NUM_HASHES)
+        cand_u_parts.append(users[m])
+        cand_k_parts.append(np.full(int(m.sum()), kval, dtype=np.int64))
+    cand_u = (np.concatenate(cand_u_parts) if cand_u_parts
+              else np.array([], np.int64))
+    cand_k = (np.concatenate(cand_k_parts) if cand_k_parts
+              else np.array([], np.int64))
     # exact verify: pushdown read of ONLY the probed k values' rows
     import pyarrow.dataset as pads
     truth = pq.read_table(

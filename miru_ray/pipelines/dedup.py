@@ -387,24 +387,6 @@ def _nj_shingle_rows(batch: pa.Table) -> pa.Table:
     })
 
 
-def _nj_len_rows(batch: pa.Table) -> pa.Table:
-    """doc → (doc_id, nsh) distinct-shingle counts (docs with zero
-    shingles drop out — they can never pair)."""
-    from miru_ray.functions.runtime import limit_worker_threads
-    limit_worker_threads()
-    tok_lists = tokenize_column(batch["text"])
-    doclens = np.diff(tok_lists.offsets.to_numpy(zero_copy_only=False))
-    flat = tok_lists.flatten().to_numpy(zero_copy_only=False)
-    tok_h = hash_strings(flat) if len(flat) else np.empty(0, dtype=np.uint64)
-    docs, _sh = _shingles_from_flat(tok_h, doclens.astype(np.int64))
-    n = np.bincount(docs, minlength=len(doclens))
-    keep = n > 0
-    return pa.table({
-        "doc_id": pa.array(batch["doc_id"].to_numpy()[keep], pa.int64()),
-        "nsh": pa.array(n[keep].astype(np.int64), pa.int64()),
-    })
-
-
 def _nj_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """One shingle bucket → locally-summed co-occurrence partials
     (pbucket, doc_a, doc_b, cnt). A shingle hash lives in exactly one
@@ -477,12 +459,27 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     ancestor is the distinct-count path (MiruAggregateUtil.java).
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = (ds.map_batches(_nj_shingle_rows, batch_format="pyarrow",
-                            batch_size=1024)
-               .groupby("spart").map_groups(_nj_pairs, batch_format="pandas")
-               .groupby("pbucket").map_groups(_nj_sum, batch_format="pandas"))
-    lens = ds.map_batches(_nj_len_rows, batch_format="pyarrow",
-                          batch_size=1024).materialize()
+    # tokenize+hash+shingle ONCE: both consumers (pair expansion and the
+    # per-doc distinct-shingle counts) read the same materialized shingle
+    # rows — the CPU-heavy scan is never paid twice. nsh = rows per doc
+    # of this very dataset (rows are per-doc distinct), summed through a
+    # tiny bucketed exchange so the count is right even if one doc's
+    # rows straddle an output-block split.
+    shingles = (ds.map_batches(_nj_shingle_rows, batch_format="pyarrow",
+                               batch_size=1024).materialize())
+    pairs = (shingles
+             .groupby("spart").map_groups(_nj_pairs, batch_format="pandas")
+             .groupby("pbucket").map_groups(_nj_sum, batch_format="pandas"))
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        ids, n = np.unique(t["doc_id"].to_numpy(), return_counts=True)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "nsh": pa.array(n.astype(np.int64), pa.int64())})
+
+    from miru_ray.functions.rollup import bucketed_sum_rollup
+    lens = bucketed_sum_rollup(
+        shingles.map_batches(_count_partial, batch_format="pyarrow"),
+        keys=["doc_id"], val_cols=["nsh"]).materialize()
 
     def _attach(ds_pairs, side_key: str, pair_cols: list[str]):
         """One keyed exchange: pair rows bucket on ``side_key``, len

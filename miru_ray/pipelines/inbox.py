@@ -38,6 +38,13 @@ _MARK_TYPE = "view"
 _BUCKETS = 64
 
 
+def _tag_bucket(t: pa.Table) -> pa.Table:
+    """Append the user-hash exchange key — THE partitioning rule for all
+    inbox state and reduces (one definition; fold and counts must agree)."""
+    b = t["user_id"].to_numpy() % _BUCKETS
+    return t.append_column("bucket", pa.array(b, pa.int64()))
+
+
 def _unread_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
     """One user-bucket: per-user inbox count, unread count past the
     latest read-mark, and the cursor itself (NaT when the user never
@@ -178,11 +185,7 @@ def _folded(state, delta, group_fn):
             else rd.from_arrow(state)
         rows = rows.union(state_ds)
 
-    def tag_bucket(t: pa.Table) -> pa.Table:
-        b = t["user_id"].to_numpy() % _BUCKETS
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    return (rows.map_batches(tag_bucket, batch_format="pyarrow")
+    return (rows.map_batches(_tag_bucket, batch_format="pyarrow")
                 .groupby("bucket").map_groups(group_fn,
                                               batch_format="pandas"))
 
@@ -216,11 +219,7 @@ def unread_counts(state) -> pa.Table:
     import ray.data as rd
     state_ds = state if isinstance(state, rd.Dataset) else rd.from_arrow(state)
 
-    def tag_bucket(t: pa.Table) -> pa.Table:
-        b = t["user_id"].to_numpy() % _BUCKETS
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    res = (state_ds.map_batches(tag_bucket, batch_format="pyarrow")
+    res = (state_ds.map_batches(_tag_bucket, batch_format="pyarrow")
                    .groupby("bucket").map_groups(_counts_from_state,
                                                  batch_format="pandas"))
     df = res.to_pandas().sort_values("user_id").reset_index(drop=True)

@@ -92,10 +92,9 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
     my_orders_ref = ray.put(np.sort(my_orders))
 
     def my_parts_batch(t: pa.Table) -> pa.Table:
+        from miru_ray.functions.postings import _membership
         mo = ray.get(my_orders_ref)
-        keys = t["l_orderkey"].to_numpy()
-        pos = np.searchsorted(mo, keys)
-        hit = (pos < len(mo)) & (mo[np.minimum(pos, len(mo) - 1)] == keys)
+        hit = _membership(mo, t["l_orderkey"].to_numpy())
         return pa.table({"l_partkey": pc.unique(pa.array(
             t["l_partkey"].to_numpy()[hit], pa.int64()))})
 
@@ -116,10 +115,9 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
     mp_ref = ray.put(np.sort(my_parts))
 
     def line_weights(t: pa.Table) -> pa.Table:
+        from miru_ray.functions.postings import _membership
         mp = ray.get(mp_ref)
-        pk = t["l_partkey"].to_numpy()
-        pos = np.searchsorted(mp, pk)
-        hit = (pos < len(mp)) & (mp[np.minimum(pos, len(mp) - 1)] == pk)
+        hit = _membership(mp, t["l_partkey"].to_numpy())
         okk = t["l_orderkey"].to_numpy()[hit]
         df = pd.DataFrame({"orderkey": okk})
         g = df.groupby("orderkey", sort=False).size().reset_index(name="w")
@@ -134,6 +132,9 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
         # small side: per-batch partials fit the driver; distinct matched
         # orderkeys → pushdown read of just those orders rows
         pdf = partials.to_pandas()
+        if pdf.empty:   # empty dataset loses its schema in to_pandas
+            pdf = pd.DataFrame({"orderkey": pd.Series([], dtype=np.int64),
+                                "w": pd.Series([], dtype=np.int64)})
         pw = pdf.groupby("orderkey", sort=True)["w"].sum()
         ok_m = pw.index.to_numpy(dtype=np.int64)
         import os
@@ -178,20 +179,25 @@ def cf_recommend(sf_dir: str, custkey: int = 1, n_contributors: int = 20,
     hop3_ref = ray.put((ok_c, ck_c, np.sort(my_parts)))
 
     def pairs_batch(t: pa.Table) -> pa.Table:
+        from miru_ray.functions.postings import _membership
         oks, cks, mp = ray.get(hop3_ref)
+        if len(oks) == 0:   # no contributors: empty typed result, no crash
+            return pa.table({"custkey": pa.array([], pa.int64()),
+                             "p_partkey": pa.array([], pa.int64())})
         okk = t["l_orderkey"].to_numpy()
-        pos = np.searchsorted(oks, okk)
-        is_contrib = (pos < len(oks)) & (oks[np.minimum(pos, len(oks) - 1)] == okk)
-        cust = cks[np.minimum(pos, len(oks) - 1)]
+        is_contrib = _membership(oks, okk)
+        cust = cks[np.minimum(np.searchsorted(oks, okk), len(oks) - 1)]
         pk = t["l_partkey"].to_numpy()
-        ppos = np.searchsorted(mp, pk)
-        not_mine = ~((ppos < len(mp)) & (mp[np.minimum(ppos, len(mp) - 1)] == pk))
+        not_mine = ~_membership(mp, pk)
         keep = is_contrib & not_mine
         df = pd.DataFrame({"custkey": cust[keep], "p_partkey": pk[keep]})
         return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
 
     pairs = (li.map_batches(pairs_batch, batch_format="pyarrow")
                .to_pandas().drop_duplicates())
+    if pairs.empty:   # schema-less empty dataset (no contributors/pairs)
+        pairs = pd.DataFrame({"custkey": pd.Series([], dtype=np.int64),
+                              "p_partkey": pd.Series([], dtype=np.int64)})
     pairs["score"] = pairs["custkey"].map(cw).astype(np.int64)
     scores = (pairs.groupby("p_partkey")["score"].sum().reset_index()
               .sort_values(["score", "p_partkey"], ascending=[False, True])
@@ -357,23 +363,27 @@ def _combine_scores(s: list[np.ndarray], strategy: str) -> np.ndarray:
     raise ValueError(f"unknown strategy: {strategy}")
 
 
-_MODEL_CACHE: dict[tuple, pd.DataFrame] = {}
+_MODEL_CACHE: dict[tuple, tuple[tuple, pd.DataFrame]] = {}
 
 
 def _cached_model(sf_dir: str, label: str, top_n: int) -> pd.DataFrame:
     """Per-source Catwalk model cache (the reference's StrutModelCache,
     miru-stream-plugins/.../strut/StrutModelCache.java: scorers fetch a
-    cached model rather than rebuilding per query). Keyed on the events
-    source identity + model parameters; the model itself is O(features
-    x top_n) rows."""
+    cached model rather than rebuilding per query). Keyed on (path,
+    label, top_n) with the stat tuple as a VALIDATOR, not a key part —
+    a regenerated fixture replaces its stale model instead of leaking
+    one dead model per generation; each model is O(features × top_n)
+    rows."""
     import os
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns, label, top_n)
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = catwalk_model_multi(sf_dir, label,
-                                                top_n=top_n).to_pandas()
-    return _MODEL_CACHE[key]
+    key = (os.path.abspath(src), label, top_n)
+    stat = (st.st_size, st.st_mtime_ns)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None or hit[0] != stat:
+        _MODEL_CACHE[key] = (stat, catwalk_model_multi(
+            sf_dir, label, top_n=top_n).to_pandas())
+    return _MODEL_CACHE[key][1]
 
 
 def strut_scores_strategy(sf_dir: str, label: str = "purchase",

@@ -20,7 +20,13 @@ from miru_ray.sources.tables import read_table
 __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "sample_hash", "md5_fingerprint_batch", "doc_fingerprint_table"]
 
-# Small English stopword list (fixed; mirrored verbatim in the SQL oracle).
+# Small English stopword list for QUALITY SCORING (fixed; mirrored
+# verbatim in the quality_scores SQL oracle). DELIBERATELY distinct from
+# functions/tokenize.py STOPWORDS["en"] (the per-language ANALYZER set,
+# which also carries "an"/"be" and has its own oracle mirror): the two
+# contracts version independently — updating one must not silently move
+# the other's oracle. Keep any edit here in lockstep with the
+# quality_scores SQL only.
 STOPWORDS = ("a", "and", "are", "as", "at", "by", "for", "from", "in", "is",
              "it", "of", "on", "or", "that", "the", "to", "with")
 
@@ -36,7 +42,7 @@ def md5_fingerprint_batch(batch: pa.Table) -> pa.Table:
                      "fingerprint": pa.array(fps, pa.string())})
 
 
-_FP_CACHE: dict[tuple, pa.Table] = {}
+_FP_CACHE: dict[str, tuple[tuple, pa.Table]] = {}   # path -> (stat, table)
 
 
 def doc_fingerprint_table(sf_dir: str) -> pa.Table:
@@ -48,13 +54,17 @@ def doc_fingerprint_table(sf_dir: str) -> pa.Table:
     import os
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns)
-    if key not in _FP_CACHE:
+    path = os.path.abspath(src)
+    stat = (st.st_size, st.st_mtime_ns)
+    # keyed by PATH, replaced when the stat tuple changes — a regenerated
+    # fixture evicts its stale generation instead of leaking it
+    hit = _FP_CACHE.get(path)
+    if hit is None or hit[0] != stat:
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
         out = ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow")
-        _FP_CACHE[key] = pa.Table.from_pandas(out.to_pandas(),
-                                              preserve_index=False)
-    return _FP_CACHE[key]
+        _FP_CACHE[path] = (stat, pa.Table.from_pandas(out.to_pandas(),
+                                                      preserve_index=False))
+    return _FP_CACHE[path][1]
 
 
 def token_counts(sf_dir: str) -> pa.Table:

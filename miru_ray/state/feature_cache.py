@@ -89,13 +89,23 @@ class StrutFeatureCache:
     def _digest_batch(b: pa.RecordBatch | pa.Table) -> tuple[int, int]:
         """(rows, XOR of per-row hashes) over the exact columns the fold
         reads (event_id, user_id, event_type) — XOR is commutative, so
-        the digest folds forward additively across deltas."""
+        the digest folds forward additively across deltas.
+
+        The per-row hash must be NON-linear in its fields: a plain
+        ``eid*C1 ^ uid*C2 ^ et`` is XOR-linear, so swapping user_ids
+        between two historical rows cancels out across the fold and a
+        mutate+append rewrite passes the guard. Fields are therefore
+        mixed through splitmix64-style avalanche rounds before the
+        cross-row XOR."""
         from miru_ray.functions.hashing import hash_strings
         eid = b.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
         uid = b.column(1).to_numpy(zero_copy_only=False).astype(np.uint64)
         et = hash_strings(np.asarray(b.column(2).to_pylist(), dtype=object))
-        h = (eid * np.uint64(0x9E3779B185EBCA87)
-             ^ uid * np.uint64(0xC2B2AE3D27D4EB4F) ^ et)
+        h = eid * np.uint64(0x9E3779B185EBCA87) + uid
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= et
+        h = (h ^ (h >> np.uint64(29))) * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(32)
         return len(h), int(np.bitwise_xor.reduce(h))
 
     _DIGEST_COLS = ["event_id", "user_id", "event_type"]
