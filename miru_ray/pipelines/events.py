@@ -374,28 +374,200 @@ def user_sessions(sf_dir: str) -> pa.Table:
                      "n_events": t["n_events"].cast(pa.int64())})
 
 
-def _quantile_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One event_type: exact linear-interpolated quantiles (the
-    PERCENTILE_CONT / quantile_cont formula; np.quantile 'linear' is the
-    same a + (b-a)*frac interpolation, 6-dp rounding absorbs ulp drift)."""
-    x = g["value"].to_numpy(dtype=np.float64)
-    p50, p90, p99 = np.quantile(x, [0.5, 0.9, 0.99], method="linear")
-    return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                         "p50": [round(float(p50), 6)],
-                         "p90": [round(float(p90), 6)],
-                         "p99": [round(float(p99), 6)]})
+_QBINS = 4096          # histogram resolution per locate/refine pass
+_QGATHER_CAP = 262144  # max candidate values gathered per refinement
 
 
-def value_quantiles(sf_dir: str) -> pa.Table:
-    """(event_type, p50, p90, p99) — exact value quantiles per event
-    type. Exact quantiles need each key's values in one place (per-type
-    groups stream through one task each); the 100-TB path for many/huge
-    keys is a mergeable sketch (t-digest) folded in map_batches with the
-    same output schema — the exact form here doubles as its oracle."""
+def _value_bounds(sf_dir: str) -> tuple[float, float]:
+    """Global [min, max] of events.value from parquet row-group
+    STATISTICS (no data read); falls back to one aggregate scan."""
+    import os
+
+    import pyarrow.parquet as pq
+    meta = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    ci = meta.schema.to_arrow_schema().get_field_index("value")
+    lo = hi = None
+    for rg in range(meta.num_row_groups):
+        s = meta.row_group(rg).column(ci).statistics
+        if s is None or not s.has_min_max:
+            lo = None
+            break
+        lo = float(s.min) if lo is None else min(lo, float(s.min))
+        hi = float(s.max) if hi is None else max(hi, float(s.max))
+    if lo is None:
+        from ray.data.aggregate import Max, Min
+        t = read_table(sf_dir, "events", columns=["value"]) \
+            .aggregate(Min("value"), Max("value"))
+        lo, hi = float(t["min(value)"]), float(t["max(value)"])
+    return lo, hi
+
+
+def value_quantiles(sf_dir: str,
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pa.Table:
+    """(event_type, p50, p90, p99) — EXACT per-type value quantiles
+    (quantile_cont linear interpolation), computed scale-soundly:
+
+    1. ONE histogram pass: per (type, bin) counts over _QBINS bins of
+       the global value range (bounds from parquet column stats — no
+       data read). Partial rows are topology-bounded (types × bins),
+       combined with a tiny native groupby.
+    2. Rank location: for each type, the needed order statistics
+       (floor/ceil of q·(n−1)) map to specific bins via the cumulative
+       histogram.
+    3. Gather ONLY those bins' values with a filtered scan (expected
+       n/_QBINS rows per bin) and take the exact order statistics; a
+       bin holding more than _QGATHER_CAP candidates is re-histogrammed
+       within its own range first (log_B(n) refinement passes — at
+       10^12 rows two levels suffice), so no task and no driver gather
+       ever sees more than the cap.
+
+    Value-identical to the one-task-per-type mega-group it replaces
+    (and to the quantile_cont SQL oracle); unlike it, no stage ever
+    holds a full type's values. The mergeable t-digest beside it
+    (``value_quantiles_sketch``) remains the single-pass approximate
+    option."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    out = ds.groupby("event_type").map_groups(_quantile_group,
-                                              batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    glo, ghi = _value_bounds(sf_dir)
+    if ghi <= glo:   # degenerate: every value identical
+        types = sorted(set(ds.unique("event_type")))
+        v = round(glo, 6)
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "p50": [v] * len(types), "p90": [v] * len(types),
+                         "p99": [v] * len(types)})
+
+    def bin_idx(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        return np.clip(((v - lo) / (hi - lo) * _QBINS).astype(np.int64),
+                       0, _QBINS - 1)
+
+    # Every selection below reuses THIS bin-index expression — membership
+    # is a chain of (lo, hi, j) levels evaluated identically in the
+    # histogram, refinement and gather passes, so float edge effects can
+    # never disagree between the count and the fetch.
+    def chain_mask(et: np.ndarray, v: np.ndarray, ty: str,
+                   chain: list[tuple]) -> np.ndarray:
+        m = et == ty
+        for lo, hi, j in chain:
+            m &= bin_idx(v, lo, hi) == j
+        return m
+
+    def run_hist(entries) -> list[pd.DataFrame]:
+        """One scan histograms each entry: rows matching entry['type'] +
+        entry['chain'] binned over entry['lo']..['hi']. Returns per-entry
+        (bin → cnt) frames. Partial rows ≤ entries × _QBINS per batch."""
+        def partial(t: pa.Table) -> pa.Table:
+            et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                            dtype=object)
+            v = t["value"].to_numpy()
+            idx_l, bin_l, cnt_l = [], [], []
+            for i, e in enumerate(entries):
+                m = chain_mask(et, v, e["type"], e["chain"])
+                if m.any():
+                    b = bin_idx(v[m], e["lo"], e["hi"])
+                    ub, c = np.unique(b, return_counts=True)
+                    idx_l.append(np.full(len(ub), i, dtype=np.int64))
+                    bin_l.append(ub)
+                    cnt_l.append(c.astype(np.int64))
+            if not idx_l:
+                return pa.table({"i": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"i": pa.array(np.concatenate(idx_l)),
+                             "bin": pa.array(np.concatenate(bin_l)),
+                             "cnt": pa.array(np.concatenate(cnt_l))})
+
+        out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if out.empty:
+            out = pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                "bin": pd.Series([], dtype=np.int64),
+                                "cnt": pd.Series([], dtype=np.int64)})
+        agg = (out.groupby(["i", "bin"], sort=True)["cnt"].sum()
+                  .reset_index())
+        return [agg[agg["i"] == i] for i in range(len(entries))]
+
+    # pass 1: per-type histogram over the global bounds
+    types = sorted(set(ds.unique("event_type")))
+    top = [{"type": ty, "chain": [], "lo": glo, "hi": ghi} for ty in types]
+    top_hists = run_hist(top)
+    n_of = {ty: int(h["cnt"].sum()) for ty, h in zip(types, top_hists)}
+
+    # locate: each needed order statistic (floor/ceil of q·(n−1)) →
+    # owning bin; one entry per (type, rank)
+    need: list[dict] = []
+    for ty, h in zip(types, top_hists):
+        cnt = h["cnt"].to_numpy()
+        bins = h["bin"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = n_of[ty]
+        for q in qs:
+            r = q * (n - 1)
+            for k in {int(np.floor(r)), int(np.ceil(r))}:
+                if any(d["type"] == ty and d["rank"] == k for d in need):
+                    continue
+                j = int(np.searchsorted(cum, k, side="right"))
+                need.append({
+                    "type": ty, "rank": k,
+                    "below": int(cum[j - 1]) if j else 0,
+                    "inside": int(cnt[j]),
+                    "chain": [(glo, ghi, int(bins[j]))],
+                })
+
+    # refinement: any oversized candidate bin re-histograms WITHIN its
+    # chain (all oversized entries share one scan per level)
+    for _ in range(4):
+        big = [d for d in need if d["inside"] > _QGATHER_CAP]
+        if not big:
+            break
+        entries = []
+        for d in big:
+            lo, hi, j = d["chain"][-1]
+            w = (hi - lo) / _QBINS
+            entries.append({"type": d["type"], "chain": d["chain"],
+                            "lo": lo + j * w, "hi": lo + (j + 1) * w})
+        for d, e, h in zip(big, entries, run_hist(entries)):
+            cnt = h["cnt"].to_numpy()
+            bins = h["bin"].to_numpy()
+            cum = np.cumsum(cnt)
+            k_in = d["rank"] - d["below"]
+            j = int(np.searchsorted(cum, k_in, side="right"))
+            d["below"] += int(cum[j - 1]) if j else 0
+            d["inside"] = int(cnt[j])
+            d["chain"] = d["chain"] + [(e["lo"], e["hi"], int(bins[j]))]
+
+    # gather: one scan fetches each entry's bin values (≤ cap per entry)
+    def gather(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        v = t["value"].to_numpy()
+        idx_l, val_l = [], []
+        for i, d in enumerate(need):
+            m = chain_mask(et, v, d["type"], d["chain"])
+            if m.any():
+                idx_l.append(np.full(int(m.sum()), i, dtype=np.int64))
+                val_l.append(v[m])
+        if not idx_l:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        return pa.table({"i": pa.array(np.concatenate(idx_l)),
+                         "value": pa.array(np.concatenate(val_l),
+                                           pa.float64())})
+
+    cand = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    stat: dict[tuple, float] = {}
+    for i, d in enumerate(need):
+        vals = np.sort(cand.loc[cand["i"] == i, "value"].to_numpy())
+        stat[(d["type"], d["rank"])] = float(vals[d["rank"] - d["below"]])
+
+    cols: dict[str, list] = {"p50": [], "p90": [], "p99": []}
+    for q, col in zip(qs, ("p50", "p90", "p99")):
+        for ty in types:
+            r = q * (n_of[ty] - 1)
+            f, c = int(np.floor(r)), int(np.ceil(r))
+            xf, xc = stat[(ty, f)], stat[(ty, c)]
+            cols[col].append(round(xf + (xc - xf) * (r - f), 6))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "p50": pa.array(cols["p50"], pa.float64()),
+                     "p90": pa.array(cols["p90"], pa.float64()),
+                     "p99": pa.array(cols["p99"], pa.float64())})
 
 
 # ---------------------------------------------------------------- t-digest

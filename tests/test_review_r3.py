@@ -84,3 +84,25 @@ def test_ngram_jaccard_single_scan_matches(ray_session):
     assert (got["doc_a"] < got["doc_b"]).all()
     assert got["jaccard"].between(0.8, 1.0).all()
     assert len(got) > 0   # the fixture carries near-dup pairs
+
+
+def test_value_quantiles_refinement_levels(ray_session, monkeypatch):
+    # force coarse bins + a tiny gather cap so the locate->refine->gather
+    # loop actually recurses, and the result must STILL be exact
+    import duckdb
+
+    import miru_ray.pipelines.events as ev
+    monkeypatch.setattr(ev, "_QBINS", 4)
+    monkeypatch.setattr(ev, "_QGATHER_CAP", 16)
+    sf = "/root/testdata/sf0.01"
+    got = ev.value_quantiles(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute("""
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type""").df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
