@@ -457,7 +457,9 @@ def value_quantiles(sf_dir: str,
         def partial(t: pa.Table) -> pa.Table:
             et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
                             dtype=object)
-            v = t["value"].to_numpy()
+            v = t["value"].to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(v)   # quantile_cont ignores NULLs; so must we
+            et, v = et[ok], v[ok]
             idx_l, bin_l, cnt_l = [], [], []
             for i, e in enumerate(entries):
                 m = chain_mask(et, v, e["type"], e["chain"])
@@ -537,7 +539,9 @@ def value_quantiles(sf_dir: str,
     def gather(t: pa.Table) -> pa.Table:
         et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
                         dtype=object)
-        v = t["value"].to_numpy()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        et, v = et[ok], v[ok]
         idx_l, val_l = [], []
         for i, d in enumerate(need):
             m = chain_mask(et, v, d["type"], d["chain"])
