@@ -380,7 +380,9 @@ _QGATHER_CAP = 262144  # max candidate values gathered per refinement
 
 def _value_bounds(sf_dir: str) -> tuple[float, float]:
     """Global [min, max] of events.value from parquet row-group
-    STATISTICS (no data read); falls back to one aggregate scan."""
+    STATISTICS (no data read); falls back to one aggregate scan. An
+    empty / all-NULL column yields (0.0, 0.0) — the degenerate path."""
+    import math
     import os
 
     import pyarrow.parquet as pq
@@ -394,12 +396,33 @@ def _value_bounds(sf_dir: str) -> tuple[float, float]:
             break
         lo = float(s.min) if lo is None else min(lo, float(s.min))
         hi = float(s.max) if hi is None else max(hi, float(s.max))
-    if lo is None:
+    if lo is None and meta.num_row_groups:
         from ray.data.aggregate import Max, Min
         t = read_table(sf_dir, "events", columns=["value"]) \
             .aggregate(Min("value"), Max("value"))
-        lo, hi = float(t["min(value)"]), float(t["max(value)"])
-    return lo, hi
+        lo, hi = t.get("min(value)"), t.get("max(value)")
+    if lo is None or hi is None or math.isnan(lo) or math.isnan(hi):
+        return 0.0, 0.0
+    return float(lo), float(hi)
+
+
+def _qmask(et: np.ndarray, v: np.ndarray, ty, chain: list[tuple],
+           nbins: int) -> np.ndarray:
+    """Row membership for one (type, chain) entry. Every selection in
+    the quantile passes reuses THIS bin-index expression — membership is
+    a chain of (lo, hi, j) levels evaluated identically in the
+    histogram, refinement and gather passes, so float edge effects can
+    never disagree between the count and the fetch. ``ty=None`` is the
+    SQL NULL group."""
+    m = pd.isna(et) if ty is None else et == ty
+    for lo, hi, j in chain:
+        m &= _qbin(v, lo, hi, nbins) == j
+    return m
+
+
+def _qbin(v: np.ndarray, lo: float, hi: float, nbins: int) -> np.ndarray:
+    return np.clip(((v - lo) / (hi - lo) * nbins).astype(np.int64),
+                   0, nbins - 1)
 
 
 def value_quantiles(sf_dir: str,
@@ -407,172 +430,204 @@ def value_quantiles(sf_dir: str,
     """(event_type, p50, p90, p99) — EXACT per-type value quantiles
     (quantile_cont linear interpolation), computed scale-soundly:
 
-    1. ONE histogram pass: per (type, bin) counts over _QBINS bins of
-       the global value range (bounds from parquet column stats — no
-       data read). Partial rows are topology-bounded (types × bins),
-       combined with a tiny native groupby.
+    1. ONE vectorized histogram pass: per (type, bin) count + min + max
+       over _QBINS bins of the global value range (bounds from parquet
+       column stats — no data read). Partial rows are topology-bounded
+       (types × bins), combined with a tiny driver groupby.
     2. Rank location: for each type, the needed order statistics
-       (floor/ceil of q·(n−1)) map to specific bins via the cumulative
-       histogram.
-    3. Gather ONLY those bins' values with a filtered scan (expected
-       n/_QBINS rows per bin) and take the exact order statistics; a
-       bin holding more than _QGATHER_CAP candidates is re-histogrammed
-       within its own range first (log_B(n) refinement passes — at
-       10^12 rows two levels suffice), so no task and no driver gather
-       ever sees more than the cap.
+       (floor/ceil of q·(n−1)) map to bins via the cumulative
+       histogram; ranks sharing a bin share ONE entry (same ``below``).
+    3. An entry whose bin's min == max is RESOLVED in place (every row
+       in it carries that one value — the duplicated-value case that
+       would otherwise never split); an entry over the gather cap
+       re-histograms within its own bin (distinct float64 values
+       separate within ≤6 levels at 4096× resolution per level, and
+       once separated the tie run resolves by min==max); everything
+       else is gathered by a filtered scan (≤ cap values per entry)
+       for exact order statistics.
 
     Value-identical to the one-task-per-type mega-group it replaces
-    (and to the quantile_cont SQL oracle); unlike it, no stage ever
-    holds a full type's values. The mergeable t-digest beside it
+    (and to the quantile_cont SQL oracle, including NULL results for
+    all-NULL groups); unlike it, no stage ever holds a full type's
+    values. The mergeable t-digest beside it
     (``value_quantiles_sketch``) remains the single-pass approximate
-    option."""
+    option. Non-default ``qs`` emit columns named p<round(q·100)>."""
+    qcols = [f"p{round(q * 100)}" for q in qs]
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
     glo, ghi = _value_bounds(sf_dir)
-    if ghi <= glo:   # degenerate: every value identical
-        types = sorted(set(ds.unique("event_type")))
-        v = round(glo, 6)
-        return pa.table({"event_type": pa.array(types, pa.string()),
-                         "p50": [v] * len(types), "p90": [v] * len(types),
-                         "p99": [v] * len(types)})
+    nb = _QBINS
 
-    def bin_idx(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
-        return np.clip(((v - lo) / (hi - lo) * _QBINS).astype(np.int64),
-                       0, _QBINS - 1)
-
-    # Every selection below reuses THIS bin-index expression — membership
-    # is a chain of (lo, hi, j) levels evaluated identically in the
-    # histogram, refinement and gather passes, so float edge effects can
-    # never disagree between the count and the fetch.
-    def chain_mask(et: np.ndarray, v: np.ndarray, ty: str,
-                   chain: list[tuple]) -> np.ndarray:
-        m = et == ty
-        for lo, hi, j in chain:
-            m &= bin_idx(v, lo, hi) == j
-        return m
-
-    def run_hist(entries) -> list[pd.DataFrame]:
-        """One scan histograms each entry: rows matching entry['type'] +
-        entry['chain'] binned over entry['lo']..['hi']. Returns per-entry
-        (bin → cnt) frames. Partial rows ≤ entries × _QBINS per batch."""
-        def partial(t: pa.Table) -> pa.Table:
-            et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
-                            dtype=object)
-            v = t["value"].to_numpy(zero_copy_only=False)
-            ok = ~np.isnan(v)   # quantile_cont ignores NULLs; so must we
-            et, v = et[ok], v[ok]
-            idx_l, bin_l, cnt_l = [], [], []
-            for i, e in enumerate(entries):
-                m = chain_mask(et, v, e["type"], e["chain"])
-                if m.any():
-                    b = bin_idx(v[m], e["lo"], e["hi"])
-                    ub, c = np.unique(b, return_counts=True)
-                    idx_l.append(np.full(len(ub), i, dtype=np.int64))
-                    bin_l.append(ub)
-                    cnt_l.append(c.astype(np.int64))
-            if not idx_l:
-                return pa.table({"i": pa.array([], pa.int64()),
-                                 "bin": pa.array([], pa.int64()),
-                                 "cnt": pa.array([], pa.int64())})
-            return pa.table({"i": pa.array(np.concatenate(idx_l)),
-                             "bin": pa.array(np.concatenate(bin_l)),
-                             "cnt": pa.array(np.concatenate(cnt_l))})
-
-        out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        if out.empty:
-            out = pd.DataFrame({"i": pd.Series([], dtype=np.int64),
-                                "bin": pd.Series([], dtype=np.int64),
-                                "cnt": pd.Series([], dtype=np.int64)})
-        agg = (out.groupby(["i", "bin"], sort=True)["cnt"].sum()
-                  .reset_index())
-        return [agg[agg["i"] == i] for i in range(len(entries))]
-
-    # pass 1: per-type histogram over the global bounds
-    types = sorted(set(ds.unique("event_type")))
-    top = [{"type": ty, "chain": [], "lo": glo, "hi": ghi} for ty in types]
-    top_hists = run_hist(top)
-    n_of = {ty: int(h["cnt"].sum()) for ty, h in zip(types, top_hists)}
-
-    # locate: each needed order statistic (floor/ceil of q·(n−1)) →
-    # owning bin; one entry per (type, rank)
-    need: list[dict] = []
-    for ty, h in zip(types, top_hists):
-        cnt = h["cnt"].to_numpy()
-        bins = h["bin"].to_numpy()
-        cum = np.cumsum(cnt)
-        n = n_of[ty]
-        for q in qs:
-            r = q * (n - 1)
-            for k in {int(np.floor(r)), int(np.ceil(r))}:
-                if any(d["type"] == ty and d["rank"] == k for d in need):
-                    continue
-                j = int(np.searchsorted(cum, k, side="right"))
-                need.append({
-                    "type": ty, "rank": k,
-                    "below": int(cum[j - 1]) if j else 0,
-                    "inside": int(cnt[j]),
-                    "chain": [(glo, ghi, int(bins[j]))],
-                })
-
-    # refinement: any oversized candidate bin re-histograms WITHIN its
-    # chain (all oversized entries share one scan per level)
-    for _ in range(4):
-        big = [d for d in need if d["inside"] > _QGATHER_CAP]
-        if not big:
-            break
-        entries = []
-        for d in big:
-            lo, hi, j = d["chain"][-1]
-            w = (hi - lo) / _QBINS
-            entries.append({"type": d["type"], "chain": d["chain"],
-                            "lo": lo + j * w, "hi": lo + (j + 1) * w})
-        for d, e, h in zip(big, entries, run_hist(entries)):
-            cnt = h["cnt"].to_numpy()
-            bins = h["bin"].to_numpy()
-            cum = np.cumsum(cnt)
-            k_in = d["rank"] - d["below"]
-            j = int(np.searchsorted(cum, k_in, side="right"))
-            d["below"] += int(cum[j - 1]) if j else 0
-            d["inside"] = int(cnt[j])
-            d["chain"] = d["chain"] + [(e["lo"], e["hi"], int(bins[j]))]
-
-    # gather: one scan fetches each entry's bin values (≤ cap per entry)
-    def gather(t: pa.Table) -> pa.Table:
+    def top_partial(t: pa.Table) -> pa.Table:
         et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
                         dtype=object)
         v = t["value"].to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(v)
-        et, v = et[ok], v[ok]
-        idx_l, val_l = [], []
-        for i, d in enumerate(need):
-            m = chain_mask(et, v, d["type"], d["chain"])
-            if m.any():
-                idx_l.append(np.full(int(m.sum()), i, dtype=np.int64))
-                val_l.append(v[m])
-        if not idx_l:
-            return pa.table({"i": pa.array([], pa.int64()),
-                             "value": pa.array([], pa.float64())})
-        return pa.table({"i": pa.array(np.concatenate(idx_l)),
-                         "value": pa.array(np.concatenate(val_l),
-                                           pa.float64())})
+        ok = ~np.isnan(v)   # quantile_cont ignores NULL values; so do we
+        b = np.full(len(v), -1, dtype=np.int64)   # bin -1 = NULL-value row
+        if ghi > glo:
+            b[ok] = _qbin(v[ok], glo, ghi, nb)
+        else:
+            b[ok] = 0
+        vv = np.where(ok, v, np.nan)
+        df = (pd.DataFrame({"event_type": et, "bin": b, "v": vv})
+              .groupby(["event_type", "bin"], sort=False, dropna=False)
+              .agg(cnt=("v", "size"), vmin=("v", "min"), vmax=("v", "max"))
+              .reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    cand = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
-    stat: dict[tuple, float] = {}
-    for i, d in enumerate(need):
-        vals = np.sort(cand.loc[cand["i"] == i, "value"].to_numpy())
-        stat[(d["type"], d["rank"])] = float(vals[d["rank"] - d["below"]])
+    hist = (ds.map_batches(top_partial, batch_format="pyarrow").to_pandas()
+              .groupby(["event_type", "bin"], sort=True, dropna=False)
+              .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"),
+                   vmax=("vmax", "max")).reset_index())
+    etcol = hist["event_type"]
+    types = sorted(t for t in etcol.unique() if not pd.isna(t))
+    if etcol.isna().any():
+        types.append(None)   # the SQL NULL group, NULLS LAST
 
-    cols: dict[str, list] = {"p50": [], "p90": [], "p99": []}
-    for q, col in zip(qs, ("p50", "p90", "p99")):
+    n_of, stat = {}, {}
+    need: list[dict] = []   # one entry per (type, owning bin)
+    for ty in types:
+        sel = etcol.isna() if ty is None else etcol == ty
+        g = hist[sel & (hist["bin"] >= 0)]
+        cnt = g["cnt"].to_numpy()
+        n_of[ty] = n = int(cnt.sum())
+        if n == 0:
+            continue   # all-NULL group -> NULL quantiles, like the oracle
+        bins = g["bin"].to_numpy()
+        cum = np.cumsum(cnt)
+        ranks = sorted({k for q in qs
+                        for k in (int(np.floor(q * (n - 1))),
+                                  int(np.ceil(q * (n - 1))))})
+        by_bin: dict[int, list[int]] = {}
+        for k in ranks:
+            by_bin.setdefault(int(np.searchsorted(cum, k, side="right")),
+                              []).append(k)
+        for j, ks in by_bin.items():
+            e = {"type": ty, "ranks": ks,
+                 "below": int(cum[j - 1]) if j else 0,
+                 "inside": int(cnt[j]),
+                 "vmin": float(g["vmin"].to_numpy()[j]),
+                 "vmax": float(g["vmax"].to_numpy()[j]),
+                 "chain": [(glo, ghi, int(bins[j]))] if ghi > glo else []}
+            if e["vmin"] == e["vmax"]:   # whole bin is one value: resolved
+                for k in ks:
+                    stat[(ty, k)] = e["vmin"]
+            else:
+                need.append(e)
+
+    # refinement: oversized entries re-histogram within their own bin
+    # (one combined scan per level); distinct float64s separate within
+    # ≤6 levels of 4096x resolution, ties resolve via min==max above
+    for _ in range(8):
+        big = [e for e in need if e["inside"] > _QGATHER_CAP]
+        if not big:
+            break
+        sub_entries = []
+        for e in big:
+            lo, hi, j = e["chain"][-1]
+            w = (hi - lo) / nb
+            sub_entries.append({**e, "lo": lo + j * w, "hi": lo + (j + 1) * w})
+
+        def sub_partial(t: pa.Table) -> pa.Table:
+            et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                            dtype=object)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(v)
+            et, v = et[ok], v[ok]
+            frames = []
+            for i, e in enumerate(sub_entries):
+                m = _qmask(et, v, e["type"], e["chain"], nb)
+                if m.any():
+                    b = _qbin(v[m], e["lo"], e["hi"], nb)
+                    df = (pd.DataFrame({"bin": b, "v": v[m]})
+                          .groupby("bin", sort=False)
+                          .agg(cnt=("v", "size"), vmin=("v", "min"),
+                               vmax=("v", "max")).reset_index())
+                    df.insert(0, "i", np.int64(i))
+                    frames.append(df)
+            if not frames:
+                return pa.table({"i": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vmin": pa.array([], pa.float64()),
+                                 "vmax": pa.array([], pa.float64())})
+            return pa.Table.from_pandas(pd.concat(frames),
+                                        preserve_index=False)
+
+        sub = (ds.map_batches(sub_partial, batch_format="pyarrow")
+                 .to_pandas())
+        if sub.empty:
+            break
+        sub = (sub.groupby(["i", "bin"], sort=True)
+                  .agg(cnt=("cnt", "sum"), vmin=("vmin", "min"),
+                       vmax=("vmax", "max")).reset_index())
+        new_need = [e for e in need if e["inside"] <= _QGATHER_CAP]
+        for i, e in enumerate(sub_entries):
+            g = sub[sub["i"] == i]
+            cnt = g["cnt"].to_numpy()
+            bins = g["bin"].to_numpy()
+            cum = np.cumsum(cnt)
+            by_bin = {}
+            for k in e["ranks"]:
+                by_bin.setdefault(
+                    int(np.searchsorted(cum, k - e["below"], side="right")),
+                    []).append(k)
+            for j, ks in by_bin.items():
+                e2 = {"type": e["type"], "ranks": ks,
+                      "below": e["below"] + (int(cum[j - 1]) if j else 0),
+                      "inside": int(cnt[j]),
+                      "vmin": float(g["vmin"].to_numpy()[j]),
+                      "vmax": float(g["vmax"].to_numpy()[j]),
+                      "chain": e["chain"] + [(e["lo"], e["hi"],
+                                              int(bins[j]))]}
+                if e2["vmin"] == e2["vmax"]:
+                    for k in ks:
+                        stat[(e2["type"], k)] = e2["vmin"]
+                else:
+                    new_need.append(e2)
+        need = new_need
+
+    # gather: one scan fetches each unresolved entry's bin values
+    if need:
+        def gather(t: pa.Table) -> pa.Table:
+            et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                            dtype=object)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(v)
+            et, v = et[ok], v[ok]
+            idx_l, val_l = [], []
+            for i, e in enumerate(need):
+                m = _qmask(et, v, e["type"], e["chain"], nb)
+                if m.any():
+                    idx_l.append(np.full(int(m.sum()), i, dtype=np.int64))
+                    val_l.append(v[m])
+            if not idx_l:
+                return pa.table({"i": pa.array([], pa.int64()),
+                                 "value": pa.array([], pa.float64())})
+            return pa.table({"i": pa.array(np.concatenate(idx_l)),
+                             "value": pa.array(np.concatenate(val_l),
+                                               pa.float64())})
+
+        cand = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+        for i, e in enumerate(need):
+            vals = np.sort(cand.loc[cand["i"] == i, "value"].to_numpy())
+            for k in e["ranks"]:
+                stat[(e["type"], k)] = float(vals[k - e["below"]])
+
+    cols = {c: [] for c in qcols}
+    for q, col in zip(qs, qcols):
         for ty in types:
-            r = q * (n_of[ty] - 1)
+            n = n_of[ty]
+            if n == 0:
+                cols[col].append(None)
+                continue
+            r = q * (n - 1)
             f, c = int(np.floor(r)), int(np.ceil(r))
             xf, xc = stat[(ty, f)], stat[(ty, c)]
             cols[col].append(round(xf + (xc - xf) * (r - f), 6))
-    return pa.table({"event_type": pa.array(types, pa.string()),
-                     "p50": pa.array(cols["p50"], pa.float64()),
-                     "p90": pa.array(cols["p90"], pa.float64()),
-                     "p99": pa.array(cols["p99"], pa.float64())})
-
+    out = {"event_type": pa.array(types, pa.string())}
+    for col in qcols:
+        out[col] = pa.array(cols[col], pa.float64())
+    return pa.table(out)
 
 # ---------------------------------------------------------------- t-digest
 _TD_DELTA = 200                  # compression: ≤ delta centroids per digest

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -106,3 +107,44 @@ def test_value_quantiles_refinement_levels(ray_session, monkeypatch):
         FROM events GROUP BY event_type ORDER BY event_type""").df()
     import pandas as pd
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_value_quantiles_dup_null_and_custom_qs(tmp_path, ray_session,
+                                                monkeypatch):
+    # second-review pins: a bin dominated by one duplicated value resolves
+    # via min==max without gathering (no refinement stall, cap honored);
+    # an all-NULL group yields NULL like quantile_cont; a NULL event_type
+    # is its own group (NULLS LAST); custom qs name their own columns
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import miru_ray.pipelines.events as ev
+    d = str(tmp_path)
+    rng = np.random.RandomState(3)
+    t = pa.table({
+        "event_type": pa.array(["dup"] * 100000 + ["mix"] * 5000
+                               + ["allnull"] * 50 + [None] * 300,
+                               pa.string()),
+        "value": pa.array([7.25] * 100000
+                          + list(rng.uniform(0, 100, 5000))
+                          + [None] * 50
+                          + list(rng.uniform(-5, 5, 300)), pa.float64()),
+    })
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    monkeypatch.setattr(ev, "_QGATHER_CAP", 64)
+    got = ev.value_quantiles(d).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    want = con.execute("""
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+        ORDER BY event_type NULLS LAST""").df()
+    pd.testing.assert_frame_equal(got, want)
+    got2 = ev.value_quantiles(d, qs=(0.25, 0.5)).to_pandas()
+    assert list(got2.columns) == ["event_type", "p25", "p50"]
