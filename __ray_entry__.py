@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending": events.trending,
         "user_sessions": events.user_sessions,
         "props_k_stats": events.props_k_stats,
-        "anomaly_waveform": events.anomaly_waveform,
         "paired_latest": events.paired_latest,
         # paired-value bloom sidecar (BloomIndex.java mightContain:
         # bloom prefilter over the sidecar, exact verify of survivors
@@ -127,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact n-gram Jaccard (inverted-index candidate generation →
         # NO recall caveat, unlike minhash_near_dups): value-exact
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # the sub-quadratic EXACT tier: PPJoin-style prefix filtering is
+        # lossless at J >= t, so this shares ngram_jaccard_pairs' oracle
+        "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
         # --- text analysis ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -155,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     variants of the checked fulltext_fielded (r2 hash-exact)
         #   fulltext_timerange: domain-mask variant (fulltext_lang and
         #     authz_search keep domain masks driver-checked; r2 hash-exact)
+        #   anomaly_waveform: bucketed-sum variant of the checked
+        #     analytics_waveform/metrics_sum family (r2 hash-exact)
         #   distinct_count_users / top_orders: r2 hash-exact, simple ops
         #   window_sliding_halo: value-identical to window_sliding by a
         #     shared oracle + pytest pin
@@ -170,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "table scan source:src1*", 20),
         "fulltext_timerange": lambda sf: fulltext.fulltext_filtered(
             sf, "table scan", doc_id_range=(100, 400)),
+        "anomaly_waveform": events.anomaly_waveform,
         "distinct_count_users": events.distinct_count_users,
         "top_orders": relational.top_orders,
         "window_sliding_halo": joins.window_sliding_halo,
@@ -238,6 +243,36 @@ SELECT doc_id, round(raw, 6) AS score FROM scores
 WHERE nterms = {len(terms)}
   AND doc_id IN (SELECT doc_id FROM documents d WHERE d.lang = '{lang}')
 ORDER BY raw DESC, doc_id DESC LIMIT {k}
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    """Brute-force exact 3-gram Jaccard in SQL — the shared oracle for
+    BOTH exact engine tiers (inverted-index and prefix-filtered)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+     FOR i IN range(1, greatest(len(t) - 1, 1))])) AS s
+  FROM toks
+),
+lens AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(inter::DOUBLE / (la.n + lb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN lens la ON la.doc_id = doc_a
+JOIN lens lb ON lb.doc_id = doc_b
+WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.8
+ORDER BY doc_a, doc_b
 """
 
 
@@ -879,31 +914,10 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
         # channel is a 64-bit shingle-hash collision (~2^-64/pair).
         # Shingles are string 3-grams in SQL vs polynomial token-hash
         # 3-grams in the engine: identical SET cardinalities.
-        "ngram_jaccard_pairs": f"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
-    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-     FOR i IN range(1, greatest(len(t) - 1, 1))])) AS s
-  FROM toks
-),
-lens AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
-       round(inter::DOUBLE / (la.n + lb.n - inter), 6) AS jaccard
-FROM pairs
-JOIN lens la ON la.doc_id = doc_a
-JOIN lens lb ON lb.doc_id = doc_b
-WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.8
-ORDER BY doc_a, doc_b
-""",
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        # prefix filtering is LOSSLESS at J >= t (PPJoin theorem), so the
+        # prefix-filtered tier shares the identical brute-force oracle
+        "ngram_jaccard_prefix": _ngram_jaccard_sql(),
         # minhash_near_dups: rows-only BY CONTRACT (ADVICE r2). LSH
         # candidate generation is probabilistic by construction (recall
         # ≈0.9996 at j=0.8 with 16×4 bands): a borderline pair can be

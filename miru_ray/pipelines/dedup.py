@@ -36,7 +36,7 @@ from miru_ray.functions.tokenize import tokenize, tokenize_column
 from miru_ray.sources.tables import read_table
 
 __all__ = ["dedup_exact", "minhash_near_dups", "simhash64",
-           "ngram_jaccard_pairs", "shingle_set",
+           "ngram_jaccard_pairs", "ngram_jaccard_prefix", "shingle_set",
            "jaccard", "NUM_HASHES", "NUM_BANDS", "SHINGLE_K"]
 
 NUM_HASHES = 64
@@ -529,6 +529,82 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     j = inter / union
     got = got[j >= threshold].assign(jaccard=np.round(j[j >= threshold], 6))
     got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.table({"doc_a": pa.array(got["doc_a"].to_numpy(), pa.int64()),
+                     "doc_b": pa.array(got["doc_b"].to_numpy(), pa.int64()),
+                     "jaccard": pa.array(got["jaccard"].to_numpy(),
+                                         pa.float64())})
+
+
+# ------------------------------------------- prefix-filtered exact Jaccard
+
+def _nj_prefix_rows(batch: pa.Table, threshold: float) -> pa.Table:
+    """Like ``_nj_shingle_rows`` but emits only each doc's PREFIX under
+    the global shingle-hash order: the first |A| − ⌈t·|A|⌉ + 1 smallest
+    hashes. The prefix-filter theorem (PPJoin family): two sets with
+    J(A,B) ≥ t MUST share at least one prefix element under any one
+    global total order — so candidate generation from prefix postings
+    alone is LOSSLESS for pairs at or above the threshold, while only
+    ~(1−t) of each doc's shingles enter the quadratic pair expansion
+    (~(1−t)² of the pair work). Hash order costs no extra pass; a global
+    df order (rarest first) is the known further refinement."""
+    from miru_ray.functions.runtime import limit_worker_threads
+    limit_worker_threads()
+    tok_lists = tokenize_column(batch["text"])
+    doclens = np.diff(tok_lists.offsets.to_numpy(zero_copy_only=False))
+    flat = tok_lists.flatten().to_numpy(zero_copy_only=False)
+    tok_h = hash_strings(flat) if len(flat) else np.empty(0, dtype=np.uint64)
+    docs, sh = _shingles_from_flat(tok_h, doclens.astype(np.int64))
+    order = np.lexsort((sh, docs))
+    docs, sh = docs[order], sh[order]
+    starts = np.flatnonzero(np.concatenate([[True], docs[1:] != docs[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(docs)]]))
+    rank = np.arange(len(docs)) - np.repeat(starts, counts)
+    nsh = np.repeat(counts, counts)
+    k = nsh - np.ceil(threshold * nsh).astype(np.int64) + 1
+    keep = rank < k
+    docs, sh = docs[keep], sh[keep]
+    doc_ids = batch["doc_id"].to_numpy()[docs]
+    return pa.table({
+        "spart": pa.array((sh % np.uint64(_NJ_PARTS)).astype(np.int64),
+                          pa.int64()),
+        "sh": pa.array(sh, pa.uint64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    })
+
+
+def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """(doc_a, doc_b, jaccard) — the SAME exact contract as
+    ``ngram_jaccard_pairs`` (value-identical, shared SQL oracle), with
+    PPJoin-style prefix filtering as the candidate generator: pair
+    expansion runs over prefix postings only (lossless at J ≥ t), and
+    survivors are verified by the exact-Jaccard actor pool
+    (``PairVerifier`` — pushdown text gather, no driver-side candidate
+    texts). This is the sub-quadratic EXACT tier for web-scale corpora;
+    the plain inverted-index form remains its brute-force oracle twin."""
+    import functools
+    import os
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = (ds.map_batches(functools.partial(_nj_prefix_rows,
+                                              threshold=threshold),
+                            batch_format="pyarrow", batch_size=1024)
+               .groupby("spart").map_groups(_nj_pairs,
+                                            batch_format="pandas")
+               .groupby("pbucket").map_groups(_nj_sum,
+                                              batch_format="pandas"))
+    verified = cands.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow") \
+        .map_batches(PairVerifier, batch_format="pyarrow",
+                     batch_size=4096, concurrency=(1, 8),
+                     fn_constructor_kwargs={"src": src,
+                                            "threshold": threshold})
+    got = verified.to_pandas()
+    if got.empty:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    got = (got.drop_duplicates(["doc_a", "doc_b"])
+              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     return pa.table({"doc_a": pa.array(got["doc_a"].to_numpy(), pa.int64()),
                      "doc_b": pa.array(got["doc_b"].to_numpy(), pa.int64()),
                      "jaccard": pa.array(got["jaccard"].to_numpy(),

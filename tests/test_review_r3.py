@@ -148,3 +148,30 @@ def test_value_quantiles_dup_null_and_custom_qs(tmp_path, ray_session,
     pd.testing.assert_frame_equal(got, want)
     got2 = ev.value_quantiles(d, qs=(0.25, 0.5)).to_pandas()
     assert list(got2.columns) == ["event_type", "p25", "p50"]
+
+
+def test_ngram_prefix_equals_full_and_boundary(tmp_path, ray_session):
+    # the prefix filter must be lossless INCLUDING a pair at exactly
+    # J = t: A = 4 shingles, B = 5 shingles sharing 4 -> J = 4/5 = 0.8
+    import os
+
+    import pyarrow.parquet as pq
+
+    from miru_ray.pipelines.dedup import (ngram_jaccard_pairs,
+                                          ngram_jaccard_prefix)
+    d = str(tmp_path)
+    a = "alpha beta gamma delta epsilon zeta"           # 6 toks, 4 shingles
+    b = a + " eta"                                      # 7 toks, 5 shingles
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [a, b, "totally unrelated words here now"],
+    }), os.path.join(d, "documents.parquet"))
+    full = ngram_jaccard_pairs(d).to_pandas()
+    pref = ngram_jaccard_prefix(d).to_pandas()
+    pd.testing.assert_frame_equal(full, pref)
+    assert full["doc_a"].tolist() == [1] and full["doc_b"].tolist() == [2]
+    assert full["jaccard"].tolist() == [0.8]
+    # and on the real fixture
+    sf = "/root/testdata/sf0.001"
+    pd.testing.assert_frame_equal(ngram_jaccard_pairs(sf).to_pandas(),
+                                  ngram_jaccard_prefix(sf).to_pandas())
