@@ -69,8 +69,10 @@ def props_int_column(arr: pa.Array | pa.ChunkedArray, key: str = "k",
         raw = arr.take(pa.array(miss)).to_pylist()
         for j, s in zip(miss, raw):
             try:
+                # valid non-object JSON ('null', '5', '"x"', '[1]') has no
+                # .get — such rows take the default like any other miss
                 v = json.loads(s).get(key, default)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, AttributeError):
                 v = default
             # int(float) truncates — the same cast the previous
             # np.array(..., dtype=int64) engine path applied

@@ -21,7 +21,6 @@
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -54,6 +53,8 @@ def near_dup_chunk_count(sf_dir: str,
     path = os.path.join(sf_dir, "embeddings.parquet")
     pf = pq.ParquetFile(path)
     rows = pf.metadata.num_rows
+    if rows == 0:   # degenerate corpus: one (empty) chunk, no batch read
+        return _NEAR_DUP_MIN_CHUNKS
     first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first.column(0)[0])
     total_f64 = rows * dim * 8
@@ -79,12 +80,9 @@ def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 
 def _cache_dir(sf_dir: str, kind: str, layout: int) -> tuple[str, dict]:
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": layout}
-    slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
-    return os.path.join(_CACHE_ROOT, f"{slug}_{kind}"), tag
+    from miru_ray.state.layout import source_cache_dir
+    return source_cache_dir(sf_dir, "embeddings.parquet", kind,
+                            _CACHE_ROOT, layout)
 
 
 def ann_topk_bruteforce(sf_dir: str, vec_id: int = 0, k: int = 20) -> pa.Table:

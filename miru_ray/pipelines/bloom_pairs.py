@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -61,19 +60,28 @@ PROBE_KS = (0, 7, 13, 42, 77, 98, 250, 999)
 
 
 def _store_dir(sf_dir: str) -> tuple[str, dict]:
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns,
-           "num_bits": _NUM_BITS, "num_hashes": _NUM_HASHES, "layout": 1}
-    slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
-    return os.path.join(_CACHE_ROOT, f"{slug}_pairs"), tag
+    from miru_ray.state.layout import source_cache_dir
+    return source_cache_dir(sf_dir, "events.parquet", "pairs", _CACHE_ROOT,
+                            1, num_bits=_NUM_BITS, num_hashes=_NUM_HASHES)
+
+
+_K_MISSING = np.iinfo(np.int64).min   # sentinel: props carries no 'k'
 
 
 def _pair_partial(t: pa.Table) -> pa.Table:
-    """Locally-deduped (bucket, user_id, k) rows for one batch."""
+    """Locally-deduped (bucket, user_id, k) rows for one batch. Rows
+    whose props lack an integer 'k' are DROPPED (the SQL oracle's
+    json_extract yields NULL there, which never matches any probe) —
+    the sentinel default can't collide with a real probe value, unlike
+    a 0 default which IS in PROBE_KS."""
     users = t["user_id"].to_numpy()
-    ks = props_int_column(t["props"], "k")
+    ks = props_int_column(t["props"], "k", default=_K_MISSING)
+    ok = ks != _K_MISSING
+    users, ks = users[ok], ks[ok]
+    if len(users) == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "k": pa.array([], pa.int64())})
     pairs = np.unique(np.stack([users, ks], axis=1), axis=0)
     return pa.table({
         "bucket": pa.array(pairs[:, 0] % _BUCKETS, pa.int64()),
@@ -151,6 +159,9 @@ def paired_bloom_contains(sf_dir: str,
     root = build_pair_bloom_store(sf_dir)
     side = pq.read_table(os.path.join(root, "blooms"))
     users = side["user_id"].to_numpy()
+    if len(users) == 0:   # empty corpus: empty result, not np.stack error
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "k": pa.array([], pa.int64())})
     blooms = np.stack([np.frombuffer(b, dtype=np.uint8)
                        for b in side["bloom"].to_pylist()])
     probes = np.asarray(sorted(probe_ks), dtype=np.int64)

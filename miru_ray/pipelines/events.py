@@ -690,21 +690,25 @@ def value_quantiles_sketch(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        et = t["event_type"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
         val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        order = np.argsort(et, kind="stable")
-        et, val = et[order], val[order]
-        starts = np.flatnonzero(np.concatenate([[True], et[1:] != et[:-1]]))
-        ends = np.append(starts[1:], len(et))
         rows = {"event_type": [], "means": [], "weights": [],
                 "lo": [], "hi": []}
-        for s, e in zip(starts, ends):    # loop over TYPES, not rows
-            cm, cw = _td_from_values(val[s:e])
-            rows["event_type"].append(et[s])
+        df = pd.DataFrame({"et": et, "v": val})
+        # dropna=False keeps the NULL event_type as its own group (like
+        # the exact path / SQL GROUP BY); NaN VALUES are dropped per
+        # group (quantile_cont ignores NULLs) — a group left empty still
+        # emits a presence row so all-NULL types surface as NULL results
+        for key, g in df.groupby("et", sort=False, dropna=False):
+            vv = g["v"].to_numpy()
+            vv = vv[~np.isnan(vv)]
+            cm, cw = _td_from_values(vv)
+            rows["event_type"].append(None if pd.isna(key) else key)
             rows["means"].append(cm.tolist())
             rows["weights"].append(cw.tolist())
-            rows["lo"].append(float(val[s:e].min()))
-            rows["hi"].append(float(val[s:e].max()))
+            rows["lo"].append(float(vv.min()) if len(vv) else np.nan)
+            rows["hi"].append(float(vv.max()) if len(vv) else np.nan)
         return pa.table({
             "event_type": pa.array(rows["event_type"], pa.string()),
             "means": pa.array(rows["means"], pa.list_(pa.float64())),
@@ -714,18 +718,26 @@ def value_quantiles_sketch(sf_dir: str) -> pa.Table:
         })
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    by_type: dict[str, list] = {}
+    by_type: dict = {}
     for r in rows:   # O(batches × types) small sketch rows
         by_type.setdefault(r["event_type"], []).append(r)
+    types = sorted(k for k in by_type if k is not None)
+    if None in by_type:
+        types.append(None)   # NULLS LAST, like the exact path
     out = {"event_type": [], "p50": [], "p90": [], "p99": []}
-    for et in sorted(by_type):
+    for et in types:
         parts = [(np.asarray(r["means"]), np.asarray(r["weights"]))
                  for r in by_type[et]]
         cm, cw = _td_merge(parts)
-        lo = min(r["lo"] for r in by_type[et])
-        hi = max(r["hi"] for r in by_type[et])
-        p50, p90, p99 = _td_quantile(cm, cw, lo, hi, [0.5, 0.9, 0.99])
         out["event_type"].append(et)
+        if len(cw) == 0:     # all values NULL: NULL quantiles
+            for col in ("p50", "p90", "p99"):
+                out[col].append(None)
+            continue
+        los = [r["lo"] for r in by_type[et] if not np.isnan(r["lo"])]
+        his = [r["hi"] for r in by_type[et] if not np.isnan(r["hi"])]
+        p50, p90, p99 = _td_quantile(cm, cw, min(los), max(his),
+                                     [0.5, 0.9, 0.99])
         out["p50"].append(round(p50, 6))
         out["p90"].append(round(p90, 6))
         out["p99"].append(round(p99, 6))

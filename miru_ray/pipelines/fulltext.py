@@ -46,13 +46,12 @@ def documents_index(sf_dir: str, analyzer: str = "simple") -> str:
     ``analyzer="per_lang"`` builds the language-analyzed variant (its own
     cache dir — the two indexes have different postings AND doclens).
     """
+    from miru_ray.state.layout import source_cache_dir
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 9, "analyzer": analyzer}
-    slug = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir)).strip("_")
-    idx = os.path.join(_CACHE_ROOT,
-                       slug + ("" if analyzer == "simple" else f"_{analyzer}"))
+    idx, tag = source_cache_dir(
+        sf_dir, "documents.parquet",
+        "" if analyzer == "simple" else analyzer,
+        _CACHE_ROOT, 9, analyzer=analyzer)
     tag_path = os.path.join(idx, "source_tag.json")
     if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
         return idx

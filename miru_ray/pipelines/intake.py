@@ -29,7 +29,6 @@ topology, never by the event count.
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 import pandas as pd
@@ -369,15 +368,22 @@ def anomaly_bits_sum(sf_dir: str) -> pa.Table:
                .to_pandas())  # bounded: metrics × 2 × 65 × batches
     agg = parts.groupby(["metric", "sign", "bit"])["n"].sum().reset_index()
     piv = agg[agg["bit"] >= 0]
+    # python-int shifts: bit 63 (reachable via the MIN_VALUE clamp) would
+    # overflow an int64 `1 << bit`; object arithmetic stays exact
+    shift = np.array([1 << int(b) for b in piv["bit"]], dtype=object)
     weight = np.where(piv["sign"] == "+", 1, -1) * (
-        piv["n"].to_numpy().astype(object) * (1 << piv["bit"].to_numpy()))
+        piv["n"].to_numpy().astype(object) * shift)
     totals = (pd.DataFrame({"metric": piv["metric"], "w": weight})
               .groupby("metric")["w"].sum())
+    # metric universe from the sentinel rows: a metric whose every value
+    # is ZERO emits no bit rows but must still appear with total 0, like
+    # the oracle's GROUP BY
     nrows = agg[agg["bit"] == -1].groupby("metric")["n"].sum()
+    totals = totals.reindex(nrows.index, fill_value=0)
     res = pd.DataFrame({"metric": totals.index,
                         "total_cents": totals.to_numpy().astype(np.int64),
-                        "n": nrows.reindex(totals.index).to_numpy()
-                        .astype(np.int64)}).sort_values("metric")
+                        "n": nrows.to_numpy().astype(np.int64)}) \
+        .sort_values("metric")
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
@@ -419,16 +425,13 @@ def stumptown_index(sf_dir: str) -> str:
 
     from miru_ray.pipelines.build import BuildConfig, build_index
     from miru_ray.sources.tables import DOC_TS_BASE_US, read_table as _rt
-    from miru_ray.state.layout import read_json, write_json_atomic
+    from miru_ray.state.layout import (read_json, source_cache_dir,
+                                       write_json_atomic)
     from miru_ray.state.schema import FieldDef, IndexSchema
 
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    tag = {"src": os.path.abspath(src), "size": st.st_size,
-           "mtime_ns": st.st_mtime_ns, "layout": 1}
-    slug = re.sub(r"[^A-Za-z0-9_.-]", "_",
-                  os.path.abspath(sf_dir)).strip("_")
-    idx = os.path.join("/tmp/miru_ray_idx", slug + "_stumptown")
+    idx, tag = source_cache_dir(sf_dir, "events.parquet", "stumptown",
+                                "/tmp/miru_ray_idx", 1)
     tag_path = os.path.join(idx, "source_tag.json")
     if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
         return idx

@@ -375,15 +375,12 @@ def _cached_model(sf_dir: str, label: str, top_n: int) -> pd.DataFrame:
     one dead model per generation; each model is O(features × top_n)
     rows."""
     import os
+
+    from miru_ray.state.layout import stat_validated_memo
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = (os.path.abspath(src), label, top_n)
-    stat = (st.st_size, st.st_mtime_ns)
-    hit = _MODEL_CACHE.get(key)
-    if hit is None or hit[0] != stat:
-        _MODEL_CACHE[key] = (stat, catwalk_model_multi(
-            sf_dir, label, top_n=top_n).to_pandas())
-    return _MODEL_CACHE[key][1]
+    return stat_validated_memo(
+        _MODEL_CACHE, (os.path.abspath(src), label, top_n), src,
+        lambda: catwalk_model_multi(sf_dir, label, top_n=top_n).to_pandas())
 
 
 def strut_scores_strategy(sf_dir: str, label: str = "purchase",

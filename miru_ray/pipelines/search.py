@@ -133,6 +133,7 @@ def search(reader: IndexReader, query: str, k: int = 10,
            time_range: tuple[int | None, int | None] | None = None,
            langs: list[str] | None = None,
            authz: list[str] | None = None, *,
+           query_lang: str | None = None,
            prune: bool | None = None) -> pa.Table:
     """Top-k BM25 search. Returns (doc_id, score, url, warc_ts, lang).
 
@@ -141,16 +142,28 @@ def search(reader: IndexReader, query: str, k: int = 10,
     ``prune`` forces the block-max path on/off (None = auto heuristic).
     ``field:value`` query syntax resolves against the index's own schema
     (reader.schema, persisted in meta.json at build time).
+
+    ``query_lang``: on a ``per_lang`` index, the ONE analyzer locale for
+    the query string — the reference's Lucene parser takes exactly one
+    locale per query (LuceneBackedQueryParser + TermAnalyzers.findAnalyzer),
+    so a multi-language query analysis is not a thing here either.
+    Defaults to ``langs[0]`` when a single-language domain filter is
+    given. With no query language on a per_lang index the query is NOT
+    stopword-analyzed: a term that some language's chain stripped at
+    index time then matches only docs whose own language KEPT it — plain
+    posting semantics. Pass ``query_lang`` to analyze explicitly.
     """
-    if reader.analyzer == "per_lang" and langs and len(langs) == 1:
+    if query_lang is None and langs and len(langs) == 1:
+        query_lang = langs[0]
+    if reader.analyzer == "per_lang" and query_lang:
         # per-language index: analyze the QUERY with the same stopword
-        # chain its docs were indexed with (one lang domain → one chain).
+        # chain its docs were indexed with (one locale per query).
         # Grammar tokens pass through UNANALYZED, like the reference's
         # Lucene parser (operators/wildcards/field syntax are not terms):
         # the OR operator (en 'or' IS a stopword!), field:value tokens
         # (contain ':'), and prefix patterns (trailing '*').
         from miru_ray.functions.tokenize import STOPWORDS, tokenize
-        stop = STOPWORDS.get(langs[0], frozenset())
+        stop = STOPWORDS.get(query_lang, frozenset())
         out = []
         for t in query.split():
             if t.upper() == "OR" or ":" in t or t.endswith("*"):

@@ -52,19 +52,15 @@ def doc_fingerprint_table(sf_dir: str) -> pa.Table:
     times. 32 hex chars + int64 per doc: ~40 B/doc driver-side, the same
     result-materialization contract those entries already had."""
     import os
+    from miru_ray.state.layout import stat_validated_memo
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    path = os.path.abspath(src)
-    stat = (st.st_size, st.st_mtime_ns)
-    # keyed by PATH, replaced when the stat tuple changes — a regenerated
-    # fixture evicts its stale generation instead of leaking it
-    hit = _FP_CACHE.get(path)
-    if hit is None or hit[0] != stat:
+
+    def build() -> pa.Table:
         ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
         out = ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow")
-        _FP_CACHE[path] = (stat, pa.Table.from_pandas(out.to_pandas(),
-                                                      preserve_index=False))
-    return _FP_CACHE[path][1]
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+    return stat_validated_memo(_FP_CACHE, os.path.abspath(src), src, build)
 
 
 def token_counts(sf_dir: str) -> pa.Table:

@@ -32,6 +32,7 @@ __all__ = [
     "part_dir", "manifest_path", "read_manifest", "write_manifest",
     "completed_parts", "write_json_atomic", "read_json", "meta_path",
     "segments_dir", "partitions_root",
+    "source_cache_dir", "stat_validated_memo",
 ]
 
 FORMAT_VERSION = 2  # v2: segments carry block-max (bmax) WAND metadata
@@ -103,3 +104,39 @@ def clear_segments(index_dir: str) -> None:
     seg = segments_dir(index_dir)
     if os.path.isdir(seg):
         shutil.rmtree(seg)
+
+
+# ------------------------------------------------ source-derived caches
+#
+# ONE staleness recipe for every derived artifact keyed on a driver
+# source file (ANN indexes, bloom pairs store, stumptown/documents
+# indexes, in-process model/fingerprint memos). A staleness-rule change
+# (content digests, mtime granularity, ...) lands HERE once.
+
+def source_cache_dir(sf_dir: str, source_name: str, kind: str,
+                     root: str, layout: int, **extra) -> tuple[str, dict]:
+    """(cache directory, freshness tag) for an artifact derived from
+    ``sf_dir/source_name``. The tag captures source identity
+    (abspath, size, mtime_ns) + a layout version + any recipe params;
+    callers compare it against the persisted copy and rebuild on any
+    mismatch, committing the tag LAST (write_json_atomic)."""
+    import re
+    src = os.path.join(sf_dir, source_name)
+    st = os.stat(src)
+    tag = {"src": os.path.abspath(src), "size": st.st_size,
+           "mtime_ns": st.st_mtime_ns, "layout": layout, **extra}
+    slug = re.sub(r"[^A-Za-z0-9_.-]", "_",
+                  os.path.abspath(sf_dir)).strip("_")
+    return os.path.join(root, f"{slug}_{kind}" if kind else slug), tag
+
+
+def stat_validated_memo(cache: dict, key, src_path: str, build):
+    """Process-lifetime memo with the source stat tuple as VALIDATOR,
+    not key part: a regenerated source REPLACES its stale entry instead
+    of leaking one per generation."""
+    st = os.stat(src_path)
+    stat = (st.st_size, st.st_mtime_ns)
+    hit = cache.get(key)
+    if hit is None or hit[0] != stat:
+        cache[key] = (stat, build())
+    return cache[key][1]

@@ -175,3 +175,72 @@ def test_ngram_prefix_equals_full_and_boundary(tmp_path, ray_session):
     sf = "/root/testdata/sf0.001"
     pd.testing.assert_frame_equal(ngram_jaccard_pairs(sf).to_pandas(),
                                   ngram_jaccard_prefix(sf).to_pandas())
+
+
+def test_third_review_edge_cases(tmp_path, ray_session):
+    # jsonprops: valid non-object JSON rows take the default, not a crash
+    from miru_ray.functions.jsonprops import props_int_column
+    arr = pa.array(['{"k": 3}', "null", "5", '"x"', "[1]", None, "{}"])
+    assert props_int_column(arr, "k", default=-9).tolist() == \
+        [3, -9, -9, -9, -9, -9, -9]
+
+    # sketch quantiles: NULL type group + all-NULL values + NaN dropping
+    import os
+
+    import pyarrow.parquet as pq
+
+    import miru_ray.pipelines.events as ev
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a"] * 4 + [None] * 3 + ["nul"] * 2,
+                               pa.string()),
+        "value": pa.array([1.0, 2.0, None, 4.0, 5.0, 6.0, 7.0, None, None],
+                          pa.float64()),
+    }), os.path.join(d, "events.parquet"))
+    sk = ev.value_quantiles_sketch(d).to_pandas()
+    assert sk["event_type"].tolist() == ["a", "nul", None]
+    assert sk.loc[sk["event_type"] == "nul", "p50"].isna().all()
+    assert not sk.loc[sk["event_type"] == "a", "p50"].isna().any()
+
+    # anomaly_bits_sum: an all-zero metric still appears with total 0
+    from miru_ray.pipelines.intake import anomaly_bits_sum
+    d2 = str(tmp_path / "zero")
+    os.makedirs(d2)
+    pq.write_table(pa.table({
+        "event_type": pa.array(["z"] * 5 + ["w"] * 3, pa.string()),
+        "value": pa.array([6.0] * 5 + [8.5] * 3, pa.float64()),
+    }), os.path.join(d2, "events.parquet"))
+    # floor(6.0*100)-600 == 0 for 'z'; 'w' -> 250
+    got = anomaly_bits_sum(d2).to_pandas()
+    assert got["metric"].tolist() == ["w>v", "z>v"]
+    assert got["total_cents"].tolist() == [750, 0]
+    assert got["n"].tolist() == [3, 5]
+
+    # bit 63 (MIN_VALUE clamp) reconstructs via python ints, no overflow
+    from miru_ray.pipelines.intake import trawl_metrics_batch
+    t = pa.table({"path": pa.array([["m"]], pa.list_(pa.string())),
+                  "value": pa.array([np.iinfo(np.int64).min], pa.int64())})
+    bits = trawl_metrics_batch(t)["bits"].to_pylist()[0]
+    total = -sum(1 << int(b) for b in bits[1:])
+    assert total == -(2**63 - 1)
+
+    # bloom pairs: props without 'k' never fabricate a (user, 0) pair
+    from miru_ray.pipelines.bloom_pairs import paired_bloom_contains
+    d3 = str(tmp_path / "nok")
+    os.makedirs(d3)
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "props": pa.array(['{"k": 7}', "{}", '{"j": 0}'], pa.string()),
+    }), os.path.join(d3, "events.parquet"))
+    got = paired_bloom_contains(d3).to_pandas()
+    assert got["user_id"].tolist() == [1] and got["k"].tolist() == [7]
+
+    # per-lang query analysis via explicit query_lang (multi-lang domain)
+    from miru_ray.pipelines.fulltext import documents_index
+    from miru_ray.pipelines.search import search
+    from miru_ray.state.reader import IndexReader
+    reader = IndexReader(documents_index("/root/testdata/sf0.001",
+                                         analyzer="per_lang"))
+    with_lang = search(reader, "der scan", k=5, langs=["de", "fr"],
+                       query_lang="de")
+    assert len(with_lang) > 0   # 'der' dropped by the de chain
