@@ -98,6 +98,37 @@ def headline(num_cpus: int) -> dict:
         lat.append(time.perf_counter() - t)
     query_s = time.perf_counter() - tq0
     lat = np.array(lat)
+
+    # parallel THROUGHPUT via the actor-pool BatchSearcher (latency above
+    # is single-stream): many reps of the reference set through a pool
+    # sized to the session — the reference's partition-handle shape,
+    # reader loaded once per actor (queries/sec is the serving number)
+    if os.environ.get("BENCH_SKIP_QPS"):   # scaling legs: build-only focus
+        return {
+            "n_docs": meta["n_docs"],
+            "build_sec": round(build_s, 3),
+            "docs_per_sec": round(meta["n_docs"] / build_s, 1),
+            "query_set_sec": round(query_s, 3),
+            "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+            "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+            "headline_sec": round(build_s + query_s, 3),
+        }
+    import ray.data as rd
+    from miru_ray.pipelines.search import BatchSearcher
+    reps = 60   # big enough that actor-pool spin-up (~4 s) amortizes
+    items = [{"qid": i, "query": q["query"]}
+             for i, q in enumerate(qs * reps)]
+    pool = max(2, min(8, num_cpus // 2))
+    tb0 = time.perf_counter()
+    n_rows = (rd.from_items(items)
+                .map_batches(BatchSearcher, batch_format="pandas",
+                             batch_size=64, concurrency=(1, pool),
+                             fn_constructor_kwargs={"index_dir": idx,
+                                                    "k": 10})
+                .count())
+    batch_qps = len(items) / (time.perf_counter() - tb0)
+    assert n_rows > 0
+
     return {
         "n_docs": meta["n_docs"],
         "build_sec": round(build_s, 3),
@@ -105,6 +136,7 @@ def headline(num_cpus: int) -> dict:
         "query_set_sec": round(query_s, 3),
         "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+        "batch_qps": round(batch_qps, 1),
         "headline_sec": round(build_s + query_s, 3),
     }
 
@@ -192,7 +224,7 @@ def run_scaling() -> dict:
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
-                   BENCH_PAGES=pages)
+                   BENCH_SKIP_QPS="1", BENCH_PAGES=pages)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
