@@ -170,3 +170,47 @@ def test_trawl_bits_match_python(vals):
                   "value": pa.array(vals, pa.int64())})
     got = trawl_metrics_batch(t)["bits"].to_pylist()
     assert got == [_py_bits(v) for v in vals]
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10**6), ncut=st.integers(1, 3))
+def test_unread_delta_random_streams(seed, ncut):
+    # randomized: any event stream + any cut points fold to the bulk state
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(20, 300))
+    ts0 = pd.Timestamp("2024-01-01").value // 1000
+    ts = np.sort(rng.randint(0, 10**9, n)) + ts0
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": rng.randint(0, 12, n),
+        "event_type": rng.choice(["view", "click", "buy"], n,
+                                 p=[0.4, 0.4, 0.2]),
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    cuts = np.sort(rng.choice(ts, size=ncut, replace=False))
+    state = None
+    bounds = [None, *[pd.Timestamp(c, unit="us") for c in cuts], None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        m = pd.Series(True, index=df.index)
+        if lo is not None:
+            m &= df["ts"] >= lo
+        if hi is not None:
+            m &= df["ts"] < hi
+        state = apply_unread_delta(
+            state, pa.Table.from_pandas(df[m], preserve_index=False))
+    got = unread_counts(state).to_pandas().reset_index(drop=True)
+    # bulk reference, computed in plain pandas
+    marks = df[df["event_type"] == "view"].groupby("user_id")["ts"].max()
+    inbox = df[df["event_type"] != "view"]
+    j = inbox.merge(marks.rename("cur"), on="user_id", how="left")
+    unread = j["cur"].isna() | (j["ts"] > j["cur"])
+    want = (pd.DataFrame({"user_id": j["user_id"], "u": unread})
+            .groupby("user_id")
+            .agg(n_inbox=("u", "size"), n_unread=("u", "sum"))
+            .reset_index())
+    want["n_unread"] = want["n_unread"].astype(np.int64)
+    want = want.merge(marks.rename("read_ts"), on="user_id", how="left")
+    want["read_ts"] = want["read_ts"].astype("datetime64[us]")
+    want = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_inbox", "n_unread", "read_ts"]], want)

@@ -244,3 +244,34 @@ def test_third_review_edge_cases(tmp_path, ray_session):
     with_lang = search(reader, "der scan", k=5, langs=["de", "fr"],
                        query_lang="de")
     assert len(with_lang) > 0   # 'der' dropped by the de chain
+
+
+def test_value_quantiles_random_distributions(tmp_path, ray_session):
+    # randomized: mixed-scale values with heavy ties vs np.quantile
+    # (method='linear' == quantile_cont) across several seeds
+    import os
+
+    import pyarrow.parquet as pq
+
+    import miru_ray.pipelines.events as ev
+    for seed in (1, 7, 42):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(200, 3000))
+        vals = np.concatenate([
+            rng.uniform(-1e6, 1e6, n // 3),
+            np.round(rng.uniform(0, 10, n // 3), 1),     # heavy ties
+            np.full(n - 2 * (n // 3), rng.uniform(-5, 5)),  # one dup run
+        ])
+        types = rng.choice(["a", "b", "c"], len(vals))
+        d = str(tmp_path / f"s{seed}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }), os.path.join(d, "events.parquet"))
+        got = ev.value_quantiles(d).to_pandas().set_index("event_type")
+        for ty in sorted(set(types)):
+            x = vals[types == ty]
+            for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+                want = round(float(np.quantile(x, q, method="linear")), 6)
+                assert got.loc[ty, col] == want, (seed, ty, col)
