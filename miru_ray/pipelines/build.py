@@ -58,29 +58,28 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "authz"]
 def current_input_digests(source, num_parts: int,
                           langs: list[str] | None = None,
                           include_text: bool = False,
-                          part_fn=None) -> dict[int, int]:
+                          part_fn=None,
+                          cache_path: str | None = None,
+                          cache_key: dict | None = None) -> dict[int, int]:
     """Cheap per-partition digest of the CURRENT input: reads only
     (url, warc_ts) — column pruning means the heavy html/text never leaves
     storage — and reduces per-batch partial XORs (commutative) with a tiny
     groupby. This is the sip-scan dual: the reference tails the WAL for
     entries newer than the sip cursor (miru-service/.../partition/
     MiruLocalHostedPartition.SipMigrateIndexRunnable:1013-1258); we detect
-    partitions whose row set changed at all."""
+    partitions whose row set changed at all.
+
+    ``cache_path`` (parquet-path sources only) makes it a TRUE sip: each
+    file's per-partition digest vector is cached under its (size,
+    mtime_ns), so an unchanged file is never re-read — a resume scans
+    only new/changed files; a no-op resume costs stat calls. The cache
+    records ``cache_key`` (partitioning + filter params); any mismatch
+    discards it. XOR partials compose per file, so the global digest is
+    cached ⊕ freshly-scanned."""
     from miru_ray.functions.hashing import hash_strings
 
     cols = ["url", "warc_ts"] + (["lang"] if langs else []) \
         + (["text"] if include_text else [])
-    if isinstance(source, rd.Dataset):
-        ds = source.select_columns(cols)
-    elif isinstance(source, pa.Table):
-        ds = rd.from_arrow(source.select(cols))
-    else:
-        ds = rd.read_parquet(source, columns=cols)
-    if langs:
-        keep = pa.array(sorted(set(langs)))
-        ds = ds.map_batches(
-            lambda t: t.filter(pa.compute.is_in(t["lang"], value_set=keep)),
-            batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_numpy(zero_copy_only=False)
@@ -90,18 +89,79 @@ def current_input_digests(source, num_parts: int,
             h = h ^ hash_strings(batch["text"].to_numpy(zero_copy_only=False))
         parts = part_fn(urls, ts) if part_fn is not None \
             else part_for(urls, num_parts)
-        out_p, out_d, out_n = [], [], []
-        for p in np.unique(parts):
-            mask = parts == p
-            out_p.append(int(p))
-            out_d.append(int(np.bitwise_xor.reduce(h[mask])))
-            out_n.append(int(mask.sum()))
-        return pa.table({"part": pa.array(out_p, pa.int64()),
-                         "digest": pa.array(out_d, pa.uint64()),
-                         "n": pa.array(out_n, pa.int64())})
+        paths = (np.asarray(batch["path"].to_numpy(zero_copy_only=False),
+                            dtype=object) if "path" in batch.column_names
+                 else np.full(len(urls), "", dtype=object))
+        out = {"path": [], "part": [], "digest": [], "n": []}
+        for pth in np.unique(paths) if len(paths) else []:
+            pm = paths == pth
+            for p in np.unique(parts[pm]):
+                mask = pm & (parts == p)
+                out["path"].append(str(pth))
+                out["part"].append(int(p))
+                out["digest"].append(int(np.bitwise_xor.reduce(h[mask])))
+                out["n"].append(int(mask.sum()))
+        return pa.table({"path": pa.array(out["path"], pa.string()),
+                         "part": pa.array(out["part"], pa.int64()),
+                         "digest": pa.array(out["digest"], pa.uint64()),
+                         "n": pa.array(out["n"], pa.int64())})
 
+    def lang_filter(ds):
+        if not langs:
+            return ds
+        keep = pa.array(sorted(set(langs)))
+        return ds.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["lang"], value_set=keep)),
+            batch_format="pyarrow")
+
+    is_path_src = not isinstance(source, (rd.Dataset, pa.Table))
+    if cache_path is not None and is_path_src:
+        import pyarrow.dataset as pads
+
+        from miru_ray.state.layout import read_json, write_json_atomic
+        files = sorted(pads.dataset(source).files)
+        stats = {f: os.stat(f) for f in files}
+        cache = read_json(cache_path) or {}
+        key = {"num_parts": num_parts, "langs": sorted(langs or []),
+               "include_text": include_text, **(cache_key or {})}
+        if cache.get("__key__") != key:
+            cache = {"__key__": key, "files": {}}
+        fcache: dict = cache.get("files", {})
+        fresh = [f for f in files
+                 if (e := fcache.get(f)) is None
+                 or e["size"] != stats[f].st_size
+                 or e["mtime_ns"] != stats[f].st_mtime_ns]
+        if fresh:
+            ds = lang_filter(rd.read_parquet(fresh, columns=cols,
+                                             include_paths=True))
+            rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+            by_file: dict[str, dict[str, int]] = {f: {} for f in fresh}
+            for r in rows:
+                d = by_file.setdefault(r["path"], {})
+                d[str(r["part"])] = d.get(str(r["part"]), 0) ^ int(r["digest"])
+            for f in fresh:
+                fcache[f] = {"size": stats[f].st_size,
+                             "mtime_ns": stats[f].st_mtime_ns,
+                             "parts": by_file.get(f, {})}
+        # drop cache entries for files no longer present (deleted inputs
+        # must flip the digest, which dropping them achieves)
+        cache["files"] = {f: fcache[f] for f in files if f in fcache}
+        write_json_atomic(cache_path, cache)
+        acc: dict[int, int] = {}
+        for f in files:
+            for p, dg in cache["files"][f]["parts"].items():
+                acc[int(p)] = acc.get(int(p), 0) ^ int(dg)
+        return acc
+
+    if isinstance(source, rd.Dataset):
+        ds = source.select_columns(cols)
+    elif isinstance(source, pa.Table):
+        ds = rd.from_arrow(source.select(cols))
+    else:
+        ds = rd.read_parquet(source, columns=cols)
+    ds = lang_filter(ds)
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    acc: dict[int, int] = {}
+    acc = {}
     for r in rows:  # XOR-fold the per-batch partials (commutative)
         acc[r["part"]] = acc.get(r["part"], 0) ^ int(r["digest"])
     return acc
@@ -327,9 +387,18 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         os.remove(layout.manifest_path(index_dir, p))
     digest_text = (not has_html) and ("text" in names)
     if done and cfg.verify_inputs:
-        current = current_input_digests(source, cfg.num_parts, cfg.langs,
-                                        include_text=digest_text,
-                                        part_fn=part_fn)
+        # per-file digest cache lives beside the index: the partition
+        # params key it, so a num_parts / mode / bounds change rescans
+        pkey = {"mode": cfg.partition_mode,
+                "bounds": (list(cfg.time_bounds) if cfg.time_bounds
+                           else ([lo_ts, hi_ts]
+                                 if cfg.partition_mode == "time_range"
+                                 else None))}
+        current = current_input_digests(
+            source, cfg.num_parts, cfg.langs, include_text=digest_text,
+            part_fn=part_fn,
+            cache_path=os.path.join(index_dir, "digest_cache.json"),
+            cache_key=pkey)
         stale = [p for p, m in done.items()
                  if current.get(p, 0) != m.get("input_digest")]
         for p in stale:

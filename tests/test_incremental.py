@@ -66,3 +66,59 @@ def test_fast_resume_does_not_redigest(tmp_path, ray_session):
     meta = build_index(str(src), idx, cfg)   # no verify → all skipped
     assert meta["skipped_parts"] == [0, 1, 2, 3]
     assert meta["n_docs"] == 299  # stale by design on the fast path (300 rows − 1 dup)
+
+
+def test_sip_digest_cache_noop_and_append(tmp_path, ray_session):
+    """Per-file digest cache: a no-op resume skips every built partition
+    WITHOUT re-reading unchanged files (their cache entries are reused);
+    appending a file rescans only it; a changed partition param key
+    discards the cache."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.fixtures import generate_pages
+
+    src = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    for i, lo in enumerate(range(0, 900, 300)):
+        pq.write_table(generate_pages(lo, lo + 300),
+                       f"{src}/part-{i:02d}.parquet")
+    cfg = lambda: BuildConfig(num_parts=4, num_shards=2,   # noqa: E731
+                              verify_inputs=True)
+    meta = build_index(src, idx, cfg())
+    n_parts = len(meta["bases"])
+    cache_p = os.path.join(idx, "digest_cache.json")
+
+    m2 = build_index(src, idx, cfg())
+    assert len(m2["skipped_parts"]) == n_parts        # true no-op
+    assert os.path.exists(cache_p)
+    c1 = json.load(open(cache_p))
+    assert len(c1["files"]) == 3
+
+    # cache entries carry the file stats -> a third run reuses them
+    # (mtimes unchanged, so the cache content must be identical)
+    build_index(src, idx, cfg())
+    assert json.load(open(cache_p)) == c1
+
+    # append one file: only it is scanned (others keep cached stats),
+    # and the affected partitions rebuild to the right doc count
+    pq.write_table(generate_pages(900, 1000), f"{src}/part-new.parquet")
+    m3 = build_index(src, idx, cfg())
+    c2 = json.load(open(cache_p))
+    assert len(c2["files"]) == 4
+    for f, e in c1["files"].items():
+        assert c2["files"][f] == e                    # untouched entries
+    assert m3["n_docs"] > meta["n_docs"]
+
+    # param change invalidates: different num_parts -> fresh cache key
+    idx2 = str(tmp_path / "idx2")
+    build_index(src, idx2, BuildConfig(num_parts=2, num_shards=2,
+                                       verify_inputs=True))
+    build_index(src, idx2, BuildConfig(num_parts=2, num_shards=2,
+                                       verify_inputs=True))
+    c3 = json.load(open(os.path.join(idx2, "digest_cache.json")))
+    assert c3["__key__"]["num_parts"] == 2
