@@ -75,7 +75,14 @@ def current_input_digests(source, num_parts: int,
     only new/changed files; a no-op resume costs stat calls. The cache
     records ``cache_key`` (partitioning + filter params); any mismatch
     discards it. XOR partials compose per file, so the global digest is
-    cached ⊕ freshly-scanned."""
+    cached ⊕ freshly-scanned.
+
+    Cache size is O(files × parts-touched-per-file): small under time
+    partitioning (a time-ordered file touches a few contiguous parts —
+    the incremental-ingest layout) but O(files × P) under hash
+    partitioning, where every file feeds every partition; a deployment
+    hash-partitioning 10^5+ files should shard this JSON into per-file
+    parquet rows (same schema, same fold)."""
     from miru_ray.functions.hashing import hash_strings
 
     cols = ["url", "warc_ts"] + (["lang"] if langs else []) \
