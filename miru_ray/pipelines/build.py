@@ -122,11 +122,15 @@ def current_input_digests(source, num_parts: int,
             batch_format="pyarrow")
 
     is_path_src = not isinstance(source, (rd.Dataset, pa.Table))
+    files = None
     if cache_path is not None and is_path_src:
         import pyarrow.dataset as pads
-
+        try:   # glob patterns / exotic sources: fall back to the uncached scan
+            files = sorted(pads.dataset(source).files)
+        except Exception:
+            files = None
+    if files is not None:
         from miru_ray.state.layout import read_json, write_json_atomic
-        files = sorted(pads.dataset(source).files)
         stats = {f: os.stat(f) for f in files}
         cache = read_json(cache_path) or {}
         key = {"num_parts": num_parts, "langs": sorted(langs or []),
