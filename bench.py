@@ -103,16 +103,17 @@ def headline(num_cpus: int) -> dict:
     # is single-stream): many reps of the reference set through a pool
     # sized to the session — the reference's partition-handle shape,
     # reader loaded once per actor (queries/sec is the serving number)
+    out = {
+        "n_docs": meta["n_docs"],
+        "build_sec": round(build_s, 3),
+        "docs_per_sec": round(meta["n_docs"] / build_s, 1),
+        "query_set_sec": round(query_s, 3),
+        "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+        "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+        "headline_sec": round(build_s + query_s, 3),
+    }
     if os.environ.get("BENCH_SKIP_QPS"):   # scaling legs: build-only focus
-        return {
-            "n_docs": meta["n_docs"],
-            "build_sec": round(build_s, 3),
-            "docs_per_sec": round(meta["n_docs"] / build_s, 1),
-            "query_set_sec": round(query_s, 3),
-            "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
-            "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
-            "headline_sec": round(build_s + query_s, 3),
-        }
+        return out
     import ray.data as rd
     from miru_ray.pipelines.search import BatchSearcher
     reps = 60   # big enough that actor-pool spin-up (~4 s) amortizes
@@ -126,19 +127,9 @@ def headline(num_cpus: int) -> dict:
                              fn_constructor_kwargs={"index_dir": idx,
                                                     "k": 10})
                 .count())
-    batch_qps = len(items) / (time.perf_counter() - tb0)
     assert n_rows > 0
-
-    return {
-        "n_docs": meta["n_docs"],
-        "build_sec": round(build_s, 3),
-        "docs_per_sec": round(meta["n_docs"] / build_s, 1),
-        "query_set_sec": round(query_s, 3),
-        "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
-        "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
-        "batch_qps": round(batch_qps, 1),
-        "headline_sec": round(build_s + query_s, 3),
-    }
+    out["batch_qps"] = round(len(items) / (time.perf_counter() - tb0), 1)
+    return out
 
 
 def operator_sweep(sf_dir: str) -> dict[str, float]:

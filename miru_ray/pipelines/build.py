@@ -82,7 +82,17 @@ def current_input_digests(source, num_parts: int,
     the incremental-ingest layout) but O(files × P) under hash
     partitioning, where every file feeds every partition; a deployment
     hash-partitioning 10^5+ files should shard this JSON into per-file
-    parquet rows (same schema, same fold)."""
+    parquet rows (same schema, same fold).
+
+    Contract narrowing vs the uncached scan (the classic stat-validator
+    tradeoff, same as make/rsync): a file whose CONTENT changed under a
+    byte-identical (size, mtime_ns) — deliberate mtime restoration — is
+    not re-read. Any real write bumps mtime_ns; delete
+    ``digest_cache.json`` to force a full re-digest. NOTE for
+    time_range incremental ingest: pin ``cfg.time_bounds`` with
+    headroom — auto-derived bounds grow with later-ts appends, which
+    REMAPS every partition range and correctly (but expensively)
+    invalidates everything."""
     from miru_ray.functions.hashing import hash_strings
 
     cols = ["url", "warc_ts"] + (["lang"] if langs else []) \
@@ -122,20 +132,22 @@ def current_input_digests(source, num_parts: int,
             batch_format="pyarrow")
 
     is_path_src = not isinstance(source, (rd.Dataset, pa.Table))
-    files = None
+    files = stats = None
     if cache_path is not None and is_path_src:
         import pyarrow.dataset as pads
-        try:   # glob patterns / exotic sources: fall back to the uncached scan
+        try:   # remote/exotic sources (pads strips URI schemes, os.stat
+            # can't see them) fall back to the uncached full scan
             files = sorted(pads.dataset(source).files)
+            stats = {f: os.stat(f) for f in files}
         except Exception:
-            files = None
+            files = stats = None
     if files is not None:
         from miru_ray.state.layout import read_json, write_json_atomic
-        stats = {f: os.stat(f) for f in files}
         cache = read_json(cache_path) or {}
         key = {"num_parts": num_parts, "langs": sorted(langs or []),
                "include_text": include_text, **(cache_key or {})}
-        if cache.get("__key__") != key:
+        key_changed = cache.get("__key__") != key
+        if key_changed:
             cache = {"__key__": key, "files": {}}
         fcache: dict = cache.get("files", {})
         fresh = [f for f in files
@@ -156,8 +168,10 @@ def current_input_digests(source, num_parts: int,
                              "parts": by_file.get(f, {})}
         # drop cache entries for files no longer present (deleted inputs
         # must flip the digest, which dropping them achieves)
+        dropped = set(fcache) - set(files)
         cache["files"] = {f: fcache[f] for f in files if f in fcache}
-        write_json_atomic(cache_path, cache)
+        if fresh or dropped or key_changed:   # no-op resume stays stat-only
+            write_json_atomic(cache_path, cache)
         acc: dict[int, int] = {}
         for f in files:
             for p, dg in cache["files"][f]["parts"].items():

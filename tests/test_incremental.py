@@ -122,3 +122,45 @@ def test_sip_digest_cache_noop_and_append(tmp_path, ray_session):
                                        verify_inputs=True))
     c3 = json.load(open(os.path.join(idx2, "digest_cache.json")))
     assert c3["__key__"]["num_parts"] == 2
+
+
+def test_sip_digest_cache_is_trusted_not_recomputed(tmp_path, ray_session):
+    """The sip property itself: a resume must USE the cached per-file
+    digest instead of re-reading the file. Poisoning one cached digest
+    (stats untouched) must make the affected partition look stale and
+    rebuild — proof the cache value was trusted; and the poisoned entry
+    must survive the resume unrecomputed (its file was never re-read)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.fixtures import generate_pages
+
+    src = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    for i, lo in enumerate(range(0, 600, 300)):
+        pq.write_table(generate_pages(lo, lo + 300),
+                       f"{src}/part-{i:02d}.parquet")
+    cfg = lambda: BuildConfig(num_parts=2, num_shards=2,   # noqa: E731
+                              verify_inputs=True)
+    build_index(src, idx, cfg())
+    build_index(src, idx, cfg())        # creates + uses the cache
+    cache_p = os.path.join(idx, "digest_cache.json")
+    c = json.load(open(cache_p))
+    f0 = sorted(c["files"])[0]
+    part0 = sorted(c["files"][f0]["parts"])[0]
+    poisoned = (int(c["files"][f0]["parts"][part0]) ^ 0xDEADBEEF)
+    c["files"][f0]["parts"][part0] = poisoned
+    json.dump(c, open(cache_p, "w"))
+    m = build_index(src, idx, cfg())
+    # the poisoned digest was TRUSTED: partition part0 fell out of the
+    # skip set (stale) while the other stayed skipped
+    assert int(part0) not in m["skipped_parts"]
+    assert len(m["skipped_parts"]) >= 1
+    # and the file was not re-read: its cache entry still carries the
+    # poison (stats unchanged -> not in the fresh set)
+    c2 = json.load(open(cache_p))
+    assert int(c2["files"][f0]["parts"][part0]) == poisoned
