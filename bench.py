@@ -257,8 +257,41 @@ def run_scaling() -> dict:
     }
 
 
+def _emit(result: dict) -> None:
+    """Print ONE compact final JSON line. The r3 driver failed to parse the
+    bench output because its stdout tail buffer truncated the line mid-key
+    once the per-query dict grew past ~69 entries (VERDICT r3 "What's
+    wrong" #4) — so the FULL result (every per-query timing) goes to a
+    side file and the final line keeps only the slowest queries when the
+    serialized line would exceed a safe budget."""
+    name = ("scaling_full_latest.json" if "--scaling" in sys.argv
+            else "bench_full_latest.json")
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", name)
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):   # scaling legs: no clobber
+        try:
+            os.makedirs(os.path.dirname(full_path), exist_ok=True)
+            with open(full_path, "w") as f:
+                json.dump(result, f, indent=1, sort_keys=True)
+            result = {**result, "queries_file": os.path.relpath(
+                full_path, os.path.dirname(os.path.abspath(__file__)))}
+        except OSError:
+            pass
+    line = json.dumps(result, separators=(",", ":"))
+    budget = 1400   # keep well under the driver's observed ~2 KB tail buffer
+    if len(line) > budget and result.get("queries"):
+        qs = result["queries"]
+        slowest = dict(sorted(qs.items(), key=lambda kv: -kv[1])[:10])
+        result = {**result, "queries": slowest,
+                  "queries_n": len(qs),
+                  "queries_total_sec": round(sum(qs.values()), 3),
+                  "queries_truncated": True}
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     else:
-        print(json.dumps(run_bench()))
+        _emit(run_bench())

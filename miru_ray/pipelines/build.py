@@ -460,8 +460,16 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # memory-bandwidth guard: the build bodies are streaming kernels whose
     # aggregate throughput saturates a single socket around ~16 concurrent
     # tasks (measured: per-task cost inflates ~3x at 32). Reserve 2 CPUs
-    # per group task on big hosts so concurrency caps near the knee.
-    group_cpus = 2 if ncpu > 16 else 1
+    # per group task on big hosts so concurrency caps near the knee — and
+    # when a ~100 ms probe says the bus is ALREADY contended by co-tenants
+    # (the r3 driver-window regression signature), shed further to ~8
+    # concurrent tasks instead of thrashing.
+    group_cpus = 1
+    bus_gbps = None
+    if ncpu > 16:
+        from miru_ray.functions.runtime import BUS_DEGRADED_GBPS, mem_bw_gbps
+        bus_gbps = mem_bw_gbps()
+        group_cpus = 4 if bus_gbps < BUS_DEGRADED_GBPS else 2
     new_manifests = ds.groupby("part").map_groups(builder, batch_format="pandas",
                                                   num_cpus=group_cpus)
     # materialize the (tiny: one row per partition) manifest dataset
@@ -520,6 +528,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         "n_terms": int(sum(r["n_terms"] for r in seg_stats)),
         "segment_bytes": int(sum(r["bytes"] for r in seg_stats)),
         "phase_sec": phase_t,
+        "bus_gbps": bus_gbps,
+        "group_cpus": group_cpus,
     }
     write_json_atomic(meta_path(index_dir), meta)
     return meta
