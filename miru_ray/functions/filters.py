@@ -213,18 +213,24 @@ def query_terms(f: Filter) -> list[str]:
     return sorted(out)
 
 
-def evaluate(f: Filter, provider, domain: np.ndarray | None = None) -> np.ndarray:
+def evaluate(f: Filter, provider, domain=None) -> np.ndarray:
     """Evaluate a filter tree → sorted uint64 docID array.
 
     ``provider`` must expose:
         ids(term) -> sorted uint64 array (empty if absent)
         expand_prefix(prefix, cap) -> list[str] of matching terms
         all_ids() -> sorted uint64 array of every live doc (for pure-NOT)
-    ``domain`` optionally intersects the result (time/lang masks).
+    ``domain`` optionally restricts the result: either a sorted uint64 id
+    array (the brute-force oracle's eager form) or an object exposing
+    ``filter_ids(ids)`` (state.domain.DomainMask — packed per-partition
+    bitmaps, never an explicit id list of the matching domain).
     """
     res = _eval(f, provider)
     if domain is not None:
-        res = intersect_sorted(res, domain)
+        if hasattr(domain, "filter_ids"):
+            res = domain.filter_ids(res)
+        else:
+            res = intersect_sorted(res, domain)
     return res
 
 

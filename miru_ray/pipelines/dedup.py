@@ -235,16 +235,51 @@ class PairVerifier:
         doc_a = batch["doc_a"].to_numpy()
         doc_b = batch["doc_b"].to_numpy()
         self._shingles_for(np.unique(np.concatenate([doc_a, doc_b])).tolist())
-        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
-        for da, db in zip(doc_a, doc_b):
-            j = jaccard(self._cache[int(da)], self._cache[int(db)])
-            if j >= self.threshold:
-                rows["doc_a"].append(int(da))
-                rows["doc_b"].append(int(db))
-                rows["jaccard"].append(round(j, 6))
-        return pa.table({"doc_a": pa.array(rows["doc_a"], pa.int64()),
-                         "doc_b": pa.array(rows["doc_b"], pa.int64()),
-                         "jaccard": pa.array(rows["jaccard"], pa.float64())})
+        if len(doc_a) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        # vectorized exact Jaccard: group pairs by doc_a, then ONE
+        # searchsorted of the concatenated b-side shingles into a's sorted
+        # set + a reduceat per-segment sum — the loop runs per DISTINCT
+        # doc_a, not per pair (cache entries are sorted-unique arrays, so
+        # membership = searchsorted + equality probe)
+        order = np.argsort(doc_a, kind="stable")
+        da, db = doc_a[order], doc_b[order]
+        la = np.fromiter((len(self._cache[int(d)]) for d in da),
+                         dtype=np.int64, count=len(da))
+        lb = np.fromiter((len(self._cache[int(d)]) for d in db),
+                         dtype=np.int64, count=len(db))
+        inter = np.zeros(len(da), dtype=np.int64)
+        change = np.flatnonzero(da[1:] != da[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(da)]])
+        for s, e in zip(starts, ends):
+            a_set = self._cache[int(da[s])]
+            seg_lens = lb[s:e]
+            if len(a_set) == 0 or not seg_lens.any():
+                continue
+            cat = np.concatenate([self._cache[int(d)] for d in db[s:e]])
+            idx = np.searchsorted(a_set, cat)
+            np.minimum(idx, len(a_set) - 1, out=idx)
+            hit = (a_set[idx] == cat).astype(np.int64)
+            nz = seg_lens > 0
+            # reduceat over the starts of NON-EMPTY segments only (empty
+            # segments would repeat a bound, making reduceat misread the
+            # next segment's first element); trailing zero-segments fold
+            # into the preceding span, which is harmless — they add 0 rows
+            starts_all = np.concatenate([[0], np.cumsum(seg_lens[:-1])])
+            nz_idx = np.flatnonzero(nz)
+            vals = np.add.reduceat(hit, starts_all[nz_idx])
+            seg_inter = np.zeros(len(seg_lens), dtype=np.int64)
+            seg_inter[nz_idx] = vals
+            inter[s:e] = seg_inter
+        union = la + lb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = j >= self.threshold
+        return pa.table({"doc_a": pa.array(da[keep], pa.int64()),
+                         "doc_b": pa.array(db[keep], pa.int64()),
+                         "jaccard": pa.array(np.round(j[keep], 6), pa.float64())})
 
 
 def _shingles_from_flat_texts(texts) -> tuple[np.ndarray, np.ndarray]:

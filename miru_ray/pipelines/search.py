@@ -23,6 +23,7 @@ import pyarrow as pa
 from miru_ray.functions.bm25 import bm25_term_scores, topk_order
 from miru_ray.functions.filters import evaluate, parse_query, query_terms
 from miru_ray.functions.postings import intersect_sorted
+from miru_ray.state.domain import DomainMask
 from miru_ray.state.reader import IndexReader
 
 __all__ = ["search", "BatchSearcher", "score_candidates", "search_scattered",
@@ -180,15 +181,17 @@ def search(reader: IndexReader, query: str, k: int = 10,
                 out.append(("-" if neg else "") + ".".join(kept))
         query = " ".join(out)
     tree = parse_query(query, reader.schema)
-    domain = None
+    # domains compose as predicates on ONE lazy packed-bitmap mask
+    # (1 bit/doc per touched partition) ANDed against candidates during
+    # evaluation — never an explicit id array of the matching domain
+    preds = []
     if time_range is not None:
-        domain = reader.time_range_domain(*time_range)
+        preds.append(reader.time_pred(*time_range))
     if langs:
-        lang_dom = reader.lang_domain(langs)
-        domain = lang_dom if domain is None else intersect_sorted(domain, lang_dom)
+        preds.append(reader.lang_pred(langs))
     if authz is not None:
-        auth_dom = reader.authz_domain(authz)
-        domain = auth_dom if domain is None else intersect_sorted(domain, auth_dom)
+        preds.append(reader.ids_pred(reader.authz_domain(authz)))
+    domain = DomainMask(reader, preds) if preds else None
     candidates = evaluate(tree, reader, domain)
     removed = reader.removed_ids()
     if len(removed):   # removal-index ANDNOT mask (MiruRemovalIndex)

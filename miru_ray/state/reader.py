@@ -325,6 +325,49 @@ class IndexReader:
         return pa.table(out)
 
     # --- time & lang domains ---
+    #
+    # Query paths use the PREDICATE forms below with state.domain.DomainMask
+    # (packed per-partition bitmaps, 1 bit/doc, built lazily — VERDICT r3
+    # #2). The eager *_domain id-array forms remain for tests/tools and
+    # small direct calls; they materialize 8 B per MATCHING doc.
+
+    def time_pred(self, lo_us: int | None, hi_us: int | None):
+        """DomainMask predicate: partition idx → bool per local doc with
+        lo_us <= warc_ts < hi_us (exact even with locally-disordered
+        timestamps — tests the actual column, not just boundaries; the
+        reference's range→id translation, LabTimeIndex.java:139-189)."""
+        def pred(pi: int) -> np.ndarray:
+            ts = (self.doc_column(self.parts[pi], "warc_ts").to_numpy()
+                  .astype("datetime64[us]").astype(np.int64))
+            m = np.ones(len(ts), dtype=bool)
+            if lo_us is not None:
+                m &= ts >= lo_us
+            if hi_us is not None:
+                m &= ts < hi_us
+            return m
+        return pred
+
+    def lang_pred(self, langs: list[str]):
+        keep = sorted(set(langs))
+
+        def pred(pi: int) -> np.ndarray:
+            lg = self.doc_column(self.parts[pi], "lang").to_numpy(
+                zero_copy_only=False)
+            return np.isin(lg, keep)
+        return pred
+
+    def ids_pred(self, ids_sorted: np.ndarray):
+        """DomainMask predicate from a sorted global-id array (e.g. the
+        authz postings union): per partition, a bool mask of its slice."""
+        def pred(pi: int) -> np.ndarray:
+            base = int(self.bases[pi])
+            n = int(self.counts[pi])
+            lo = np.searchsorted(ids_sorted, np.uint64(base))
+            hi = np.searchsorted(ids_sorted, np.uint64(base + n))
+            m = np.zeros(n, dtype=bool)
+            m[ids_sorted[lo:hi].astype(np.int64) - base] = True
+            return m
+        return pred
 
     def time_range_domain(self, lo_us: int | None, hi_us: int | None) -> np.ndarray:
         """Sorted docIDs with lo_us <= warc_ts < hi_us (resolved per
