@@ -35,7 +35,7 @@ from miru_ray.functions.hashing import hash_strings
 from miru_ray.functions.tokenize import tokenize, tokenize_column
 from miru_ray.sources.tables import read_table
 
-__all__ = ["dedup_exact", "minhash_near_dups", "simhash64",
+__all__ = ["dedup_exact", "minhash_near_dups", "simhash64", "simhash64_ds",
            "ngram_jaccard_pairs", "ngram_jaccard_prefix", "shingle_set",
            "jaccard", "NUM_HASHES", "NUM_BANDS", "SHINGLE_K"]
 
@@ -341,8 +341,10 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.8) -> pa.Table:
                      "jaccard": pa.array(got["jaccard"].to_numpy(), pa.float64())})
 
 
-def simhash64(sf_dir: str) -> pa.Table:
-    """(doc_id, simhash) — 64-bit tf-weighted simhash, 16-hex-char string.
+def simhash64_ds(sf_dir: str):
+    """Lazy Dataset of (doc_id, simhash) — 64-bit tf-weighted simhash as a
+    16-hex-char string, one row per non-empty doc (the scale API: write
+    or iterate it; VERDICT r3 #2).
 
     Token hash: big-endian first 8 bytes of md5 — reproducible in ANSI SQL
     (('0x'||substr(md5(term),1,16))::UBIGINT), so this entry is
@@ -393,7 +395,13 @@ def simhash64(sf_dir: str) -> pa.Table:
                              [f"{int(s):016x}" for s in sims[keep]],
                              pa.string())})
 
-    out = ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def simhash64(sf_dir: str) -> pa.Table:
+    """Driver-side collected form of :func:`simhash64_ds` (doc_id-sorted
+    for the hash compare)."""
+    out = simhash64_ds(sf_dir)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.sort_by("doc_id")
 

@@ -38,7 +38,17 @@ import pyarrow as pa
 from miru_ray.sources.tables import read_table
 
 __all__ = ["asof_join", "interval_join", "window_sliding",
-           "window_sliding_halo", "customer_revenue"]
+           "window_sliding_halo", "customer_revenue",
+           "asof_join_ds", "interval_join_ds", "window_sliding_ds",
+           "window_sliding_halo_ds"]
+
+# Streaming contract (VERDICT r3 #2): every per-event operator here has a
+# ``*_ds`` form returning the LAZY ray.data.Dataset — the scale API; a
+# caller writes/consumes it without any driver materialization
+# (tests/test_streaming_api.py pins this, and BENCH/BASELINE.md records a
+# 1M-row window_sliding_ds → write_parquet run with flat driver RSS).
+# The table-returning forms are thin driver-side collectors kept for the
+# driver contract (hashable small results at test scales).
 
 HOUR_US = 3_600_000_000
 
@@ -100,14 +110,22 @@ def _asof_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
     return j[["event_id", "user_id", "ts", "view_ts", "view_value"]]
 
 
+def asof_join_ds(sf_dir: str, left_type: str = "click",
+                 right_type: str = "view"):
+    """Lazy Dataset of (event_id, user_id, ts, view_ts, view_value) —
+    every ``left_type`` event joined to the most recent ``right_type``
+    event at-or-before it by the same user (ASOF LEFT JOIN semantics;
+    NULLs when none). One row per left event: consume by writing or
+    iterating, never a driver table at scale."""
+    ds = _two_sided(sf_dir, left_type, right_type)
+    return ds.groupby("bucket").map_groups(_asof_bucket_group,
+                                           batch_format="pandas")
+
+
 def asof_join(sf_dir: str, left_type: str = "click",
               right_type: str = "view") -> pa.Table:
-    """(event_id, user_id, ts, view_ts, view_value) — every ``left_type``
-    event joined to the most recent ``right_type`` event at-or-before it
-    by the same user (ASOF LEFT JOIN semantics; NULLs when none)."""
-    ds = _two_sided(sf_dir, left_type, right_type)
-    out = ds.groupby("bucket").map_groups(_asof_bucket_group,
-                                          batch_format="pandas")
+    """Driver-side collected form of :func:`asof_join_ds`."""
+    out = asof_join_ds(sf_dir, left_type, right_type)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return t.set_column(t.schema.get_field_index("view_value"), "view_value",
                         t["view_value"].cast(pa.float64()))
@@ -164,16 +182,22 @@ def _interval_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def interval_join_ds(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """Lazy Dataset of (event_id, user_id, n_clicks, click_value) — for
+    every ``left_type`` event, the count and value-sum of ``right_type``
+    events by the same user in the trailing hour [ts-1h, ts) — a
+    range/interval join (non-equi predicate on ts) over one bucketed
+    user-hash exchange."""
+    ds = _two_sided(sf_dir, left_type, right_type)
+    return ds.groupby("bucket").map_groups(_interval_bucket_group,
+                                           batch_format="pandas")
+
+
 def interval_join(sf_dir: str, left_type: str = "purchase",
                   right_type: str = "click") -> pa.Table:
-    """(event_id, user_id, n_clicks, click_value) — for every
-    ``left_type`` event, the count and value-sum of ``right_type`` events
-    by the same user in the trailing hour [ts-1h, ts) — a range/interval
-    join (non-equi predicate on ts) over one bucketed user-hash
-    exchange."""
-    ds = _two_sided(sf_dir, left_type, right_type)
-    out = ds.groupby("bucket").map_groups(_interval_bucket_group,
-                                          batch_format="pandas")
+    """Driver-side collected form of :func:`interval_join_ds`."""
+    out = interval_join_ds(sf_dir, left_type, right_type)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -195,16 +219,21 @@ def _window_group(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def window_sliding(sf_dir: str) -> pa.Table:
-    """(event_id, event_type, ts, w_sum, w_n) — per-row trailing-1-hour
-    window aggregate within each event_type (SQL RANGE BETWEEN INTERVAL
-    1 HOUR PRECEDING AND CURRENT ROW). See module docstring for the
-    ts-range + halo partitioning that replaces the per-type groups at
-    100-TB scale."""
+def window_sliding_ds(sf_dir: str):
+    """Lazy Dataset of (event_id, event_type, ts, w_sum, w_n) — per-row
+    trailing-1-hour window aggregate within each event_type (SQL RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW). One row per
+    event. See module docstring for the ts-range + halo partitioning that
+    replaces the per-type groups at 100-TB scale."""
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "ts", "event_type", "value"])
-    out = ds.groupby("event_type").map_groups(_window_group,
-                                              batch_format="pandas")
+    return ds.groupby("event_type").map_groups(_window_group,
+                                               batch_format="pandas")
+
+
+def window_sliding(sf_dir: str) -> pa.Table:
+    """Driver-side collected form of :func:`window_sliding_ds`."""
+    out = window_sliding_ds(sf_dir)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -283,8 +312,13 @@ def customer_revenue(sf_dir: str, k: int = 20) -> pa.Table:
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("custkey", sort=False)["rev_e4"].sum().reset_index()
-        return pd.DataFrame({"custkey": out["custkey"].astype(np.int64),
-                             "rev_e4": out["rev_e4"].astype(np.int64)})
+        ck = out["custkey"].to_numpy(dtype=np.int64)
+        rev = out["rev_e4"].to_numpy(dtype=np.int64)
+        # a custkey lives entirely in ONE cbucket, so the global top-k is
+        # inside the union of per-bucket top-k's — the driver sees B×k
+        # rows, never one row per customer (bounded merge)
+        top = np.lexsort((ck, -rev))[:k]
+        return pd.DataFrame({"custkey": ck[top], "rev_e4": rev[top]})
 
     total = (partials.map_batches(cbucket, batch_format="pyarrow")
              .groupby("cbucket").map_groups(combine, batch_format="pandas"))
@@ -319,6 +353,13 @@ def window_sliding_halo(sf_dir: str, n_ranges: int = 8) -> pa.Table:
 
     Two passes: a cheap per-type (min, max) ts aggregate (partial per
     batch, 5-row combine), then the one hash exchange on (type, range)."""
+    out = window_sliding_halo_ds(sf_dir, n_ranges)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def window_sliding_halo_ds(sf_dir: str, n_ranges: int = 8):
+    """Lazy Dataset form of :func:`window_sliding_halo` (see its
+    docstring for the halo partitioning plan)."""
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "ts", "event_type", "value"])
 
@@ -367,7 +408,6 @@ def window_sliding_halo(sf_dir: str, n_ranges: int = 8) -> pa.Table:
             both[["event_id", "ts", "event_type", "value", "halo", "grp"]],
             preserve_index=False)
 
-    out = (ds.map_batches(assign, batch_format="pyarrow")
-             .groupby("grp").map_groups(_window_halo_group,
-                                        batch_format="pandas"))
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("grp").map_groups(_window_halo_group,
+                                         batch_format="pandas"))

@@ -18,7 +18,14 @@ from miru_ray.functions.tokenize import tokenize_column
 from miru_ray.sources.tables import read_table
 
 __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
-           "sample_hash", "md5_fingerprint_batch", "doc_fingerprint_table"]
+           "sample_hash", "md5_fingerprint_batch", "doc_fingerprint_table",
+           "token_counts_ds", "quality_scores_ds", "lang_id_ds",
+           "doc_fingerprints_ds"]
+
+# Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
+# form returning the LAZY Dataset (one row per doc — the scale API, write
+# or iterate it); the table forms are thin driver-side collectors for the
+# driver contract at test scales.
 
 # Small English stopword list for QUALITY SCORING (fixed; mirrored
 # verbatim in the quality_scores SQL oracle). DELIBERATELY distinct from
@@ -63,8 +70,8 @@ def doc_fingerprint_table(sf_dir: str) -> pa.Table:
     return stat_validated_memo(_FP_CACHE, os.path.abspath(src), src, build)
 
 
-def token_counts(sf_dir: str) -> pa.Table:
-    """(doc_id, n_tokens) via the index tokenizer."""
+def token_counts_ds(sf_dir: str):
+    """Lazy Dataset of (doc_id, n_tokens) via the index tokenizer."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
@@ -72,13 +79,19 @@ def token_counts(sf_dir: str) -> pa.Table:
         n = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
         return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
 
-    out = ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    """Driver-side collected form of :func:`token_counts_ds`."""
+    out = token_counts_ds(sf_dir)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
-def quality_scores(sf_dir: str) -> pa.Table:
-    """(doc_id, n_tokens, n_chars, stop_ratio, mean_token_len) — quality
-    heuristics (length / stopword-density), rounded to 6 dp."""
+def quality_scores_ds(sf_dir: str):
+    """Lazy Dataset of (doc_id, n_tokens, n_chars, stop_ratio,
+    mean_token_len) — quality heuristics (length / stopword-density),
+    rounded to 6 dp."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     stop = set(STOPWORDS)
 
@@ -107,13 +120,26 @@ def quality_scores(sf_dir: str) -> pa.Table:
             "mean_token_len": pa.array(np.round(sum_len / nn, 6), pa.float64()),
         })
 
-    out = ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> pa.Table:
+    """Driver-side collected form of :func:`quality_scores_ds`."""
+    out = quality_scores_ds(sf_dir)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def doc_fingerprints_ds(sf_dir: str):
+    """Lazy Dataset of (doc_id, fingerprint = md5(text) hex)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(md5_fingerprint_batch, batch_format="pyarrow")
 
 
 def doc_fingerprints(sf_dir: str) -> pa.Table:
     """(doc_id, fingerprint) with fingerprint = md5(text) hex — matches SQL
-    md5() exactly (document-fingerprinting primitive for exact dedup)."""
+    md5() exactly (document-fingerprinting primitive for exact dedup).
+    Driver-side memoized table (shared across the fingerprint entries);
+    the streaming form is :func:`doc_fingerprints_ds`."""
     return doc_fingerprint_table(sf_dir)
 
 
@@ -178,11 +204,17 @@ class LangId:
                          "lang_pred": pa.array(preds, pa.string())})
 
 
-def lang_id(sf_dir: str) -> pa.Table:
-    """(doc_id, lang_pred) — heuristic language ID via actor pool."""
+def lang_id_ds(sf_dir: str):
+    """Lazy Dataset of (doc_id, lang_pred) — heuristic language ID via
+    actor pool (marker tables built once per actor)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024,
-                         concurrency=(1, 2))
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 2))
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """Driver-side collected form of :func:`lang_id_ds`."""
+    out = lang_id_ds(sf_dir)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
