@@ -145,7 +145,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catwalk_model_multi": reco.catwalk_model_multi,
         "strut_scores_strategy": lambda sf: reco.strut_scores_strategy(
             sf, strategy="max", k=50),
-        "term_first_last": fulltext.term_first_last,
+        # version-checked in-place REPAIR/REMOVE of a built index
+        # (MiruIndexer.java:125-173): corrupted corpus → repair feed
+        # applied partition-scoped → BM25 over the corrected corpus; the
+        # rebuilt index hash-equals a clean build (tests/test_repair.py)
+        "repair_replay": lambda sf: __import__(
+            "miru_ray.pipelines.repair", fromlist=["repair_replay"]
+        ).repair_replay(sf),
         # ------------------------------------------------------------------
         # Exact entries past the driver's 50-entry cap: every entry here
         # is ALSO value-compared vs DuckDB at sf0.01 on each pytest run
@@ -168,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     checked aggregate_counts
         #   region_orders: broadcast semi-join sharing its rollup with
         #     checked entries; unchanged since its r2 hash-exact pass
+        #   term_first_last: r3 hash-exact, unchanged; demoted past the
+        #     cap to fit repair_replay into the driver-checked window
+        "term_first_last": fulltext.term_first_last,
         "fulltext_fielded_not": lambda sf: fulltext.fulltext_fielded(
             sf, "table scan -source:src3", 20),
         "fulltext_fielded_prefix": lambda sf: fulltext.fulltext_fielded(
@@ -320,19 +329,22 @@ model AS (
 
 
 def _bm25_sql(terms: list[str], k: int, require_all: bool,
-              doc_filter: str = "") -> str:
+              doc_filter: str = "", corpus_where: str = "") -> str:
     """BM25 in ANSI SQL. ``doc_filter`` restricts CANDIDATE docs (an extra
     predicate on documents d) while df/N/avgdl stay corpus-global —
-    exactly the engine's domain-mask semantics."""
+    exactly the engine's domain-mask semantics. ``corpus_where`` instead
+    changes the CORPUS itself (stats AND candidates) — the repair/remove
+    contract, where removed docs are gone from the rebuilt index."""
     termlist = ", ".join(f"'{t}'" for t in terms)
     conds = [f"nterms = {len(terms)}"] if require_all else []
     if doc_filter:
         conds.append(f"doc_id IN (SELECT doc_id FROM documents d WHERE {doc_filter})")
     nterms_clause = ("WHERE " + " AND ".join(conds)) if conds else ""
+    corpus = f"documents WHERE {corpus_where}" if corpus_where else "documents"
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
-  FROM documents
+  FROM {corpus}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
@@ -373,6 +385,12 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "sort"], 20, require_all=True,
             doc_filter="d.source = 'src3' AND d.lang = 'en'"),
         "fulltext_scattered": _bm25_sql(["merge", "sort"], 20, require_all=True),
+        # corrected corpus after the repair feed: repairs restore the
+        # ORIGINAL texts for doc_id % 50 == 0 (so text == documents.text),
+        # removes drop doc_id % 97 == 0 entirely — stats over the corrected
+        # corpus, exactly what the rebuilt index contains
+        "repair_replay": _bm25_sql(["merge", "sort"], 20, require_all=True,
+                                   corpus_where="doc_id % 97 <> 0"),
         "fulltext_lang_analyzed": _bm25_lang_sql(["group", "merge", "scan"],
                                                  20, lang="de"),
         # Caller entitlement 'grp0' = docs labeled grp0 at build: residue 0

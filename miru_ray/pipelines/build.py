@@ -50,7 +50,7 @@ from miru_ray.state import layout
 from miru_ray.state.layout import (completed_parts, meta_path, part_dir,
                                    segments_dir, write_json_atomic)
 
-__all__ = ["BuildConfig", "build_index"]
+__all__ = ["BuildConfig", "build_index", "finalize_index"]
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "authz"]
 
@@ -476,20 +476,41 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     _ = new_manifests.count()
     phase_t["partition_build"] = round(time.perf_counter() - t_start, 3)
 
-    # --- [B] global docID bases: prefix sum over ALL completed partitions ---
+    # --- [B,D,F,G] bases + segment merge + meta (shared with the repair
+    # path, pipelines/repair.py) ---
+    mode_meta = {"partition_mode": cfg.partition_mode}
+    if cfg.partition_mode == "time_range":
+        mode_meta["time_bounds"] = [int(lo_ts), int(hi_ts)]
+    return finalize_index(
+        index_dir, num_parts=cfg.num_parts, num_shards=cfg.num_shards,
+        k1=cfg.k1, b=cfg.b, schema=cfg.schema, analyzer=cfg.analyzer,
+        skipped=skipped, phase_t=phase_t, group_cpus=group_cpus,
+        bus_gbps=bus_gbps, mode_meta=mode_meta)
+
+
+def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
+                   k1: float, b: float, schema, analyzer: str,
+                   skipped: list[int], phase_t: dict[str, float],
+                   group_cpus: int = 1, bus_gbps: float | None = None,
+                   mode_meta: dict | None = None) -> dict:
+    """Global docID bases (prefix sum over completed partitions) → per-shard
+    segment merge → meta.json. The commit tail of ``build_index``, shared
+    with the repair path (pipelines/repair.py) which rewrites partitions
+    out-of-band and must re-derive the same global state."""
+    import ray as _ray
     done = completed_parts(index_dir)
     if not done:
-        meta = {"num_parts": cfg.num_parts, "num_shards": cfg.num_shards,
-                "n_docs": 0, "avgdl": 0.0, "bases": {}, "k1": cfg.k1, "b": cfg.b,
+        meta = {"num_parts": num_parts, "num_shards": num_shards,
+                "n_docs": 0, "avgdl": 0.0, "bases": {}, "k1": k1, "b": b,
                 "extractor_version": EXTRACTOR_VERSION, "skipped_parts": skipped,
-                "schema": cfg.schema.to_meta() if cfg.schema else [],
-                "analyzer": cfg.analyzer}
+                "schema": schema.to_meta() if schema else [],
+                "analyzer": analyzer, **(mode_meta or {})}
         write_json_atomic(meta_path(index_dir), meta)
         return meta
     parts_sorted = sorted(done)
     counts = np.array([done[p]["n_docs"] for p in parts_sorted], dtype=np.int64)
     bases_arr = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    bases = {p: int(b) for p, b in zip(parts_sorted, bases_arr)}
+    bases = {p: int(b_) for p, b_ in zip(parts_sorted, bases_arr)}
     n_docs = int(counts.sum())
     sum_doclen = int(sum(done[p]["sum_doclen"] for p in parts_sorted))
     avgdl = sum_doclen / n_docs if n_docs else 0.0
@@ -505,16 +526,16 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # of shard ids, not data — no Dataset semantics to preserve)
     merge_task = _ray.remote(num_cpus=group_cpus)(_merge_one_shard)
     futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
-            for s_ in range(cfg.num_shards)]
+            for s_ in range(num_shards)]
     seg_stats = _ray.get(futs)
     os.replace(seg_tmp, segments_dir(index_dir))
     phase_t["segment_merge"] = round(time.perf_counter() - t_merge, 3)
 
     meta = {
         "format_version": layout.FORMAT_VERSION,
-        "num_parts": cfg.num_parts,
-        "num_shards": cfg.num_shards,
-        "k1": cfg.k1, "b": cfg.b,
+        "num_parts": num_parts,
+        "num_shards": num_shards,
+        "k1": k1, "b": b,
         "n_docs": n_docs,
         "avgdl": avgdl,
         "sum_doclen": sum_doclen,
@@ -522,14 +543,15 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         "part_counts": {str(p): int(done[p]["n_docs"]) for p in parts_sorted},
         "extractor_version": EXTRACTOR_VERSION,
         "skipped_parts": skipped,
-        "schema": cfg.schema.to_meta() if cfg.schema else [],
-        "analyzer": cfg.analyzer,
+        "schema": schema.to_meta() if schema else [],
+        "analyzer": analyzer,
         "tokenizer": "[a-z0-9]+ lowercase",
         "n_terms": int(sum(r["n_terms"] for r in seg_stats)),
         "segment_bytes": int(sum(r["bytes"] for r in seg_stats)),
         "phase_sec": phase_t,
         "bus_gbps": bus_gbps,
         "group_cpus": group_cpus,
+        **(mode_meta or {}),
     }
     write_json_atomic(meta_path(index_dir), meta)
     return meta

@@ -214,6 +214,11 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
         # field schema must rebuild (MiruSchema.checkAdditive:303-314)
         "schema_meta": schema.to_meta() if schema else [],
         "analyzer": analyzer,
+        # repairability flags (pipelines/repair.py): a partition can be
+        # rebuilt from its OWN docs.parquet only if the full payload is
+        # stored — text present and no posting-only (authz) columns
+        "store_text": bool(store_text),
+        "has_authz": bool(has_authz),
         "n_rows_in": n_rows_in,
         "n_docs": n_docs,
         "n_terms": postings.num_rows,
