@@ -192,6 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).strut_scores_cached(sf),
         "aggregate_counts_page2": events.aggregate_counts_page2,
         "region_orders": relational.region_orders,
+        # additive schema evolution: a field attached to a BUILT index
+        # (sidecar segment family, primary segments byte-untouched —
+        # MiruSchema.checkAdditive; tests/test_schema_evolve.py)
+        "fulltext_added_field": lambda sf: __import__(
+            "miru_ray.pipelines.schema_evolve",
+            fromlist=["fulltext_added_field"]).fulltext_added_field(sf),
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -391,6 +397,11 @@ def oracle_sql() -> dict[str, str]:
         # corpus, exactly what the rebuilt index contains
         "repair_replay": _bm25_sql(["merge", "sort"], 20, require_all=True,
                                    corpus_where="doc_id % 97 <> 0"),
+        # additively-attached 'source' keyword field: same fielded-BM25
+        # contract as fulltext_fielded, different field plumbing
+        "fulltext_added_field": _bm25_sql(["scan", "table"], 20,
+                                          require_all=True,
+                                          doc_filter="d.source = 'src2'"),
         "fulltext_lang_analyzed": _bm25_lang_sql(["group", "merge", "scan"],
                                                  20, lang="de"),
         # Caller entitlement 'grp0' = docs labeled grp0 at build: residue 0

@@ -1,0 +1,223 @@
+"""Additive schema evolution — attach a NEW indexed field to a BUILT index
+without rebuilding any partition.
+
+Reference: MiruSchema.checkAdditive (miru-api/.../schema/MiruSchema.java:
+303-314) lets a tenant's schema grow by new fields while existing
+partitions stay valid. miru_ray previously treated any schema delta as
+rebuild-everything (build.py resume guard — the safe direction, but a
+user adding one keyword field to a 100-TB index paid a full rebuild;
+VERDICT r3 missing #3).
+
+Design: the added field's postings live in their OWN sidecar segment
+family ``segments_field_<name>/shard=S.parquet`` (same row schema and
+codec as the primary segments). Namespaced terms route there in the
+reader, so the PRIMARY segment files are never rewritten — byte-identical
+before/after (pytest-pinned). Per partition the field is derived by
+aligning source rows to the partition's existing docs on (url, warc_ts)
+— a column-pruned read of both sides; one bounded task per partition, one
+merge task per shard. docIDs, bases, doclens, BM25 stats are untouched.
+
+Consistency rules (the additive contract's edges):
+- a field can only be ADDED (never mutated in place); adding an existing
+  name raises;
+- ``stored=True`` is rejected — storing would rewrite docs.parquet, which
+  is exactly what additive evolution avoids;
+- a partition REBUILD (source change, repair) deletes the partition's
+  field sidecars (stages/partition_build.py) and the rebuilt meta drops
+  ``extra_fields`` — re-run add_field to re-derive them (safe direction);
+- source rows with the same (url, warc_ts) as a deduped-away duplicate
+  resolve to the max field value per (url, warc_ts) — deterministic, and
+  exact whenever (url, warc_ts) is unique (the normal case).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+__all__ = ["add_field", "field_segments_dir"]
+
+
+def field_segments_dir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, f"segments_field_{name}")
+
+
+def _align_and_write(group: pd.DataFrame, *, index_dir: str, fdef,
+                     num_shards: int) -> pd.DataFrame:
+    """map_groups body: ONE partition's source rows in → the field's
+    sidecar postings file written, one metrics row out."""
+    import pyarrow.parquet as pq
+    from miru_ray.functions.hashing import shard_for
+    from miru_ray.functions.runtime import limit_worker_threads
+    from miru_ray.stages.partition_build import field_postings
+    from miru_ray.state import layout
+    limit_worker_threads()
+    part = int(group["part"].iloc[0])
+    pdir = layout.part_dir(index_dir, part)
+    docs = pq.read_table(os.path.join(pdir, "docs.parquet"),
+                         columns=["local_id", "url", "warc_ts"])
+    srcs = list(fdef.source if fdef.kind == "composite" else (fdef.name,))
+    left = pd.DataFrame({
+        "local_id": docs["local_id"].to_numpy(),
+        "url": docs["url"].to_numpy(zero_copy_only=False),
+        "ts": docs["warc_ts"].to_numpy().astype("datetime64[us]")
+                                        .astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "url": group["url"].to_numpy(dtype=object),
+        "ts": group["warc_ts"].to_numpy().astype("datetime64[us]")
+                                         .astype(np.int64),
+        **{c: group[c].to_numpy(dtype=object) for c in srcs},
+    })
+    # deterministic under (url, ts) duplicates: max value per key
+    right = (right.sort_values(srcs, kind="stable")
+                  .drop_duplicates(["url", "ts"], keep="last"))
+    j = left.merge(right, on=["url", "ts"], how="inner")
+    local_ids = j["local_id"].to_numpy(dtype=np.int64)
+    cols = {c: j[c].to_numpy(dtype=object) for c in srcs}
+    post, _composed = field_postings(fdef, cols, local_ids)
+    post = post.append_column(
+        "shard", pa.array(shard_for(post["term"].to_numpy(
+            zero_copy_only=False), num_shards), pa.int64()))
+    post = post.sort_by([("shard", "ascending"), ("term", "ascending")])
+    out = os.path.join(pdir, f"postings_field_{fdef.name}.parquet")
+    pq.write_table(post, out + ".tmp", row_group_size=4096)
+    os.replace(out + ".tmp", out)
+    return pd.DataFrame({"part": [part], "n_terms": [post.num_rows],
+                         "n_docs_matched": [len(j)]})
+
+
+def add_field(index_dir: str, source, fdef) -> dict:
+    """Attach ``fdef`` (state.schema.FieldDef) to the built index at
+    ``index_dir``, deriving its postings from ``source`` (parquet path /
+    Dataset / Table with url + warc_ts + the field's source columns).
+    Returns the refreshed meta. Primary segments are not touched."""
+    import ray as _ray
+    import pyarrow.dataset  # noqa: F401  (parquet filters)
+    from miru_ray.pipelines.build import _merge_one_shard
+    from miru_ray.state.layout import meta_path, part_dir, read_json, \
+        write_json_atomic
+    from miru_ray.state.schema import IndexSchema
+
+    meta = read_json(meta_path(index_dir))
+    if meta is None:
+        raise FileNotFoundError(f"no meta.json under {index_dir}")
+    taken = {r["name"] for r in meta.get("schema", [])} \
+        | {r["name"] for r in meta.get("extra_fields", [])}
+    if fdef.name in taken:
+        raise ValueError(f"field {fdef.name!r} already exists on this index")
+    if fdef.stored:
+        raise ValueError("additive fields cannot be stored=True — storing "
+                         "rewrites docs.parquet, which additive evolution "
+                         "avoids; rebuild with the field in the schema")
+    parts = sorted(int(p) for p in meta["bases"])
+    bases = {p: int(meta["bases"][str(p)]) for p in parts}
+    num_shards = int(meta["num_shards"])
+
+    # --- source scan: url + warc_ts + the field's columns, routed with
+    # the index's own partitioner ---
+    from miru_ray.pipelines.repair import _part_fn_from_meta
+    route = _part_fn_from_meta(meta)
+    srcs = list(fdef.source if fdef.kind == "composite" else (fdef.name,))
+    cols = ["url", "warc_ts"] + srcs
+    if isinstance(source, rd.Dataset):
+        ds = source.select_columns(cols)
+    elif isinstance(source, pa.Table):
+        ds = rd.from_arrow(source.select(cols))
+    else:
+        ds = rd.read_parquet(source, columns=cols)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ts = t["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        p = route(t["url"].to_numpy(zero_copy_only=False), ts)
+        return t.append_column("part", pa.array(p, pa.int64()))
+
+    live = pa.array(parts, pa.int64())
+    ds = (ds.map_batches(stamp, batch_format="pyarrow")
+            .map_batches(lambda t: t.filter(
+                pa.compute.is_in(t["part"], value_set=live)),
+                batch_format="pyarrow"))
+    builder = functools.partial(_align_and_write, index_dir=index_dir,
+                                fdef=fdef, num_shards=num_shards)
+    _ = ds.groupby("part").map_groups(builder, batch_format="pandas").count()
+
+    # --- per-shard merge into the field's OWN segment family ---
+    part_files = {p: os.path.join(part_dir(index_dir, p),
+                                  f"postings_field_{fdef.name}.parquet")
+                  for p in parts
+                  if os.path.exists(os.path.join(
+                      part_dir(index_dir, p),
+                      f"postings_field_{fdef.name}.parquet"))}
+    seg_dir = field_segments_dir(index_dir, fdef.name)
+    seg_tmp = seg_dir + ".tmp"
+    merge_task = _ray.remote(_merge_one_shard)
+    _ray.get([merge_task.remote(s, part_files, bases, seg_tmp)
+              for s in range(num_shards)])
+    import shutil
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    os.replace(seg_tmp, seg_dir)
+
+    extra = list(meta.get("extra_fields", []))
+    extra.append(IndexSchema((fdef,)).to_meta()[0])
+    meta["extra_fields"] = extra
+    write_json_atomic(meta_path(index_dir), meta)
+    return meta
+
+
+# --------------------------------------------------------------- entry
+
+def fulltext_added_field(sf_dir: str, query: str = "table scan source:src2",
+                         k: int = 20) -> pa.Table:
+    """Driver entry: build a SCHEMALESS index over documents, then attach
+    ``source`` as an additive keyword field and run a fielded BM25 query
+    through it — same oracle shape as fulltext_fielded, but the field
+    postings come from the sidecar family, never a rebuild."""
+    from miru_ray.pipelines.search import search
+    from miru_ray.sources.tables import documents_as_pages, orig_doc_ids
+    from miru_ray.state.layout import (read_json, source_cache_dir,
+                                       write_json_atomic)
+    from miru_ray.state.reader import IndexReader
+    from miru_ray.state.schema import FieldDef
+
+    idx, tag = source_cache_dir(sf_dir, "documents.parquet", "evolve",
+                                "/tmp/miru_ray_idx", 1)
+    tag_path = os.path.join(idx, "source_tag.json")
+    if not (read_json(tag_path) == tag
+            and read_json(os.path.join(idx, "meta.json"))):
+        import shutil
+        import pyarrow.parquet as pq
+        from miru_ray.pipelines.build import BuildConfig, build_index
+        from miru_ray.sources.tables import DOC_TS_BASE_US
+        src = os.path.join(sf_dir, "documents.parquet")
+        meta_pq = pq.ParquetFile(src).metadata
+        ci = meta_pq.schema.to_arrow_schema().get_field_index("doc_id")
+        lo_id, hi_id = None, None
+        for rg in range(meta_pq.num_row_groups):
+            st = meta_pq.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                lo_id = int(st.min) if lo_id is None else min(lo_id, int(st.min))
+                hi_id = int(st.max) if hi_id is None else max(hi_id, int(st.max))
+        bounds = (DOC_TS_BASE_US + lo_id * 1_000_000,
+                  DOC_TS_BASE_US + hi_id * 1_000_000) if lo_id is not None \
+            else None
+        shutil.rmtree(idx, ignore_errors=True)
+        pages = documents_as_pages(sf_dir).select_columns(
+            ["url", "warc_ts", "text", "lang", "source"])
+        build_index(pages, idx,
+                    BuildConfig(num_parts=4, num_shards=2,
+                                partition_mode="time_range",
+                                time_bounds=bounds))
+        add_field(idx, documents_as_pages(sf_dir).select_columns(
+            ["url", "warc_ts", "source"]), FieldDef("source", "keyword"))
+        write_json_atomic(tag_path, tag)
+    hits = search(IndexReader(idx), query, k=k)
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })

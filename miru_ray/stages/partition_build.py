@@ -34,7 +34,7 @@ from miru_ray.stages.invert import invert_docs
 from miru_ray.state.layout import part_dir, write_manifest
 from miru_ray.state.schema import field_ns
 
-__all__ = ["build_partition", "input_digest", "AUTHZ_NS"]
+__all__ = ["build_partition", "input_digest", "AUTHZ_NS", "field_postings"]
 
 
 def _list_field_postings(ns: str, values, local_ids: np.ndarray) -> pa.Table:
@@ -47,6 +47,46 @@ def _list_field_postings(ns: str, values, local_ids: np.ndarray) -> pa.Table:
     flat_ids = np.repeat(local_ids, lens)
     flat_vals = np.array([str(x) for sub in lists for x in sub], dtype=object)
     return keyword_postings(ns, flat_vals, flat_ids)
+
+
+def field_postings(f, cols: dict, local_ids: np.ndarray) -> tuple[pa.Table, np.ndarray | None]:
+    """ONE field's partition postings from aligned column arrays — the
+    per-kind dispatch shared by the initial build and the additive
+    add_field path (pipelines/schema_evolve.py). ``cols`` maps source
+    column name → object ndarray aligned with ``local_ids``. Returns
+    (postings table, composed column or None — composite fields only,
+    for optional storing)."""
+    from miru_ray.state.schema import (COMPOSE_SEP, encode_numeric,
+                                       keyword_postings)
+    ns = field_ns(f.name)
+    if f.kind == "keyword":
+        return keyword_postings(ns, cols[f.name], local_ids), None
+    if f.kind == "keyword_list":
+        return _list_field_postings(ns, cols[f.name], local_ids), None
+    if f.kind == "numeric":
+        vals = cols[f.name]
+        ok = pd.notna(vals)
+        return keyword_postings(ns, encode_numeric(vals[ok].astype(np.int64)),
+                                local_ids[ok]), None
+    if f.kind == "composite":
+        comps = [cols[c] for c in f.source]
+        ok = np.ones(len(local_ids), dtype=bool)
+        for c in comps:
+            ok &= pd.notna(c)
+        composed = np.array(
+            [COMPOSE_SEP.join(str(c[i]) for c in comps) if ok[i] else None
+             for i in range(len(local_ids))], dtype=object)
+        return keyword_postings(ns, composed[ok], local_ids[ok]), composed
+    # tokenized secondary field: invert, then namespace the terms
+    import pyarrow.compute as pc
+    fvals = pa.array(["" if v is None else str(v) for v in cols[f.name]],
+                     pa.string())
+    fpost, _fdl = invert_docs(fvals, local_ids)
+    if fpost.num_rows:
+        ns_terms = pc.binary_join_element_wise(
+            pa.scalar(ns), fpost["term"].combine_chunks(), pa.scalar(""))
+        fpost = fpost.set_column(0, "term", ns_terms)
+    return fpost, None
 
 # Authz labels index as namespaced terms in the SAME posting space — the
 # general multi-field mechanism (state/schema.py, MiruTermComposer.java:39-62)
@@ -132,44 +172,12 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
         # authz IS the keyword_list mechanism under its reserved namespace
         extra.append(_list_field_postings(AUTHZ_NS, df["authz"], local_ids))
     for f in schema_fields:
-        if f.kind == "keyword":
-            from miru_ray.state.schema import keyword_postings
-            extra.append(keyword_postings(field_ns(f.name),
-                                          df[f.name].to_numpy(dtype=object),
-                                          local_ids))
-        elif f.kind == "keyword_list":
-            extra.append(_list_field_postings(field_ns(f.name),
-                                              df[f.name], local_ids))
-        elif f.kind == "numeric":
-            from miru_ray.state.schema import encode_numeric, keyword_postings
-            vals = df[f.name].to_numpy()
-            ok = pd.notna(vals)
-            extra.append(keyword_postings(
-                field_ns(f.name), encode_numeric(vals[ok].astype(np.int64)),
-                local_ids[ok]))
-        elif f.kind == "composite":
-            from miru_ray.state.schema import COMPOSE_SEP, keyword_postings
-            comps = [df[c].to_numpy(dtype=object) for c in f.source]
-            ok = np.ones(len(df), dtype=bool)
-            for c in comps:
-                ok &= pd.notna(c)
-            composed = np.array(
-                [COMPOSE_SEP.join(str(c[i]) for c in comps) if ok[i] else None
-                 for i in range(len(df))], dtype=object)
+        srcs = f.source if f.kind == "composite" else (f.name,)
+        fcols = {c: df[c].to_numpy(dtype=object) for c in srcs}
+        fpost, composed = field_postings(f, fcols, local_ids)
+        if composed is not None:
             composed_cols[f.name] = composed
-            extra.append(keyword_postings(field_ns(f.name), composed[ok],
-                                          local_ids[ok]))
-        else:   # tokenized secondary field: invert, then namespace terms
-            import pyarrow.compute as pc
-            fvals = pa.array(["" if v is None else str(v)
-                              for v in df[f.name]], pa.string())
-            fpost, _fdl = invert_docs(fvals, local_ids)
-            if fpost.num_rows:
-                ns_terms = pc.binary_join_element_wise(
-                    pa.scalar(field_ns(f.name)), fpost["term"].combine_chunks(),
-                    pa.scalar(""))
-                fpost = fpost.set_column(0, "term", ns_terms)
-            extra.append(fpost)
+        extra.append(fpost)
     for t in extra:
         if t.num_rows:
             postings = pa.concat_tables([postings, t])
@@ -203,6 +211,12 @@ def build_partition(group: pd.DataFrame, *, index_dir: str,
         tmp = os.path.join(pdir, name + ".tmp")
         pq.write_table(tbl, tmp, row_group_size=4096)
         os.replace(tmp, os.path.join(pdir, name))
+    # additively-added field sidecars (pipelines/schema_evolve.py) were
+    # derived from the PREVIOUS partition content — a rebuild invalidates
+    # them; re-run add_field afterwards (the safe direction)
+    import glob as _glob
+    for stale in _glob.glob(os.path.join(pdir, "postings_field_*.parquet")):
+        os.remove(stale)
 
     elapsed = time.perf_counter() - t0
     manifest = {

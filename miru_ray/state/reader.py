@@ -60,8 +60,13 @@ class IndexReader:
         self.num_shards: int = meta["num_shards"]
         from miru_ray.state.schema import IndexSchema
         # the index carries its field schema (MiruSchema bound to the
-        # partition); queries resolve field:value syntax against it
-        self.schema = IndexSchema.from_meta(meta.get("schema"))
+        # partition); queries resolve field:value syntax against it.
+        # Additively-added fields (pipelines/schema_evolve.py) join the
+        # schema and route to their own sidecar segment family.
+        self.extra_fields = {r["name"]: r
+                             for r in meta.get("extra_fields", [])}
+        self.schema = IndexSchema.from_meta(
+            (meta.get("schema") or []) + list(self.extra_fields.values()))
         # primary-field analyzer the index was BUILT with — the query side
         # must analyze identically (TermAnalyzers contract)
         self.analyzer: str = meta.get("analyzer", "simple")
@@ -70,10 +75,15 @@ class IndexReader:
                               dtype=np.int64)
         self.counts = np.array([meta["part_counts"][str(p)] for p in self.parts],
                                dtype=np.int64)
-        self._seg_files = {
-            int(os.path.basename(f).split("=")[1].split(".")[0]): f
-            for f in glob.glob(os.path.join(segments_dir(index_dir), "shard=*.parquet"))
-        }
+        def _scan_segs(d: str) -> dict[int, str]:
+            return {int(os.path.basename(f).split("=")[1].split(".")[0]): f
+                    for f in glob.glob(os.path.join(d, "shard=*.parquet"))}
+
+        self._seg_files = _scan_segs(segments_dir(index_dir))
+        self._field_seg_files = {
+            name: _scan_segs(os.path.join(index_dir,
+                                          f"segments_field_{name}"))
+            for name in self.extra_fields}
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
         self._bmax_cache: dict[str, np.ndarray] = {}
         self._doclen_parts: dict[int, np.ndarray] = {}
@@ -87,18 +97,34 @@ class IndexReader:
 
     # --- postings ---
 
+    def _family_of(self, term: str) -> str | None:
+        """Segment family owning a term: an additively-added field's name
+        (its terms are '\\x00name\\x00…' and it has a sidecar family), else
+        None = the primary segments (which hold build-time schema fields
+        too — they share the primary posting space)."""
+        if term.startswith("\x00"):
+            name = term[1:].split("\x00", 1)[0]
+            if name in self._field_seg_files:
+                return name
+        return None
+
+    def _family_files(self, fam: str | None) -> dict[int, str]:
+        return self._seg_files if fam is None else self._field_seg_files[fam]
+
     def load_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, int]]:
         """term → (sorted global ids uint64, aligned tfs int64, df).
         Missing terms are absent from the result."""
         from miru_ray.functions.postings import decode_ids, decode_tfs
         need = [t for t in terms if t not in self._postings_cache]
-        if need:
-            by_shard: dict[int, list[str]] = {}
-            for t, s in zip(need, shard_for(np.array(need, dtype=object),
-                                            self.num_shards)):
-                by_shard.setdefault(int(s), []).append(t)
+        by_fam: dict[str | None, dict[int, list[str]]] = {}
+        for t, s in zip(need, shard_for(np.array(need, dtype=object),
+                                        self.num_shards) if need else []):
+            by_fam.setdefault(self._family_of(t), {}) \
+                  .setdefault(int(s), []).append(t)
+        for fam, by_shard in by_fam.items():
+            files = self._family_files(fam)
             for s, ts in by_shard.items():
-                f = self._seg_files.get(s)
+                f = files.get(s)
                 if f is None:
                     continue
                 tbl = pq.read_table(
@@ -136,18 +162,21 @@ class IndexReader:
         """term → (df, cf) without decoding postings (global cardinality,
         MiruFieldIndex.getGlobalCardinality:41)."""
         out: dict[str, tuple[int, int]] = {}
-        by_shard: dict[int, list[str]] = {}
+        by_fam: dict[str | None, dict[int, list[str]]] = {}
         for t, s in zip(terms, shard_for(np.array(terms, dtype=object), self.num_shards)):
-            by_shard.setdefault(int(s), []).append(t)
-        for s, ts in by_shard.items():
-            f = self._seg_files.get(s)
-            if f is None:
-                continue
-            tbl = pq.read_table(f, columns=["term", "df", "cf"],
-                                filters=pads.field("term").isin(ts))
-            for term, df, cf in zip(tbl["term"].to_pylist(),
-                                    tbl["df"].to_pylist(), tbl["cf"].to_pylist()):
-                out[term] = (df, cf)
+            by_fam.setdefault(self._family_of(t), {}) \
+                  .setdefault(int(s), []).append(t)
+        for fam, by_shard in by_fam.items():
+            files = self._family_files(fam)
+            for s, ts in by_shard.items():
+                f = files.get(s)
+                if f is None:
+                    continue
+                tbl = pq.read_table(f, columns=["term", "df", "cf"],
+                                    filters=pads.field("term").isin(ts))
+                for term, df, cf in zip(tbl["term"].to_pylist(),
+                                        tbl["df"].to_pylist(), tbl["cf"].to_pylist()):
+                    out[term] = (df, cf)
         return out
 
     def expand_prefix(self, prefix: str, cap: int) -> list[str]:
@@ -159,9 +188,10 @@ class IndexReader:
             return self._prefix_terms_cache[key]
         hi = prefix + "￿"
         found: list[str] = []
-        for s in sorted(self._seg_files):
+        files = self._family_files(self._family_of(prefix))
+        for s in sorted(files):
             tbl = pq.read_table(
-                self._seg_files[s], columns=["term"],
+                files[s], columns=["term"],
                 filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
             found.extend(tbl["term"].to_pylist())
         # bare scans never cross into field namespaces (\x00field\x00…);
@@ -183,9 +213,10 @@ class IndexReader:
             return self._range_ids_cache[key]
         from miru_ray.functions.postings import decode_ids
         arrs: list[np.ndarray] = []
-        for s in sorted(self._seg_files):
+        files = self._family_files(self._family_of(lo))
+        for s in sorted(files):
             tbl = pq.read_table(
-                self._seg_files[s], columns=["docids"],
+                files[s], columns=["docids"],
                 filters=(pads.field("term") >= lo) & (pads.field("term") <= hi))
             arrs.extend(decode_ids(b) for b in tbl["docids"].to_pylist())
         arrs = [a for a in arrs if len(a)]
