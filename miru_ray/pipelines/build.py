@@ -481,22 +481,34 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     mode_meta = {"partition_mode": cfg.partition_mode}
     if cfg.partition_mode == "time_range":
         mode_meta["time_bounds"] = [int(lo_ts), int(hi_ts)]
+    # resumed/incremental run: the partitions NOT skipped are the ones this
+    # run rewrote — candidates for the splice merge
+    changed = (set(completed_parts(index_dir)) - set(skipped)) if skipped \
+        else None
     return finalize_index(
         index_dir, num_parts=cfg.num_parts, num_shards=cfg.num_shards,
         k1=cfg.k1, b=cfg.b, schema=cfg.schema, analyzer=cfg.analyzer,
         skipped=skipped, phase_t=phase_t, group_cpus=group_cpus,
-        bus_gbps=bus_gbps, mode_meta=mode_meta)
+        bus_gbps=bus_gbps, mode_meta=mode_meta, changed_parts=changed)
 
 
 def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
                    k1: float, b: float, schema, analyzer: str,
                    skipped: list[int], phase_t: dict[str, float],
                    group_cpus: int = 1, bus_gbps: float | None = None,
-                   mode_meta: dict | None = None) -> dict:
+                   mode_meta: dict | None = None,
+                   changed_parts: set[int] | None = None) -> dict:
     """Global docID bases (prefix sum over completed partitions) → per-shard
     segment merge → meta.json. The commit tail of ``build_index``, shared
     with the repair path (pipelines/repair.py) which rewrites partitions
-    out-of-band and must re-derive the same global state."""
+    out-of-band and must re-derive the same global state.
+
+    When ``changed_parts`` names the partitions rewritten this run and the
+    previous segments carry the v3 run directory, the merge SPLICES those
+    runs into the previous segment files (stages/merge.splice_shard)
+    instead of re-deriving every segment from all P partitions — the
+    incremental-append fast path (VERDICT r3 #6). Digest-identical to a
+    full merge; falls back to full whenever preconditions fail."""
     import ray as _ray
     done = completed_parts(index_dir)
     if not done:
@@ -519,17 +531,42 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
     # term shard, parquet predicate pushdown instead of a Ray shuffle ---
     part_files = {p: os.path.join(part_dir(index_dir, p), "postings.parquet")
                   for p in parts_sorted}
-    layout.clear_segments(index_dir)
     seg_tmp = segments_dir(index_dir) + ".tmp"
     t_merge = time.perf_counter()
-    # plain task fan-out (the documented raw-Ray exception: input is a list
-    # of shard ids, not data — no Dataset semantics to preserve)
-    merge_task = _ray.remote(num_cpus=group_cpus)(_merge_one_shard)
-    futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
-            for s_ in range(num_shards)]
-    seg_stats = _ray.get(futs)
+    old_meta = layout.read_json(meta_path(index_dir))
+    merge_mode = "full"
+    if changed_parts is not None and old_meta is not None:
+        old_bases = {int(p): int(v) for p, v in
+                     (old_meta.get("bases") or {}).items()}
+        dropped = set(old_bases) - set(parts_sorted)
+        touch = (set(changed_parts) & set(parts_sorted)) | dropped
+        seg_old = {s: os.path.join(segments_dir(index_dir),
+                                   f"shard={s:05d}.parquet")
+                   for s in range(num_shards)}
+        if (old_meta.get("format_version") == layout.FORMAT_VERSION
+                and int(old_meta.get("num_shards", -1)) == num_shards
+                and all(os.path.exists(f) for f in seg_old.values())
+                and touch and len(touch) <= len(parts_sorted) // 2):
+            from miru_ray.stages.merge import splice_shard
+            changed_files = {p: part_files[p]
+                             for p in sorted(set(changed_parts) & set(parts_sorted))}
+            splice_task = _ray.remote(num_cpus=group_cpus)(splice_shard)
+            futs = [splice_task.remote(s_, seg_old[s_], changed_files,
+                                       old_bases, bases, dropped, seg_tmp)
+                    for s_ in range(num_shards)]
+            seg_stats = _ray.get(futs)
+            merge_mode = "splice"
+    if merge_mode == "full":
+        # plain task fan-out (the documented raw-Ray exception: input is a
+        # list of shard ids, not data — no Dataset semantics to preserve)
+        merge_task = _ray.remote(num_cpus=group_cpus)(_merge_one_shard)
+        futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
+                for s_ in range(num_shards)]
+        seg_stats = _ray.get(futs)
+    layout.clear_segments(index_dir)
     os.replace(seg_tmp, segments_dir(index_dir))
     phase_t["segment_merge"] = round(time.perf_counter() - t_merge, 3)
+    phase_t["merge_mode"] = merge_mode
 
     meta = {
         "format_version": layout.FORMAT_VERSION,

@@ -222,7 +222,7 @@ def repair_index(index_dir: str, feed: pa.Table) -> dict:
         num_shards=int(meta["num_shards"]), k1=meta.get("k1", 1.2),
         b=meta.get("b", 0.75), schema=schema,
         analyzer=meta.get("analyzer", "simple"), skipped=[],
-        phase_t=phase_t, mode_meta=mode_meta)
+        phase_t=phase_t, mode_meta=mode_meta, changed_parts=set(affected))
 
 
 # --------------------------------------------------------------- entry

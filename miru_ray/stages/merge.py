@@ -33,15 +33,27 @@ from miru_ray.functions.postings import (block_max_tf, decode_ids, decode_tfs,
 __all__ = ["merge_shard", "merge_rows"]
 
 
-def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
-    """Merge partial postings (term, part, df, cf, docids, tfs) → one row per
-    term with rebased, globally-sorted ids. Input may hold many terms."""
-    empty = pa.table({
+def _empty_segment_table() -> pa.Table:
+    return pa.table({
         "term": pa.array([], pa.string()), "shard": pa.array([], pa.int64()),
         "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64()),
         "docids": pa.array([], pa.binary()), "tfs": pa.array([], pa.binary()),
         "bmax": pa.array([], pa.binary()),
+        "parts": pa.array([], pa.list_(pa.int64())),
+        "pdfs": pa.array([], pa.list_(pa.int64())),
     })
+
+
+def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
+    """Merge partial postings (term, part, df, cf, docids, tfs) → one row per
+    term with rebased, globally-sorted ids. Input may hold many terms.
+
+    Each output row also records its RUN DIRECTORY — ``parts`` (the
+    partitions contributing a run, in part order == id order) and ``pdfs``
+    (that run's df) — the "singleton-merge header" that lets a later
+    incremental merge splice a changed partition's run in and out without
+    re-reading every partition (splice_shard below)."""
+    empty = _empty_segment_table()
     if rows.num_rows == 0:
         return empty
     # sort in ARROW, not pandas: pandas' multi-key sort_values mis-orders
@@ -63,6 +75,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
     shards = df_["shard"].to_numpy()
 
     out_term, out_shard, out_df, out_cf, out_ids, out_tfs, out_bmax = ([], [], [], [], [], [], [])
+    out_parts, out_pdfs = [], []
     for s, e in zip(starts, ends):
         if e - s == 1:  # single-partition term: rebase only
             ids = decode_ids(blobs[s]) + np.uint64(bases[int(parts[s])])
@@ -78,6 +91,8 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
         out_ids.append(encode_ids(ids))
         out_tfs.append(encode_tfs(tfs))
         out_bmax.append(block_max_tf(tfs))
+        out_parts.append([int(p) for p in parts[s:e]])
+        out_pdfs.append([int(d) for d in dfs[s:e]])
     return pa.table({
         "term": pa.array(out_term, pa.string()),
         "shard": pa.array(out_shard, pa.int64()),
@@ -86,7 +101,134 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
         "docids": pa.array(out_ids, pa.binary()),
         "tfs": pa.array(out_tfs, pa.binary()),
         "bmax": pa.array(out_bmax, pa.binary()),
+        "parts": pa.array(out_parts, pa.list_(pa.int64())),
+        "pdfs": pa.array(out_pdfs, pa.list_(pa.int64())),
     })
+
+
+def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
+                 old_bases: dict[int, int], new_bases: dict[int, int],
+                 dropped: set[int], segments_tmp: str) -> dict:
+    """Incremental merge of ONE shard: start from the previous segment
+    file, splice OUT the runs of changed/dropped partitions and splice IN
+    the changed partitions' fresh postings — never re-reading the
+    unchanged partitions' postings files (reference dual: LAB delta
+    merge of atomized containers, LabInvertedIndex.java:76-449; this is
+    DESIGN.md's "singleton-merge header patch").
+
+    Byte-identity: a term whose runs are untouched AND whose partitions'
+    bases are unshifted is copied RAW (no decode); every other term is
+    re-derived from decoded runs and re-encoded with the same codec the
+    full merge uses — output files are digest-identical to a clean full
+    merge (pytest-pinned).
+    """
+    from miru_ray.functions.runtime import limit_worker_threads
+    limit_worker_threads()
+    old = pq.read_table(old_file)
+    # fresh rows of the changed partitions, merged per term in part order
+    pieces = []
+    for part, path in changed_files.items():
+        t = pq.read_table(path, filters=pads.field("shard") == shard,
+                          columns=["term", "df", "cf", "docids", "tfs"])
+        if t.num_rows:
+            t = t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
+            t = t.append_column("shard", pa.array([shard] * t.num_rows, pa.int64()))
+            pieces.append(t)
+    fresh = merge_rows(pa.concat_tables(pieces) if pieces else
+                       pa.table({"term": pa.array([], pa.string())}),
+                       new_bases)
+    fresh_by_term: dict[str, int] = {t: i for i, t in
+                                     enumerate(fresh["term"].to_pylist())}
+    gone = set(changed_files) | set(dropped)
+    delta = {p: new_bases.get(p, 0) - old_bases.get(p, 0)
+             for p in old_bases}
+
+    o_term = old["term"].to_pylist()
+    o_parts = old["parts"].to_pylist()
+    o_pdfs = old["pdfs"].to_pylist()
+    out = {k: [] for k in ("term", "shard", "df", "cf", "docids", "tfs",
+                           "bmax", "parts", "pdfs")}
+
+    def emit(term, df, cf, ids_b, tfs_b, bmax_b, parts_l, pdfs_l):
+        out["term"].append(term); out["shard"].append(shard)
+        out["df"].append(df); out["cf"].append(cf)
+        out["docids"].append(ids_b); out["tfs"].append(tfs_b)
+        out["bmax"].append(bmax_b)
+        out["parts"].append(parts_l); out["pdfs"].append(pdfs_l)
+
+    def emit_fresh(fi: int):
+        emit(fresh["term"][fi].as_py(), fresh["df"][fi].as_py(),
+             fresh["cf"][fi].as_py(), fresh["docids"][fi].as_py(),
+             fresh["tfs"][fi].as_py(), fresh["bmax"][fi].as_py(),
+             fresh["parts"][fi].as_py(), fresh["pdfs"][fi].as_py())
+
+    consumed: set[str] = set()
+    for i in range(old.num_rows):
+        term = o_term[i]
+        parts_l = o_parts[i]
+        pdfs_l = o_pdfs[i]
+        fi = fresh_by_term.get(term)
+        untouched = (fi is None
+                     and not any(p in gone for p in parts_l)
+                     and all(delta.get(p, 0) == 0 for p in parts_l))
+        if untouched:
+            emit(term, old["df"][i].as_py(), old["cf"][i].as_py(),
+                 old["docids"][i].as_py(), old["tfs"][i].as_py(),
+                 old["bmax"][i].as_py(), parts_l, pdfs_l)
+            continue
+        # decode, drop gone runs, shift kept runs, weave in fresh runs
+        ids = decode_ids(old["docids"][i].as_py())
+        tfs = decode_tfs(old["tfs"][i].as_py())
+        bounds = np.concatenate([[0], np.cumsum(pdfs_l)]).astype(np.int64)
+        runs = []   # (part, ids, tfs)
+        for r, p in enumerate(parts_l):
+            if p in gone:
+                continue
+            seg = slice(bounds[r], bounds[r + 1])
+            rid = ids[seg]
+            d = delta.get(p, 0)
+            if d:
+                rid = (rid.astype(np.int64) + d).astype(np.uint64)
+            runs.append((p, rid, tfs[seg]))
+        if fi is not None:
+            consumed.add(term)
+            f_ids = decode_ids(fresh["docids"][fi].as_py())
+            f_tfs = decode_tfs(fresh["tfs"][fi].as_py())
+            fb = np.concatenate([[0], np.cumsum(fresh["pdfs"][fi].as_py())]) \
+                   .astype(np.int64)
+            for r, p in enumerate(fresh["parts"][fi].as_py()):
+                seg = slice(fb[r], fb[r + 1])
+                runs.append((int(p), f_ids[seg], f_tfs[seg]))
+        if not runs:
+            continue   # every run dropped: the term vanishes
+        runs.sort(key=lambda x: x[0])   # part order == id order
+        m_ids = np.concatenate([r[1] for r in runs])
+        m_tfs = np.concatenate([r[2] for r in runs])
+        emit(term, len(m_ids), int(m_tfs.sum()), encode_ids(m_ids),
+             encode_tfs(m_tfs), block_max_tf(m_tfs),
+             [r[0] for r in runs], [len(r[1]) for r in runs])
+    # fresh terms not woven into an existing row are brand new — emit as-is
+    for fi in range(fresh.num_rows):
+        if fresh["term"][fi].as_py() not in consumed:
+            emit_fresh(fi)
+
+    merged = pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "shard": pa.array(out["shard"], pa.int64()),
+        "df": pa.array(out["df"], pa.int64()),
+        "cf": pa.array(out["cf"], pa.int64()),
+        "docids": pa.array(out["docids"], pa.binary()),
+        "tfs": pa.array(out["tfs"], pa.binary()),
+        "bmax": pa.array(out["bmax"], pa.binary()),
+        "parts": pa.array(out["parts"], pa.list_(pa.int64())),
+        "pdfs": pa.array(out["pdfs"], pa.list_(pa.int64())),
+    }).sort_by("term")
+    os.makedirs(segments_tmp, exist_ok=True)
+    final = os.path.join(segments_tmp, f"shard={shard:05d}.parquet")
+    pq.write_table(merged, final + ".tmp",
+                   row_group_size=4096, compression="zstd")
+    os.replace(final + ".tmp", final)
+    return {"n_terms": merged.num_rows, "bytes": os.path.getsize(final)}
 
 
 def merge_shard(batch: pa.Table, *, index_dir: str, part_files: dict[int, str],

@@ -35,7 +35,9 @@ __all__ = [
     "source_cache_dir", "stat_validated_memo",
 ]
 
-FORMAT_VERSION = 2  # v2: segments carry block-max (bmax) WAND metadata
+FORMAT_VERSION = 3  # v2: segments carry block-max (bmax) WAND metadata
+                    # v3: + per-term run directory (parts, pdfs) enabling
+                    #     incremental splice merges (stages/merge.py)
 
 
 def partitions_root(index_dir: str) -> str:

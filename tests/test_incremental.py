@@ -47,9 +47,13 @@ def test_incremental_append_rebuilds_only_affected(tmp_path, ray_session):
     # dups in rows 0..604: i % 211 == 210 → {210, 421} → 2 dropped
     assert meta["n_docs"] == 605 - 2
 
-    # equality with a clean build over the full input
+    # the append took the incremental SPLICE merge (unchanged partitions'
+    # postings files never re-read), yet…
+    assert meta["phase_sec"]["merge_mode"] == "splice"
+    # …equality with a clean FULL build over the full input holds
     clean = str(tmp_path / "clean")
-    build_index(str(src), clean, cfg)
+    clean_meta = build_index(str(src), clean, cfg)
+    assert clean_meta["phase_sec"]["merge_mode"] == "full"
     assert _digest(idx) == _digest(clean)
 
 
