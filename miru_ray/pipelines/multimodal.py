@@ -6,15 +6,17 @@ decode / feature-extract / resize / frame-sample step is an actor-pool
 ``map_batches`` stage (model/codec loaded once per actor — the
 StrutModelScorer shape, miru-stream-plugins/.../strut/StrutModelScorer.java).
 
-The sandbox has no image/audio codecs, so the DECODE step is a
-deterministic fake: media blobs carry a self-describing MMF1 header
-(format, width, height, channels / sample-rate, frames) followed by a
-seeded payload, and "decoding" parses that header + payload. Everything
-around it — schema, batch sizing for MB-scale rows, actor signatures,
-zero-copy binary handling, output layout — is real and tested; swapping
-in PIL/ffmpeg means replacing ``_decode_blob`` only (it raises
-``NotImplementedError`` for real formats like PNG/JPEG to make the seam
-explicit).
+``png`` rows decode with a REAL codec — functions/png.py, a stdlib-zlib
+PNG implementation (8-bit gray/RGB/RGBA, all five scanline filters)
+pinned by golden-pixel and adversarial-filter pytests — so the image
+lane is exercised end-to-end on genuine compressed bytes. Formats with
+no codec in this container (jpeg/mp4/mp3/...) keep a deterministic
+fake: blobs carry a self-describing MMF1/MMA1 header + seeded payload,
+and ``_decode_blob``/``_decode_audio`` raise ``NotImplementedError``
+for them so the remaining seam is explicit and swappable for
+PIL/ffmpeg. Everything around decode — schema, batch sizing for
+MB-scale rows, actor signatures, zero-copy binary handling, output
+layout — is real and tested.
 
 Batch sizes stay SMALL (media rows are MBs): ``MEDIA_BATCH_SIZE`` bounds
 batch × concurrency below worker heap (SURVEY.md §7.5 "Wide docs").
@@ -57,7 +59,10 @@ def _make_blob(media_id: int, width: int, height: int, n_frames: int) -> bytes:
 
 
 def media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table (images + short videos)."""
+    """Deterministic synthetic media table: short videos (fake-raw), plus
+    REAL PNG-encoded images (every 3rd image row) decoded by the stdlib
+    PNG codec (functions/png.py) and fake-raw images for the rest."""
+    from miru_ray.functions.png import encode_png
     rows = {k: [] for k in ("media_id", "kind", "format", "width", "height",
                             "n_frames", "payload")}
     for i in range(n):
@@ -65,13 +70,19 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
         is_video = (i % 5 == 4)
         w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
         frames = int(rng.integers(4, 17)) if is_video else 1
+        is_png = (not is_video) and (i % 3 == 0)
         rows["media_id"].append(i)
         rows["kind"].append("video" if is_video else "image")
-        rows["format"].append("fake-raw")
+        rows["format"].append("png" if is_png else "fake-raw")
         rows["width"].append(w)
         rows["height"].append(h)
         rows["n_frames"].append(frames)
-        rows["payload"].append(_make_blob(i, w, h, frames))
+        if is_png:
+            img = np.random.default_rng(1000 + i).integers(
+                0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+            rows["payload"].append(encode_png(img))
+        else:
+            rows["payload"].append(_make_blob(i, w, h, frames))
     return pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
         "kind": pa.array(rows["kind"], pa.string()),
@@ -86,8 +97,19 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
 def _decode_blob(fmt: str, payload: bytes) -> np.ndarray:
     """payload → (frames, height, width) uint8 array.
 
-    Real codecs (png/jpeg/mp4/...) are NOT available in this container —
-    the seam raises so the stub is explicit and swappable."""
+    ``png`` is a REAL codec (functions/png.py, stdlib-zlib PNG decode with
+    golden-pixel pytest oracles); color PNGs collapse to integer BT.601
+    luma. ``fake-raw`` is the deterministic fixture format. Remaining
+    formats (jpeg/mp4/...) have no codec in this container — the seam
+    raises so the stub is explicit and swappable."""
+    if fmt == "png":
+        from miru_ray.functions.png import decode_png
+        img = decode_png(payload)
+        if img.ndim == 3:   # color → integer luma (deterministic)
+            rgb = img[:, :, :3].astype(np.int64)
+            img = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                    + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+        return img[None, :, :]
     if fmt != "fake-raw":
         raise NotImplementedError(
             f"codec for format {fmt!r} not available in this environment; "

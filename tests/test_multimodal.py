@@ -20,12 +20,16 @@ def test_media_table_deterministic():
 
 
 def test_decode_roundtrip_and_stub_seam():
-    t = media_table(5)
-    arr = _decode_blob("fake-raw", t["payload"][0].as_py())
-    assert arr.shape == (t["n_frames"][0].as_py(), t["height"][0].as_py(),
-                         t["width"][0].as_py())
+    t = media_table(6)
+    fmts = t["format"].to_pylist()
+    for i in range(len(fmts)):   # decode BOTH real lanes
+        arr = _decode_blob(fmts[i], t["payload"][i].as_py())
+        assert arr.shape == (t["n_frames"][i].as_py(),
+                             t["height"][i].as_py(), t["width"][i].as_py())
+    assert "png" in fmts                      # the REAL codec lane exists
+    # jpeg/mp4 stay explicit NotImplementedError seams
     with pytest.raises(NotImplementedError):
-        _decode_blob("png", b"\x89PNG....")
+        _decode_blob("jpeg", b"\xff\xd8....")
 
 
 def test_decoder_stage_local():
