@@ -106,6 +106,10 @@ def headline(num_cpus: int) -> dict:
     out = {
         "n_docs": meta["n_docs"],
         "build_sec": round(build_s, 3),
+        # co-tenant memory-bus covariate sampled at build start (GB/s,
+        # quiet ≈ 60–110 on this host): the r3 driver window regressed 3×
+        # on unchanged code in a <8 GB/s window — read this number first
+        "bus_gbps": meta.get("bus_gbps"),
         "docs_per_sec": round(meta["n_docs"] / build_s, 1),
         "query_set_sec": round(query_s, 3),
         "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),

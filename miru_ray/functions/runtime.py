@@ -75,8 +75,8 @@ def mem_bw_gbps(nthread: int = 8, n: int = 4_000_000, reps: int = 3) -> float:
     return _bw_memo
 
 
-# below this aggregate bandwidth the bus is considered contended and heavy
-# streaming stages shed concurrency (reserve more CPUs per task) instead of
-# thrashing — the r3 lesson: 16 concurrent build tasks on a degraded bus ran
-# 3× slower than 8 would have
+# below this aggregate bandwidth the bus is considered contended (co-tenant
+# interference). Used for REPORTING only: shedding concurrency under a
+# contended bus was measured and rejected — co-tenant pressure doesn't
+# abate when we idle cores (build.py group_cpus comment has the numbers).
 BUS_DEGRADED_GBPS = 30.0

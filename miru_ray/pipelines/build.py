@@ -460,16 +460,19 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
     # memory-bandwidth guard: the build bodies are streaming kernels whose
     # aggregate throughput saturates a single socket around ~16 concurrent
     # tasks (measured: per-task cost inflates ~3x at 32). Reserve 2 CPUs
-    # per group task on big hosts so concurrency caps near the knee — and
-    # when a ~100 ms probe says the bus is ALREADY contended by co-tenants
-    # (the r3 driver-window regression signature), shed further to ~8
-    # concurrent tasks instead of thrashing.
+    # per group task on big hosts so concurrency caps near the knee. The
+    # ~100 ms bus probe records the CO-TENANT interference covariate in
+    # meta/bench artifacts (the r3 driver-window regression signature);
+    # shedding concurrency further under a contended bus was measured and
+    # REJECTED — co-tenant pressure doesn't abate when we idle cores
+    # (32 CPUs: 13.5 s at 8 tasks vs 13.3 s at 16; 16 CPUs: 182 s at 4
+    # tasks vs 41 s at 16, same 4 GB/s window).
     group_cpus = 1
     bus_gbps = None
     if ncpu > 16:
-        from miru_ray.functions.runtime import BUS_DEGRADED_GBPS, mem_bw_gbps
+        from miru_ray.functions.runtime import mem_bw_gbps
         bus_gbps = mem_bw_gbps()
-        group_cpus = 4 if bus_gbps < BUS_DEGRADED_GBPS else 2
+        group_cpus = 2
     new_manifests = ds.groupby("part").map_groups(builder, batch_format="pandas",
                                                   num_cpus=group_cpus)
     # materialize the (tiny: one row per partition) manifest dataset
