@@ -30,7 +30,7 @@ def limit_worker_threads(n: int = 2) -> None:
 _bw_memo: float | None = None
 
 
-def mem_bw_gbps(nthread: int = 8, n: int = 4_000_000, reps: int = 3) -> float:
+def mem_bw_gbps(nthread: int = 8, n: int = 1_000_000, reps: int = 24) -> float:
     """Aggregate numpy-triad GB/s across ``nthread`` threads — a ~100 ms
     probe of co-tenant MEMORY-bus interference, the covariate that moved
     the r3 driver bench 3× on unchanged code (VERDICT r3 §perf). numpy
@@ -41,7 +41,10 @@ def mem_bw_gbps(nthread: int = 8, n: int = 4_000_000, reps: int = 3) -> float:
     Calibration on this host: quiet ≈ 60–110 GB/s aggregate; the r3
     degraded windows measured 3–12 GB/s on the (slower) multiprocessing
     probe. A tiny warm-up round precedes measurement — first-touch page
-    faults otherwise dominate (measured 9 vs 100 GB/s)."""
+    faults otherwise dominate (measured 9 vs 100 GB/s). Working set is
+    3×8 MB/thread × 8 threads = 192 MB peak (past any L3, small enough
+    not to OOM a memory-tight driver — the review-r4 sizing; more reps
+    instead of bigger arrays)."""
     global _bw_memo
     if _bw_memo is not None:
         return _bw_memo

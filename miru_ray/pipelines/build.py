@@ -547,17 +547,45 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
         old_bases = {int(p): int(v) for p, v in
                      (old_meta.get("bases") or {}).items()}
         dropped = set(old_bases) - set(parts_sorted)
-        touch = (set(changed_parts) & set(parts_sorted)) | dropped
+        changed = set(changed_parts) & set(parts_sorted)
+        # crash-safety: a partition rebuilt by a PREVIOUS run that died
+        # before finalize is not in changed_parts, but its manifest no
+        # longer matches what the old segments were merged from. The old
+        # meta records each merged partition's input digest; any skipped
+        # partition whose manifest digest differs must be spliced too —
+        # without part_digests in the old meta the splice is unsafe.
+        old_pd = old_meta.get("part_digests")
+        if old_pd is None:
+            changed = None   # pre-digest meta: fall back to full merge
+        else:
+            for p in parts_sorted:
+                if p in changed:
+                    continue
+                if (str(p) not in old_pd
+                        or old_pd[str(p)] != done[p].get("input_digest")):
+                    changed.add(p)
+        touch = ((changed | dropped) if changed is not None else set())
         seg_old = {s: os.path.join(segments_dir(index_dir),
                                    f"shard={s:05d}.parquet")
                    for s in range(num_shards)}
-        if (old_meta.get("format_version") == layout.FORMAT_VERSION
-                and int(old_meta.get("num_shards", -1)) == num_shards
-                and all(os.path.exists(f) for f in seg_old.values())
+        segs_usable = (changed is not None
+                       and old_meta.get("format_version") == layout.FORMAT_VERSION
+                       and int(old_meta.get("num_shards", -1)) == num_shards
+                       and all(os.path.exists(f) for f in seg_old.values()))
+        if segs_usable and not touch:
+            # true no-op resume: the existing segments were merged from
+            # exactly these partition builds — reuse them untouched
+            phase_t["segment_merge"] = round(time.perf_counter() - t_merge, 3)
+            phase_t["merge_mode"] = "reuse"
+            meta = {**old_meta, "skipped_parts": skipped,
+                    "phase_sec": phase_t, "bus_gbps": bus_gbps,
+                    "group_cpus": group_cpus, **(mode_meta or {})}
+            write_json_atomic(meta_path(index_dir), meta)
+            return meta
+        if (segs_usable
                 and touch and len(touch) <= len(parts_sorted) // 2):
             from miru_ray.stages.merge import splice_shard
-            changed_files = {p: part_files[p]
-                             for p in sorted(set(changed_parts) & set(parts_sorted))}
+            changed_files = {p: part_files[p] for p in sorted(changed)}
             splice_task = _ray.remote(num_cpus=merge_cpus)(splice_shard)
             futs = [splice_task.remote(s_, seg_old[s_], changed_files,
                                        old_bases, bases, dropped, seg_tmp)
@@ -586,6 +614,11 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
         "sum_doclen": sum_doclen,
         "bases": {str(p): bases[p] for p in parts_sorted},
         "part_counts": {str(p): int(done[p]["n_docs"]) for p in parts_sorted},
+        # what THESE segments were merged from — the splice-merge staleness
+        # guard (a skipped partition whose manifest digest differs from
+        # this record was rebuilt by a run that died before finalize)
+        "part_digests": {str(p): done[p].get("input_digest")
+                         for p in parts_sorted},
         "extractor_version": EXTRACTOR_VERSION,
         "skipped_parts": skipped,
         "schema": schema.to_meta() if schema else [],

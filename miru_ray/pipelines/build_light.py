@@ -236,7 +236,11 @@ def build_index_shuffle_light(source, index_dir: str,
 
     sum_doclen = int(sum(sums))
     meta = {
-        "format_version": layout.FORMAT_VERSION,
+        # v2, NOT layout.FORMAT_VERSION: the global merge writes no
+        # per-term run directory (parts/pdfs), so a later incremental
+        # build over this index must never take the v3 splice path —
+        # finalize_index's format check sends it to a full merge
+        "format_version": 2,
         "mode": "shuffle_light",
         "num_parts": cfg.num_parts, "num_shards": cfg.num_shards,
         "k1": cfg.k1, "b": cfg.b,

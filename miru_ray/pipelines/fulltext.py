@@ -56,22 +56,12 @@ def documents_index(sf_dir: str, analyzer: str = "simple") -> str:
     if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
         return idx
     import shutil
-    import pyarrow.parquet as pq
-    from miru_ray.sources.tables import DOC_TS_BASE_US
+    from miru_ray.sources.tables import doc_ts_bounds
     from miru_ray.state.schema import FieldDef, IndexSchema
     shutil.rmtree(idx, ignore_errors=True)
     # ts bounds from doc_id row-group statistics (warc_ts = base + id s):
     # saves _ts_bounds' extra pass over the adapter Dataset
-    meta_pq = pq.ParquetFile(src).metadata
-    ci = meta_pq.schema.to_arrow_schema().get_field_index("doc_id")
-    lo_id, hi_id = None, None
-    for rg in range(meta_pq.num_row_groups):
-        st2 = meta_pq.row_group(rg).column(ci).statistics
-        if st2 is not None and st2.has_min_max:
-            lo_id = int(st2.min) if lo_id is None else min(lo_id, int(st2.min))
-            hi_id = int(st2.max) if hi_id is None else max(hi_id, int(st2.max))
-    bounds = (DOC_TS_BASE_US + lo_id * 1_000_000,
-              DOC_TS_BASE_US + hi_id * 1_000_000) if lo_id is not None else None
+    bounds = doc_ts_bounds(sf_dir)
     build_index(documents_as_pages(sf_dir), idx,
                 BuildConfig(num_parts=4, num_shards=2, store_text=True,
                             partition_mode="time_range", time_bounds=bounds,

@@ -105,10 +105,13 @@ def _decode_blob(fmt: str, payload: bytes) -> np.ndarray:
     if fmt == "png":
         from miru_ray.functions.png import decode_png
         img = decode_png(payload)
-        if img.ndim == 3:   # color → integer luma (deterministic)
-            rgb = img[:, :, :3].astype(np.int64)
-            img = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
-                    + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+        if img.ndim == 3:
+            if img.shape[2] >= 3:   # RGB/RGBA → integer BT.601 luma
+                rgb = img[:, :, :3].astype(np.int64)
+                img = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                        + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+            else:                   # grey+alpha → the grey channel
+                img = img[:, :, 0]
         return img[None, :, :]
     if fmt != "fake-raw":
         raise NotImplementedError(

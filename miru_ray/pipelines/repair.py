@@ -22,6 +22,16 @@ i.e. a repair row competes in the build's ordinary latest-wins dedup
 build), and a remove drops every version at-or-below its timestamp — the
 reference's "activity older than the removal is ignored" check.
 
+Routing: corrections apply IN PLACE — every fed url is located with a
+column-pruned pushdown probe and its repair/remove applies to the
+partition(s) actually holding it (routing a repair by its NEW version
+timestamp would mis-partition it whenever the bump crosses a time_range
+boundary, leaving the stale doc alive). Urls found nowhere are ADDS and
+route by the index's own partitioner. Under hash partitioning the probe
+and the partitioner agree, so the clean-build equivalence above is exact
+(pytest); under time_range the in-place semantics additionally hold even
+when a version bump would cross a range boundary.
+
 Scale shape: only partitions that RECEIVE a repair row or CONTAIN a
 removed url are rebuilt, from their own stored docs (one bounded task per
 affected partition — no source re-scan, no all-to-all); untouched
@@ -175,38 +185,53 @@ def repair_index(index_dir: str, feed: pa.Table) -> dict:
     fdf = feed.to_pandas()
     fdf["warc_ts"] = fdf["warc_ts"].to_numpy().astype("datetime64[us]") \
                                    .astype(np.int64)
-    route = _part_fn_from_meta(meta)
-    fdf["part"] = route(fdf["url"].to_numpy(dtype=object),
-                        fdf["warc_ts"].to_numpy())
-    repairs = fdf[fdf["op"] == "repair"]
+    repairs = fdf[fdf["op"] == "repair"].copy()
     removes = fdf[fdf["op"] == "remove"][["url", "warc_ts"]]
 
-    # affected partitions: those receiving repair rows, plus those that
-    # CONTAIN a removed url (probed with a column-pruned pushdown read —
-    # a remove's version timestamp says nothing about where the url lives)
-    affected = set(int(p) for p in repairs["part"].unique())
-    if len(removes):
+    # Locate every fed url's EXISTING partition(s) with a column-pruned
+    # pushdown probe: a correction applies IN PLACE wherever the url is
+    # indexed (the reference repairs the indexed activity, not a
+    # re-routed copy). Routing a repair by its NEW version timestamp
+    # would mis-partition it whenever the version bump crosses a
+    # time_range boundary — the stale doc would survive in its old
+    # partition. Urls found nowhere are ADDS and route by the index's own
+    # partitioner on their version timestamp.
+    all_urls = sorted(set(fdf["url"]))
+    url_parts: dict[str, list[int]] = {}
+    if all_urls:
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq
-        urls = sorted(set(removes["url"]))
 
         @_ray.remote
-        def probe(part: int) -> int | None:
+        def probe(part: int) -> tuple[int, list[str]]:
             f = os.path.join(layout.part_dir(index_dir, part), "docs.parquet")
             t = pq.read_table(f, columns=["url"],
-                              filters=pads.field("url").isin(urls))
-            return part if t.num_rows else None
+                              filters=pads.field("url").isin(all_urls))
+            return part, t["url"].to_pylist()
 
-        hits = _ray.get([probe.remote(p) for p in sorted(done)])
-        affected |= {p for p in hits if p is not None}
-    affected &= set(done) | set(int(p) for p in repairs["part"].unique())
+        for part, hit_urls in _ray.get([probe.remote(p)
+                                        for p in sorted(done)]):
+            for u in hit_urls:
+                url_parts.setdefault(u, []).append(part)
+
+    route = _part_fn_from_meta(meta)
+    fallback = route(repairs["url"].to_numpy(dtype=object),
+                     repairs["warc_ts"].to_numpy())
+    rep_parts: list[list[int]] = [
+        url_parts.get(u, [int(fb)])
+        for u, fb in zip(repairs["url"], fallback)]
+    affected = {p for parts in rep_parts for p in parts}
+    affected |= {p for u in set(removes["url"]) for p in url_parts.get(u, [])}
 
     rep_task = _ray.remote(_repair_one_partition)
     rep_cols = ["url", "warc_ts", "text", "lang"] + \
         [c for c in need_cols if c in fdf.columns]
     futs = []
     for p in sorted(affected):
-        pdf = repairs[repairs["part"] == p][rep_cols].copy()
+        sel = np.fromiter((p in parts for parts in rep_parts),
+                          dtype=bool, count=len(rep_parts))
+        pdf = repairs[sel][rep_cols].copy() if len(repairs) else \
+            repairs.reindex(columns=rep_cols)
         futs.append(rep_task.remote(
             p, index_dir, pdf, removes, int(meta["num_shards"]),
             meta.get("schema") or [], meta.get("analyzer", "simple")))
@@ -283,9 +308,8 @@ def repair_base_index(sf_dir: str) -> str:
     (like documents_index) keeps internal docIDs monotone in the driver's
     doc_id, so BM25 tie-breaks align with the SQL oracle; the +1/2 µs
     repair versions preserve that monotone order (1 s spacing)."""
-    import pyarrow.parquet as pq
     from miru_ray.pipelines.build import BuildConfig, build_index
-    from miru_ray.sources.tables import DOC_TS_BASE_US
+    from miru_ray.sources.tables import doc_ts_bounds
     from miru_ray.state.layout import (read_json, source_cache_dir,
                                        write_json_atomic)
     idx, tag = source_cache_dir(sf_dir, "documents.parquet", "repair",
@@ -293,17 +317,7 @@ def repair_base_index(sf_dir: str) -> str:
     tag_path = os.path.join(idx, "source_tag.json")
     if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
         return idx
-    src = os.path.join(sf_dir, "documents.parquet")
-    meta_pq = pq.ParquetFile(src).metadata
-    ci = meta_pq.schema.to_arrow_schema().get_field_index("doc_id")
-    lo_id, hi_id = None, None
-    for rg in range(meta_pq.num_row_groups):
-        st = meta_pq.row_group(rg).column(ci).statistics
-        if st is not None and st.has_min_max:
-            lo_id = int(st.min) if lo_id is None else min(lo_id, int(st.min))
-            hi_id = int(st.max) if hi_id is None else max(hi_id, int(st.max))
-    bounds = (DOC_TS_BASE_US + lo_id * 1_000_000,
-              DOC_TS_BASE_US + hi_id * 1_000_000) if lo_id is not None else None
+    bounds = doc_ts_bounds(sf_dir)
     shutil.rmtree(idx, ignore_errors=True)
     build_index(_corrupted_pages(sf_dir), idx,
                 BuildConfig(num_parts=4, num_shards=2, store_text=True,

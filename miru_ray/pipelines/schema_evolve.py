@@ -75,8 +75,10 @@ def _align_and_write(group: pd.DataFrame, *, index_dir: str, fdef,
                                          .astype(np.int64),
         **{c: group[c].to_numpy(dtype=object) for c in srcs},
     })
-    # deterministic under (url, ts) duplicates: max value per key
-    right = (right.sort_values(srcs, kind="stable")
+    # deterministic under (url, ts) duplicates: max value per key, with
+    # missing values sorted FIRST so keep='last' prefers a real value
+    # over None (pandas otherwise places NaN/None last regardless)
+    right = (right.sort_values(srcs, kind="stable", na_position="first")
                   .drop_duplicates(["url", "ts"], keep="last"))
     j = left.merge(right, on=["url", "ts"], how="inner")
     local_ids = j["local_id"].to_numpy(dtype=np.int64)
@@ -191,21 +193,9 @@ def fulltext_added_field(sf_dir: str, query: str = "table scan source:src2",
     if not (read_json(tag_path) == tag
             and read_json(os.path.join(idx, "meta.json"))):
         import shutil
-        import pyarrow.parquet as pq
         from miru_ray.pipelines.build import BuildConfig, build_index
-        from miru_ray.sources.tables import DOC_TS_BASE_US
-        src = os.path.join(sf_dir, "documents.parquet")
-        meta_pq = pq.ParquetFile(src).metadata
-        ci = meta_pq.schema.to_arrow_schema().get_field_index("doc_id")
-        lo_id, hi_id = None, None
-        for rg in range(meta_pq.num_row_groups):
-            st = meta_pq.row_group(rg).column(ci).statistics
-            if st is not None and st.has_min_max:
-                lo_id = int(st.min) if lo_id is None else min(lo_id, int(st.min))
-                hi_id = int(st.max) if hi_id is None else max(hi_id, int(st.max))
-        bounds = (DOC_TS_BASE_US + lo_id * 1_000_000,
-                  DOC_TS_BASE_US + hi_id * 1_000_000) if lo_id is not None \
-            else None
+        from miru_ray.sources.tables import doc_ts_bounds
+        bounds = doc_ts_bounds(sf_dir)
         shutil.rmtree(idx, ignore_errors=True)
         pages = documents_as_pages(sf_dir).select_columns(
             ["url", "warc_ts", "text", "lang", "source"])

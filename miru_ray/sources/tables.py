@@ -25,9 +25,31 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["read_table", "documents_as_pages", "DOC_TS_BASE_US", "orig_doc_ids"]
+__all__ = ["read_table", "documents_as_pages", "DOC_TS_BASE_US",
+           "orig_doc_ids", "doc_ts_bounds"]
 
 DOC_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def doc_ts_bounds(sf_dir: str) -> tuple[int, int] | None:
+    """(lo_us, hi_us) warc_ts bounds of the documents adapter, answered
+    from doc_id ROW-GROUP STATISTICS only (warc_ts := base + doc_id s) —
+    no data read. The shared helper for every pipeline that builds a
+    time_range index over documents_as_pages (fulltext / repair /
+    schema-evolve entries). None when the file carries no statistics."""
+    import pyarrow.parquet as pq
+    src = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.ParquetFile(src).metadata
+    ci = meta.schema.to_arrow_schema().get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(ci).statistics
+        if st is not None and st.has_min_max:
+            lo = int(st.min) if lo is None else min(lo, int(st.min))
+            hi = int(st.max) if hi is None else max(hi, int(st.max))
+    if lo is None:
+        return None
+    return (DOC_TS_BASE_US + lo * 1_000_000, DOC_TS_BASE_US + hi * 1_000_000)
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,

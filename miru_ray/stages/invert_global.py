@@ -124,8 +124,11 @@ def _empty_partials() -> pa.Table:
 def merge_rows_global(rows: pa.Table) -> pa.Table:
     """Merge per-batch partials of one shard: runs hold GLOBAL ids but are
     NOT disjoint-ordered across batches → per-term argsort merge.
-    Output byte-identical to the default path's merge (same sorted ids,
-    same codec)."""
+    Output byte-identical to the default path's merge on the SHARED
+    columns (same sorted ids, same codec); it does NOT carry the v3
+    run directory (parts/pdfs) — batch partials have no partition
+    attribution — so build_light stamps format_version 2 and later
+    incremental merges over such an index take the full path."""
     if rows.num_rows == 0:
         return pa.table({
             "term": pa.array([], pa.string()), "shard": pa.array([], pa.int64()),
