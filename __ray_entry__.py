@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_added_field": lambda sf: __import__(
             "miru_ray.pipelines.schema_evolve",
             fromlist=["fulltext_added_field"]).fulltext_added_field(sf),
+        # incremental ingest exercised end-to-end: head-90% build → sip
+        # resume over the full corpus → v3 splice merge (hard-asserted on
+        # the cold path) → full-corpus BM25 equality
+        "fulltext_incremental": lambda sf: fulltext.fulltext_incremental(sf),
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -402,6 +406,10 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_added_field": _bm25_sql(["scan", "table"], 20,
                                           require_all=True,
                                           doc_filter="d.source = 'src2'"),
+        # incremental (head-90% + sip-append + splice merge) index must be
+        # indistinguishable from a clean full-corpus build
+        "fulltext_incremental": _bm25_sql(["scan", "window"], 20,
+                                          require_all=True),
         "fulltext_lang_analyzed": _bm25_lang_sql(["group", "merge", "scan"],
                                                  20, lang="de"),
         # Caller entitlement 'grp0' = docs labeled grp0 at build: residue 0
