@@ -628,13 +628,17 @@ def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     import os
     src = os.path.join(sf_dir, "documents.parquet")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # ONE exchange: prefix postings bucket on shingle → local pair
+    # expansion. Unlike the brute tier there is NO (a,b)-keyed rollup —
+    # the verifier recomputes exact Jaccard anyway, so candidate pairs
+    # surfacing from several shingle buckets are simply re-verified
+    # (per-actor shingle cache makes that cheap) and deduped in the
+    # final small result, saving a whole all-to-all.
     cands = (ds.map_batches(functools.partial(_nj_prefix_rows,
                                               threshold=threshold),
                             batch_format="pyarrow", batch_size=1024)
                .groupby("spart").map_groups(_nj_pairs,
-                                            batch_format="pandas")
-               .groupby("pbucket").map_groups(_nj_sum,
-                                              batch_format="pandas"))
+                                            batch_format="pandas"))
     verified = cands.map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow") \
         .map_batches(PairVerifier, batch_format="pyarrow",
