@@ -147,42 +147,37 @@ def incremental_index(sf_dir: str) -> str:
     the incremental machinery silently degrades to a rebuild), and the
     query result is oracle-checked against full-corpus BM25 SQL — the
     incremental index must be indistinguishable from a clean one."""
-    import shutil
     import pyarrow.compute as pc
     from miru_ray.sources.tables import doc_ts_bounds
-    from miru_ray.state.layout import (source_cache_dir, write_json_atomic)
-    idx, tag = source_cache_dir(sf_dir, "documents.parquet", "incr",
-                                _CACHE_ROOT, 1)
-    tag_path = os.path.join(idx, "source_tag.json")
-    if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
-        return idx
-    shutil.rmtree(idx, ignore_errors=True)
-    bounds = doc_ts_bounds(sf_dir)
-    if bounds is None:
-        raise ValueError("documents.parquet carries no doc_id statistics")
-    cut = bounds[0] + (bounds[1] - bounds[0]) * 9 // 10
-    pages = documents_as_pages(sf_dir).select_columns(
-        ["url", "warc_ts", "text", "lang"])
-    head = pages.map_batches(
-        lambda t, c=cut: t.filter(pc.less_equal(
-            t["warc_ts"], pa.scalar(c, pa.timestamp("us")))),
-        batch_format="pyarrow")
-    cfg = lambda v: BuildConfig(num_parts=8, num_shards=2,     # noqa: E731
-                                partition_mode="time_range",
-                                time_bounds=bounds, verify_inputs=v)
-    build_index(head, idx, cfg(False))
-    meta = build_index(pages, idx, cfg(True))
-    # the incremental contract, asserted on the cold path
-    if len(meta["skipped_parts"]) < meta["num_parts"] // 2:
-        raise AssertionError(
-            f"incremental resume rebuilt too much: skipped only "
-            f"{meta['skipped_parts']} of {meta['num_parts']}")
-    if meta["phase_sec"].get("merge_mode") != "splice":
-        raise AssertionError(
-            f"append merged via {meta['phase_sec'].get('merge_mode')!r}, "
-            "expected the v3 splice")
-    write_json_atomic(tag_path, tag)
-    return idx
+    from miru_ray.state.layout import cached_source_index
+
+    def build(idx: str) -> None:
+        bounds = doc_ts_bounds(sf_dir)
+        if bounds is None:
+            raise ValueError("documents.parquet carries no doc_id statistics")
+        cut = bounds[0] + (bounds[1] - bounds[0]) * 9 // 10
+        pages = documents_as_pages(sf_dir).select_columns(
+            ["url", "warc_ts", "text", "lang"])
+        head = pages.map_batches(
+            lambda t, c=cut: t.filter(pc.less_equal(
+                t["warc_ts"], pa.scalar(c, pa.timestamp("us")))),
+            batch_format="pyarrow")
+        cfg = lambda v: BuildConfig(num_parts=8, num_shards=2,   # noqa: E731
+                                    partition_mode="time_range",
+                                    time_bounds=bounds, verify_inputs=v)
+        build_index(head, idx, cfg(False))
+        meta = build_index(pages, idx, cfg(True))
+        # the incremental contract, asserted on the cold path
+        if len(meta["skipped_parts"]) < meta["num_parts"] // 2:
+            raise AssertionError(
+                f"incremental resume rebuilt too much: skipped only "
+                f"{meta['skipped_parts']} of {meta['num_parts']}")
+        if meta["phase_sec"].get("merge_mode") != "splice":
+            raise AssertionError(
+                f"append merged via {meta['phase_sec'].get('merge_mode')!r}, "
+                "expected the v3 splice")
+
+    return cached_source_index(sf_dir, "incr", 1, build, root=_CACHE_ROOT)
 
 
 def fulltext_incremental(sf_dir: str, query: str = "window scan",

@@ -310,20 +310,15 @@ def repair_base_index(sf_dir: str) -> str:
     repair versions preserve that monotone order (1 s spacing)."""
     from miru_ray.pipelines.build import BuildConfig, build_index
     from miru_ray.sources.tables import doc_ts_bounds
-    from miru_ray.state.layout import (read_json, source_cache_dir,
-                                       write_json_atomic)
-    idx, tag = source_cache_dir(sf_dir, "documents.parquet", "repair",
-                                _CACHE_ROOT, 2)
-    tag_path = os.path.join(idx, "source_tag.json")
-    if read_json(tag_path) == tag and read_json(os.path.join(idx, "meta.json")):
-        return idx
-    bounds = doc_ts_bounds(sf_dir)
-    shutil.rmtree(idx, ignore_errors=True)
-    build_index(_corrupted_pages(sf_dir), idx,
-                BuildConfig(num_parts=4, num_shards=2, store_text=True,
-                            partition_mode="time_range", time_bounds=bounds))
-    write_json_atomic(tag_path, tag)
-    return idx
+    from miru_ray.state.layout import cached_source_index
+
+    def build(idx: str) -> None:
+        build_index(_corrupted_pages(sf_dir), idx,
+                    BuildConfig(num_parts=4, num_shards=2, store_text=True,
+                                partition_mode="time_range",
+                                time_bounds=doc_ts_bounds(sf_dir)))
+
+    return cached_source_index(sf_dir, "repair", 2, build, root=_CACHE_ROOT)
 
 
 def repair_replay(sf_dir: str, query: str = "sort merge", k: int = 20) -> pa.Table:

@@ -101,7 +101,6 @@ def add_field(index_dir: str, source, fdef) -> dict:
     Dataset / Table with url + warc_ts + the field's source columns).
     Returns the refreshed meta. Primary segments are not touched."""
     import ray as _ray
-    import pyarrow.dataset  # noqa: F401  (parquet filters)
     from miru_ray.pipelines.build import _merge_one_shard
     from miru_ray.state.layout import meta_path, part_dir, read_json, \
         write_json_atomic
@@ -182,30 +181,23 @@ def fulltext_added_field(sf_dir: str, query: str = "table scan source:src2",
     postings come from the sidecar family, never a rebuild."""
     from miru_ray.pipelines.search import search
     from miru_ray.sources.tables import documents_as_pages, orig_doc_ids
-    from miru_ray.state.layout import (read_json, source_cache_dir,
-                                       write_json_atomic)
+    from miru_ray.state.layout import cached_source_index
     from miru_ray.state.reader import IndexReader
     from miru_ray.state.schema import FieldDef
 
-    idx, tag = source_cache_dir(sf_dir, "documents.parquet", "evolve",
-                                "/tmp/miru_ray_idx", 1)
-    tag_path = os.path.join(idx, "source_tag.json")
-    if not (read_json(tag_path) == tag
-            and read_json(os.path.join(idx, "meta.json"))):
-        import shutil
+    def build(idx: str) -> None:
         from miru_ray.pipelines.build import BuildConfig, build_index
         from miru_ray.sources.tables import doc_ts_bounds
-        bounds = doc_ts_bounds(sf_dir)
-        shutil.rmtree(idx, ignore_errors=True)
         pages = documents_as_pages(sf_dir).select_columns(
             ["url", "warc_ts", "text", "lang", "source"])
         build_index(pages, idx,
                     BuildConfig(num_parts=4, num_shards=2,
                                 partition_mode="time_range",
-                                time_bounds=bounds))
+                                time_bounds=doc_ts_bounds(sf_dir)))
         add_field(idx, documents_as_pages(sf_dir).select_columns(
             ["url", "warc_ts", "source"]), FieldDef("source", "keyword"))
-        write_json_atomic(tag_path, tag)
+
+    idx = cached_source_index(sf_dir, "evolve", 1, build)
     hits = search(IndexReader(idx), query, k=k)
     return pa.table({
         "doc_id": orig_doc_ids(hits["url"]),

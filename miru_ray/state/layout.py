@@ -132,6 +132,26 @@ def source_cache_dir(sf_dir: str, source_name: str, kind: str,
     return os.path.join(root, f"{slug}_{kind}" if kind else slug), tag
 
 
+def cached_source_index(sf_dir: str, kind: str, layout_version: int,
+                        build_fn, root: str = "/tmp/miru_ray_idx",
+                        source_name: str = "documents.parquet",
+                        **extra) -> str:
+    """The build-once-per-source-generation skeleton shared by the driver
+    entries that derive an index from a testdata file: resolve the cache
+    dir + freshness tag, return it if the tag matches and meta.json
+    exists, else wipe, run ``build_fn(dir)`` and commit the tag LAST."""
+    import shutil
+    d, tag = source_cache_dir(sf_dir, source_name, kind, root,
+                              layout_version, **extra)
+    tag_path = os.path.join(d, "source_tag.json")
+    if read_json(tag_path) == tag and read_json(os.path.join(d, "meta.json")):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    build_fn(d)
+    write_json_atomic(tag_path, tag)
+    return d
+
+
 def stat_validated_memo(cache: dict, key, src_path: str, build):
     """Process-lifetime memo with the source stat tuple as VALIDATOR,
     not key part: a regenerated source REPLACES its stale entry instead

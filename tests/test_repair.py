@@ -16,20 +16,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from util import seg_digest as _seg_digest
 
 from miru_ray.pipelines.build import BuildConfig, build_index
 from miru_ray.pipelines.repair import repair_index
 from miru_ray.sources.fixtures import generate_pages
-
-
-def _seg_digest(d: str) -> str:
-    t = pq.read_table(sorted(glob.glob(os.path.join(d, "segments", "*.parquet"))))
-    t = t.sort_by("term")
-    h = hashlib.sha256()
-    for col in ("term", "df", "cf", "docids", "tfs", "bmax"):
-        for v in t[col].to_pylist():
-            h.update(v if isinstance(v, bytes) else str(v).encode())
-    return h.hexdigest()
 
 
 def _docs_digest(d: str) -> str:

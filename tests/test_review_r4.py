@@ -13,28 +13,17 @@
 from __future__ import annotations
 
 import glob
-import hashlib
 import os
 import shutil
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from util import seg_digest as _digest
 
 from miru_ray.pipelines.build import BuildConfig, build_index
 from miru_ray.sources.fixtures import generate_pages
-
-
-def _digest(d: str) -> str:
-    t = pq.read_table(sorted(glob.glob(os.path.join(d, "segments", "*.parquet"))))
-    t = t.sort_by("term")
-    h = hashlib.sha256()
-    for col in ("term", "df", "cf", "docids", "tfs", "bmax"):
-        for v in t[col].to_pylist():
-            h.update(v if isinstance(v, bytes) else str(v).encode())
-    return h.hexdigest()
 
 
 def test_splice_detects_partition_rebuilt_by_crashed_run(tmp_path, ray_session):
