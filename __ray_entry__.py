@@ -213,7 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_near_dups_lsh": ann.embedding_near_dups_lsh,
-        # --- multimodal (binary media columns; decode stubbed, plumbing real) ---
+        # --- multimodal (binary media; real PNG/GIF/WAV codec lanes +
+        #     fake-format lanes; jpeg/mp4/mp3 stay explicit stub seams) ---
         "image_features": lambda sf: multimodal.image_features_pipeline(200),
         "video_frame_sample": lambda sf: multimodal.frame_sample_pipeline(200),
         "audio_features": lambda sf: multimodal.audio_features_pipeline(200),

@@ -6,17 +6,25 @@ decode / feature-extract / resize / frame-sample step is an actor-pool
 ``map_batches`` stage (model/codec loaded once per actor — the
 StrutModelScorer shape, miru-stream-plugins/.../strut/StrutModelScorer.java).
 
-``png`` rows decode with a REAL codec — functions/png.py, a stdlib-zlib
-PNG implementation (8-bit gray/RGB/RGBA, all five scanline filters)
-pinned by golden-pixel and adversarial-filter pytests — so the image
-lane is exercised end-to-end on genuine compressed bytes. Formats with
-no codec in this container (jpeg/mp4/mp3/...) keep a deterministic
-fake: blobs carry a self-describing MMF1/MMA1 header + seeded payload,
-and ``_decode_blob``/``_decode_audio`` raise ``NotImplementedError``
-for them so the remaining seam is explicit and swappable for
-PIL/ffmpeg. Everything around decode — schema, batch sizing for
-MB-scale rows, actor signatures, zero-copy binary handling, output
-layout — is real and tested.
+Every media lane has a REAL codec exercised end-to-end on genuine
+compressed/container bytes:
+
+- images: ``png`` — functions/png.py, stdlib-zlib PNG (8-bit
+  gray/RGB/RGBA, all five scanline filters), golden-pixel pytests;
+- video: ``gif`` — functions/gif.py, animated GIF89a with full
+  GIF-variant LZW (growing code widths, table resets, interlace),
+  hand-packed-bitstream pytest oracle;
+- audio: ``wav`` — functions/wav.py, RIFF/WAVE PCM (8/16-bit,
+  mono/stereo), cross-checked against the independent stdlib ``wave``
+  module in both directions.
+
+Formats with no codec in this container (jpeg/mp4/mp3/...) keep a
+deterministic fake: blobs carry a self-describing MMF1/MMA1 header +
+seeded payload, and ``_decode_blob``/``_decode_audio`` raise
+``NotImplementedError`` for them so the remaining seam is explicit and
+swappable for PIL/ffmpeg. Everything around decode — schema, batch
+sizing for MB-scale rows, actor signatures, zero-copy binary handling,
+output layout — is real and tested.
 
 Batch sizes stay SMALL (media rows are MBs): ``MEDIA_BATCH_SIZE`` bounds
 batch × concurrency below worker heap (SURVEY.md §7.5 "Wide docs").
@@ -42,7 +50,7 @@ _MAGIC = b"MMF1"
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),          # image | video
-    ("format", pa.string()),        # fake-raw (decodable) | png/jpeg (stub)
+    ("format", pa.string()),        # png/gif (real codecs) | fake-raw | jpeg (stub)
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("n_frames", pa.int32()),       # 1 for images
@@ -59,9 +67,11 @@ def _make_blob(media_id: int, width: int, height: int, n_frames: int) -> bytes:
 
 
 def media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table: short videos (fake-raw), plus
-    REAL PNG-encoded images (every 3rd image row) decoded by the stdlib
-    PNG codec (functions/png.py) and fake-raw images for the rest."""
+    """Deterministic synthetic media table. Real-codec lanes: every 3rd
+    image row is REAL PNG bytes (functions/png.py) and every 2nd video row
+    is a REAL animated GIF89a (functions/gif.py, every 4th of those
+    interlaced); the rest stay fake-raw so both lanes are exercised."""
+    from miru_ray.functions.gif import encode_gif
     from miru_ray.functions.png import encode_png
     rows = {k: [] for k in ("media_id", "kind", "format", "width", "height",
                             "n_frames", "payload")}
@@ -71,16 +81,21 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
         w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
         frames = int(rng.integers(4, 17)) if is_video else 1
         is_png = (not is_video) and (i % 3 == 0)
+        is_gif = is_video and (i % 10 == 9)
         rows["media_id"].append(i)
         rows["kind"].append("video" if is_video else "image")
-        rows["format"].append("png" if is_png else "fake-raw")
+        rows["format"].append("png" if is_png
+                              else ("gif" if is_gif else "fake-raw"))
         rows["width"].append(w)
         rows["height"].append(h)
         rows["n_frames"].append(frames)
+        pix = np.random.default_rng(1000 + i).integers(
+            0, 256, w * h * frames, dtype=np.int64).astype(np.uint8)
         if is_png:
-            img = np.random.default_rng(1000 + i).integers(
-                0, 256, (h, w), dtype=np.int64).astype(np.uint8)
-            rows["payload"].append(encode_png(img))
+            rows["payload"].append(encode_png(pix.reshape(h, w)))
+        elif is_gif:
+            rows["payload"].append(encode_gif(pix.reshape(frames, h, w),
+                                              interlace=(i % 20 == 19)))
         else:
             rows["payload"].append(_make_blob(i, w, h, frames))
     return pa.table({
@@ -97,11 +112,15 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
 def _decode_blob(fmt: str, payload: bytes) -> np.ndarray:
     """payload → (frames, height, width) uint8 array.
 
-    ``png`` is a REAL codec (functions/png.py, stdlib-zlib PNG decode with
-    golden-pixel pytest oracles); color PNGs collapse to integer BT.601
-    luma. ``fake-raw`` is the deterministic fixture format. Remaining
-    formats (jpeg/mp4/...) have no codec in this container — the seam
-    raises so the stub is explicit and swappable."""
+    ``png`` and ``gif`` are REAL codecs (functions/png.py stdlib-zlib PNG;
+    functions/gif.py animated GIF89a LZW — the video-container lane);
+    color frames collapse to integer BT.601 luma. ``fake-raw`` is the
+    deterministic fixture format. Remaining formats (jpeg/mp4/...) have no
+    codec in this container — the seam raises so the stub is explicit and
+    swappable."""
+    if fmt == "gif":
+        from miru_ray.functions.gif import decode_gif_gray
+        return decode_gif_gray(payload)
     if fmt == "png":
         from miru_ray.functions.png import decode_png
         img = decode_png(payload)
@@ -235,18 +254,27 @@ def _make_audio_blob(media_id: int, sample_rate: int, n_samples: int) -> bytes:
 
 
 def audio_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic audio table (short PCM clips)."""
+    """Deterministic synthetic audio table (short PCM clips). Every 3rd
+    clip is a REAL RIFF/WAVE container (functions/wav.py) with the same
+    seeded samples; the rest stay fake-pcm so both lanes are exercised."""
+    from miru_ray.functions.wav import encode_wav
     rows = {k: [] for k in ("media_id", "format", "sample_rate", "n_samples",
                             "payload")}
     for i in range(n):
         rng = np.random.default_rng((seed << 21) ^ i)
         sr = int(rng.choice([8000, 16000]))
         ns = int(rng.integers(2048, 16384))
+        is_wav = (i % 3 == 0)
         rows["media_id"].append(i)
-        rows["format"].append("fake-pcm")
+        rows["format"].append("wav" if is_wav else "fake-pcm")
         rows["sample_rate"].append(sr)
         rows["n_samples"].append(ns)
-        rows["payload"].append(_make_audio_blob(i, sr, ns))
+        if is_wav:
+            pcm = np.random.default_rng(2000 + i).integers(
+                -32768, 32768, ns, dtype=np.int64).astype(np.int16)
+            rows["payload"].append(encode_wav(pcm, sr))
+        else:
+            rows["payload"].append(_make_audio_blob(i, sr, ns))
     return pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
         "format": pa.array(rows["format"], pa.string()),
@@ -257,9 +285,19 @@ def audio_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def _decode_audio(fmt: str, payload: bytes) -> tuple[int, np.ndarray]:
-    """payload → (sample_rate, int16 samples). Real codecs (mp3/ogg/flac)
-    are NOT available in this container — the seam raises so the stub is
-    explicit and swappable for a soundfile/ffmpeg-backed decoder."""
+    """payload → (sample_rate, int16 samples).
+
+    ``wav`` is a REAL codec (functions/wav.py, RIFF/WAVE PCM pinned
+    against the independent stdlib ``wave`` module); stereo collapses to
+    the mean channel. ``fake-pcm`` is the deterministic fixture format.
+    mp3/ogg/flac are NOT available in this container — the seam raises so
+    the stub is explicit and swappable for a soundfile/ffmpeg decoder."""
+    if fmt == "wav":
+        from miru_ray.functions.wav import decode_wav
+        sr, x = decode_wav(payload)
+        if x.ndim == 2:     # stereo → mean channel, conventional downmix
+            x = x.astype(np.int64).mean(axis=1).astype(np.int16)
+        return sr, x
     if fmt != "fake-pcm":
         raise NotImplementedError(
             f"codec for format {fmt!r} not available in this environment; "

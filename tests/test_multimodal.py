@@ -26,10 +26,30 @@ def test_decode_roundtrip_and_stub_seam():
         arr = _decode_blob(fmts[i], t["payload"][i].as_py())
         assert arr.shape == (t["n_frames"][i].as_py(),
                              t["height"][i].as_py(), t["width"][i].as_py())
-    assert "png" in fmts                      # the REAL codec lane exists
+    assert "png" in fmts                      # the REAL image-codec lane
     # jpeg/mp4 stay explicit NotImplementedError seams
     with pytest.raises(NotImplementedError):
         _decode_blob("jpeg", b"\xff\xd8....")
+
+
+def test_gif_video_lane_matches_fake_raw_content():
+    """Real-GIF video rows decode to the SAME seeded pixel content the
+    fake-raw recipe would produce (one content recipe, two containers),
+    including an interlaced row (i % 20 == 19)."""
+    t = media_table(40)
+    fmts = t["format"].to_pylist()
+    gif_rows = [i for i, f in enumerate(fmts) if f == "gif"]
+    assert gif_rows and any(t["media_id"][i].as_py() % 20 == 19
+                            for i in gif_rows)
+    for i in gif_rows:
+        mid = t["media_id"][i].as_py()
+        arr = _decode_blob("gif", t["payload"][i].as_py())
+        w, h, n = (t["width"][i].as_py(), t["height"][i].as_py(),
+                   t["n_frames"][i].as_py())
+        exp = np.random.default_rng(1000 + mid).integers(
+            0, 256, w * h * n, dtype=np.int64).astype(np.uint8) \
+            .reshape(n, h, w)
+        assert np.array_equal(arr, exp)
 
 
 def test_decoder_stage_local():
@@ -94,5 +114,16 @@ def test_audio_features_deterministic_and_exact(ray_session):
     # ranges sane
     assert (a["peak"] <= 1.0).all() and (a["rms"] > 0).all()
     assert ((a["zcr"] >= 0) & (a["zcr"] <= 1)).all()
+    # the real-WAV lane exists and decodes to the same seeded samples as
+    # the fake-pcm recipe (one content recipe, two containers)
+    fmts = t["format"].to_pylist()
+    assert "wav" in fmts
+    i = fmts.index("wav")
+    sr, x = _decode_audio("wav", t["payload"][i].as_py())
+    assert sr == t["sample_rate"][i].as_py()
+    mid, ns = t["media_id"][i].as_py(), t["n_samples"][i].as_py()
+    exp = np.random.default_rng(2000 + mid).integers(
+        -32768, 32768, ns, dtype=np.int64).astype(np.int16)
+    assert np.array_equal(x, exp)
     with pytest.raises(NotImplementedError):
         _decode_audio("mp3", b"xxxx")
