@@ -10,7 +10,9 @@ Every media lane has a REAL codec exercised end-to-end on genuine
 compressed/container bytes:
 
 - images: ``png`` — functions/png.py, stdlib-zlib PNG (8-bit
-  gray/RGB/RGBA, all five scanline filters), golden-pixel pytests;
+  gray/RGB/RGBA, all five scanline filters), golden-pixel pytests; and
+  ``jpeg`` — functions/jpeg.py, baseline JFIF (DCT + Huffman, 4:4:4 and
+  4:2:0, restart markers), spec-formula DCT pytest oracle;
 - video: ``gif`` — functions/gif.py, animated GIF89a with full
   GIF-variant LZW (growing code widths, table resets, interlace),
   hand-packed-bitstream pytest oracle;
@@ -18,7 +20,7 @@ compressed/container bytes:
   mono/stereo), cross-checked against the independent stdlib ``wave``
   module in both directions.
 
-Formats with no codec in this container (jpeg/mp4/mp3/...) keep a
+Formats with no codec in this container (mp4/mp3/webp/...) keep a
 deterministic fake: blobs carry a self-describing MMF1/MMA1 header +
 seeded payload, and ``_decode_blob``/``_decode_audio`` raise
 ``NotImplementedError`` for them so the remaining seam is explicit and
@@ -50,7 +52,7 @@ _MAGIC = b"MMF1"
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),          # image | video
-    ("format", pa.string()),        # png/gif (real codecs) | fake-raw | jpeg (stub)
+    ("format", pa.string()),        # png/jpeg/gif (real codecs) | fake-raw | mp4 (stub)
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("n_frames", pa.int32()),       # 1 for images
@@ -67,11 +69,14 @@ def _make_blob(media_id: int, width: int, height: int, n_frames: int) -> bytes:
 
 
 def media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table. Real-codec lanes: every 3rd
-    image row is REAL PNG bytes (functions/png.py) and every 2nd video row
-    is a REAL animated GIF89a (functions/gif.py, every 4th of those
-    interlaced); the rest stay fake-raw so both lanes are exercised."""
+    """Deterministic synthetic media table. Real-codec lanes: image rows
+    alternate REAL PNG bytes (i%3==0, functions/png.py) and REAL baseline
+    JPEG bytes (i%3==1, functions/jpeg.py — lossy, so decoded stats are
+    stats of the decoded pixels); every 2nd video row is a REAL animated
+    GIF89a (functions/gif.py, every 4th of those interlaced); the rest
+    stay fake-raw so every lane is exercised."""
     from miru_ray.functions.gif import encode_gif
+    from miru_ray.functions.jpeg import encode_jpeg
     from miru_ray.functions.png import encode_png
     rows = {k: [] for k in ("media_id", "kind", "format", "width", "height",
                             "n_frames", "payload")}
@@ -81,11 +86,13 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
         w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
         frames = int(rng.integers(4, 17)) if is_video else 1
         is_png = (not is_video) and (i % 3 == 0)
+        is_jpeg = (not is_video) and (i % 3 == 1)
         is_gif = is_video and (i % 10 == 9)
         rows["media_id"].append(i)
         rows["kind"].append("video" if is_video else "image")
         rows["format"].append("png" if is_png
-                              else ("gif" if is_gif else "fake-raw"))
+                              else ("jpeg" if is_jpeg
+                                    else ("gif" if is_gif else "fake-raw")))
         rows["width"].append(w)
         rows["height"].append(h)
         rows["n_frames"].append(frames)
@@ -93,6 +100,8 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
             0, 256, w * h * frames, dtype=np.int64).astype(np.uint8)
         if is_png:
             rows["payload"].append(encode_png(pix.reshape(h, w)))
+        elif is_jpeg:
+            rows["payload"].append(encode_jpeg(pix.reshape(h, w), quality=90))
         elif is_gif:
             rows["payload"].append(encode_gif(pix.reshape(frames, h, w),
                                               interlace=(i % 20 == 19)))
@@ -112,15 +121,23 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
 def _decode_blob(fmt: str, payload: bytes) -> np.ndarray:
     """payload → (frames, height, width) uint8 array.
 
-    ``png`` and ``gif`` are REAL codecs (functions/png.py stdlib-zlib PNG;
-    functions/gif.py animated GIF89a LZW — the video-container lane);
-    color frames collapse to integer BT.601 luma. ``fake-raw`` is the
-    deterministic fixture format. Remaining formats (jpeg/mp4/...) have no
-    codec in this container — the seam raises so the stub is explicit and
-    swappable."""
+    ``png``, ``jpeg`` and ``gif`` are REAL codecs (functions/png.py
+    stdlib-zlib PNG; functions/jpeg.py baseline JFIF; functions/gif.py
+    animated GIF89a LZW — the video-container lane); color frames collapse
+    to integer BT.601 luma. ``fake-raw`` is the deterministic fixture
+    format. Remaining formats (mp4/webp/...) have no codec in this
+    container — the seam raises so the stub is explicit and swappable."""
     if fmt == "gif":
         from miru_ray.functions.gif import decode_gif_gray
         return decode_gif_gray(payload)
+    if fmt == "jpeg":
+        from miru_ray.functions.jpeg import decode_jpeg
+        img = decode_jpeg(payload)
+        if img.ndim == 3:               # RGB → integer BT.601 luma
+            rgb = img.astype(np.int64)
+            img = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                    + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+        return img[None, :, :]
     if fmt == "png":
         from miru_ray.functions.png import decode_png
         img = decode_png(payload)

@@ -26,10 +26,30 @@ def test_decode_roundtrip_and_stub_seam():
         arr = _decode_blob(fmts[i], t["payload"][i].as_py())
         assert arr.shape == (t["n_frames"][i].as_py(),
                              t["height"][i].as_py(), t["width"][i].as_py())
-    assert "png" in fmts                      # the REAL image-codec lane
-    # jpeg/mp4 stay explicit NotImplementedError seams
+    assert "png" in fmts and "jpeg" in fmts   # the REAL image-codec lanes
+    # mp4/webp stay explicit NotImplementedError seams
     with pytest.raises(NotImplementedError):
-        _decode_blob("jpeg", b"\xff\xd8....")
+        _decode_blob("mp4", b"\x00\x00\x00\x18ftyp")
+
+
+def test_jpeg_image_lane_near_seeded_content():
+    """Real-JPEG image rows decode close to the seeded pixel content
+    (lossy by design: quality-90 quantization bounds the error) and
+    deterministically."""
+    t = media_table(30)
+    fmts = t["format"].to_pylist()
+    jpeg_rows = [i for i, f in enumerate(fmts) if f == "jpeg"]
+    assert jpeg_rows
+    for i in jpeg_rows:
+        mid = t["media_id"][i].as_py()
+        arr = _decode_blob("jpeg", t["payload"][i].as_py())
+        w, h = t["width"][i].as_py(), t["height"][i].as_py()
+        assert arr.shape == (1, h, w)
+        exp = np.random.default_rng(1000 + mid).integers(
+            0, 256, w * h, dtype=np.int64).astype(np.uint8).reshape(h, w)
+        assert np.abs(arr[0].astype(int) - exp.astype(int)).max() <= 16
+        again = _decode_blob("jpeg", t["payload"][i].as_py())
+        assert np.array_equal(arr, again)
 
 
 def test_gif_video_lane_matches_fake_raw_content():

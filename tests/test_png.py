@@ -122,11 +122,16 @@ def test_media_pipeline_png_lane_value_exact(ray_session):
             continue
         w = tbl["width"][i].as_py()
         h = tbl["height"][i].as_py()
-        arr = np.random.default_rng(1000 + i).integers(
-            0, 256, w * h, dtype=np.int64).astype(np.uint8).reshape(1, h, w) \
-            if tbl["format"][i].as_py() == "fake-raw" else \
-            np.random.default_rng(1000 + i).integers(
-                0, 256, (h, w), dtype=np.int64).astype(np.uint8)[None]
+        fmt = tbl["format"][i].as_py()
+        if fmt == "jpeg":
+            # lossy lane: ground truth IS the decoded pixels (the decode
+            # itself is pinned against the spec in test_jpeg.py)
+            from miru_ray.functions.jpeg import decode_jpeg
+            arr = decode_jpeg(tbl["payload"][i].as_py())[None]
+        else:    # png carries the seeded pixels losslessly; fake-raw is raw
+            arr = np.random.default_rng(1000 + i).integers(
+                0, 256, w * h, dtype=np.int64).astype(np.uint8) \
+                .reshape(1, h, w)
         hist, _ = np.histogram(arr, bins=edges)
         np.testing.assert_allclose(
             np.array(got.loc[i, "feature"], dtype=np.float32),
