@@ -27,9 +27,9 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
-    "encode_ids", "decode_ids", "encode_tfs", "decode_tfs",
-    "merge_sorted_runs", "intersect_sorted", "union_sorted", "diff_sorted",
-    "block_max_tf", "BLOCK_SIZE",
+    "encode_ids", "decode_ids", "decode_first_last", "encode_tfs",
+    "decode_tfs", "merge_sorted_runs", "intersect_sorted", "union_sorted",
+    "diff_sorted", "block_max_tf", "BLOCK_SIZE",
 ]
 
 # posting entries per block-max block (WAND pruning granularity; the
@@ -152,6 +152,36 @@ def decode_ids(blob: bytes | memoryview) -> np.ndarray:
         out[at:at + count] = (np.uint64(key) << np.uint64(16)) | lows
         at += count
     return out
+
+
+def decode_first_last(blob: bytes | memoryview) -> tuple[int, int]:
+    """(first docID, last docID) of a posting WITHOUT decoding it: read the
+    container directory, then only the edge values of the first and last
+    payloads — O(n_containers) instead of O(cf). The first/latest index
+    semantics (MiruIndexFirst.java setIfEmpty / MiruIndexLatest.java:77
+    remove-then-set) only ever need these edges."""
+    buf = memoryview(blob)
+    n = int(np.frombuffer(buf[:4], dtype="<u4")[0])
+    if n == 0:
+        raise ValueError("empty posting has no first/last id")
+    dir_end = 4 + n * _DIR_DTYPE.itemsize
+    directory = np.frombuffer(buf[4:dir_end], dtype=_DIR_DTYPE)
+    sizes = np.where(directory["kind"] == _ARRAY,
+                     2 * directory["count"].astype(np.int64), _BITMAP_BYTES)
+
+    def edge(idx: int, off: int, want_last: bool) -> int:
+        if directory["kind"][idx] == _ARRAY:
+            pos = off + (2 * (int(directory["count"][idx]) - 1)
+                         if want_last else 0)
+            low = int(np.frombuffer(buf[pos:pos + 2], dtype="<u2")[0])
+        else:
+            bits = np.frombuffer(buf[off:off + _BITMAP_BYTES], dtype=np.uint8)
+            nz = np.flatnonzero(np.unpackbits(bits, bitorder="little"))
+            low = int(nz[-1] if want_last else nz[0])
+        return (int(directory["key"][idx]) << 16) | low
+
+    return (edge(0, dir_end, False),
+            edge(n - 1, dir_end + int(sizes[:-1].sum()), True))
 
 
 def encode_tfs(tfs: np.ndarray) -> bytes:

@@ -291,12 +291,15 @@ def term_first_last(sf_dir: str, prefix: str = "s") -> pa.Table:
     semantics (MiruIndexFirst setIfEmpty / MiruIndexLatest remove-then-set,
     miru-service/.../stream/MiruIndexFirst.java, MiruIndexLatest.java:77):
     per term, the first and latest docID in prime order. Read straight off
-    the docID-sorted postings (ids[0] / ids[-1]); num_parts=1 makes
-    internal ids == driver doc_ids."""
+    the docID-sorted postings via the codec's O(n_containers) edge read
+    (decode_first_last \u2014 no full posting decode); num_parts=1 makes
+    internal ids == driver doc_ids. Scale shape: the per-shard segment
+    files partition the term space, so at a large matched-vocab this same
+    body distributes as map_batches over the segment rows."""
     import glob
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
-    from miru_ray.functions.postings import decode_ids
+    from miru_ray.functions.postings import decode_first_last
     idx = documents_index(sf_dir)
     files = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))
     hi = prefix + "\uffff"
@@ -304,10 +307,10 @@ def term_first_last(sf_dir: str, prefix: str = "s") -> pa.Table:
                       filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
     terms, first, last = [], [], []
     for term, blob in zip(t["term"].to_pylist(), t["docids"].to_pylist()):
-        ids = decode_ids(blob)
+        lo, hiid = decode_first_last(blob)
         terms.append(term)
-        first.append(int(ids[0]))
-        last.append(int(ids[-1]))
+        first.append(lo)
+        last.append(hiid)
     out = pa.table({"term": pa.array(terms, pa.string()),
                     "first_doc": pa.array(first, pa.int64()),
                     "last_doc": pa.array(last, pa.int64())})

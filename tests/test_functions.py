@@ -61,6 +61,39 @@ def test_codec_dense_container():
     assert np.array_equal(decode_ids(encode_ids(ids)), ids)
 
 
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), unique=True,
+                min_size=1, max_size=500))
+def test_codec_first_last_edge_read_property(ids):
+    from miru_ray.functions.postings import decode_first_last
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    assert decode_first_last(encode_ids(arr)) == (int(arr[0]), int(arr[-1]))
+
+
+def test_codec_first_last_container_shapes():
+    """Edge read across every container layout: single array, bitmap-only,
+    array|bitmap mix, bitmap edges at low-bit boundaries."""
+    from miru_ray.functions.postings import decode_first_last
+    import pytest
+    cases = [
+        np.array([7], dtype=np.uint64),
+        np.arange(0, 60000, 3, dtype=np.uint64),              # bitmap
+        np.concatenate([np.array([5, 9], np.uint64),          # array +
+                        np.arange(1 << 16, (1 << 16) + 20000,
+                                  2, dtype=np.uint64)]),      # bitmap
+        np.array([0, (1 << 16) - 1], np.uint64),              # low-bit edges
+        np.concatenate([np.arange(0, 20000, 2, np.uint64),    # bitmap first
+                        np.array([(5 << 16) + 3], np.uint64)]),
+    ]
+    for ids in cases:
+        blob = encode_ids(ids)
+        assert decode_first_last(blob) == (int(ids[0]), int(ids[-1]))
+        full = decode_ids(blob)
+        assert (int(full[0]), int(full[-1])) == decode_first_last(blob)
+    with pytest.raises(ValueError):
+        decode_first_last(encode_ids(np.empty(0, np.uint64)))
+
+
 def test_codec_tf_widths():
     small = np.array([1, 2, 255], dtype=np.int64)
     big = np.array([1, 70000], dtype=np.int64)
