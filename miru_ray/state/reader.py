@@ -321,19 +321,28 @@ class IndexReader:
                 out[c] = pa.array([], _DOC_FIELD_TYPES.get(c, pa.string()))
             return pa.table(out)
         pidx = self.part_of(doc_ids)
-        cols: dict[str, list] = {c: [None] * len(doc_ids) for c in columns}
-        for pi in np.unique(pidx):
+        # group requests by partition; assemble per-partition Arrow takes,
+        # then restore input order with ONE final take (no per-value loops)
+        order = np.argsort(pidx, kind="stable")
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        sorted_pidx = pidx[order]
+        starts = np.flatnonzero(np.diff(sorted_pidx, prepend=-1))
+        ends = np.append(starts[1:], len(order))
+        pieces: dict[str, list[pa.Array]] = {c: [] for c in columns}
+        for s, e in zip(starts, ends):
+            pi = int(sorted_pidx[s])
             part = self.parts[pi]
-            sel = np.flatnonzero(pidx == pi)
-            local = doc_ids[sel].astype(np.int64) - self.bases[pi]
+            local = doc_ids[order[s:e]].astype(np.int64) - self.bases[pi]
+            local_arr = pa.array(local)
             heavy = [c for c in columns
                      if c == "text" and part not in self._docs_cache]
             for c in columns:
                 if c in heavy:
                     continue
-                vals = self.doc_column(part, c).take(pa.array(local)).to_pylist()
-                for j, v in zip(sel, vals):
-                    cols[c][j] = v
+                taken = self.doc_column(part, c).take(local_arr)
+                pieces[c].extend(taken.chunks if isinstance(
+                    taken, pa.ChunkedArray) else [taken])
             if heavy:
                 # stored text is ~KB/doc: never cache the whole column for
                 # a handful of hits — row-group-pruned read of just the
@@ -342,17 +351,19 @@ class IndexReader:
                 tbl = pq.read_table(
                     f, columns=["local_id"] + heavy,
                     filters=pads.field("local_id").isin(local.tolist()))
-                lid = tbl["local_id"].to_numpy()
-                pos = np.searchsorted(lid, local)
+                pos = pa.array(np.searchsorted(tbl["local_id"].to_numpy(),
+                                               local))
                 for c in heavy:
-                    vals = tbl[c].take(pa.array(pos)).to_pylist()
-                    for j, v in zip(sel, vals):
-                        cols[c][j] = v
+                    taken = tbl[c].take(pos)
+                    pieces[c].extend(taken.chunks if isinstance(
+                        taken, pa.ChunkedArray) else [taken])
         out = {"doc_id": pa.array(doc_ids.astype(np.int64), pa.int64())}
+        inv_arr = pa.array(inv)
         for c in columns:
             typ = (_DOC_FIELD_TYPES.get(c)
                    or self.doc_column(self.parts[0], c).type)
-            out[c] = pa.array(cols[c], typ)
+            grouped = pa.chunked_array(pieces[c], type=typ)
+            out[c] = grouped.take(inv_arr)
         return pa.table(out)
 
     # --- time & lang domains ---
