@@ -176,10 +176,11 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 4,
     return b"".join(out)
 
 
-def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """GIF bytes → ((n, h, w) uint8 palette indices composited onto the
-    logical screen, (256, 3) uint8 palette). Frames smaller than the screen
-    composite over the previous frame per the disposal method."""
+def _parse_gif(payload: bytes):
+    """Walk the container: → (w, h, bg, global_palette, items) where each
+    item is (left, top, idx (fh, fw) uint8, effective_palette (256, 3),
+    transparent, disposal). Compositing is left to the caller so the index
+    view and the luma view can each do it in the right value space."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, packed, bg, _ = struct.unpack("<HHBBB", payload[6:13])
@@ -190,8 +191,7 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         palette[:size] = np.frombuffer(
             payload[pos:pos + 3 * size], dtype=np.uint8).reshape(size, 3)
         pos += 3 * size
-    screen = np.full((h, w), bg, dtype=np.uint8)
-    frames: list[np.ndarray] = []
+    items = []
     disposal, transparent = 0, -1
     while pos < len(payload):
         block = payload[pos]
@@ -236,6 +236,38 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
             un = np.empty_like(idx)
             un[_interlace_order(fh)] = idx
             idx = un
+        if disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal method 3 (restore-previous) not supported; "
+                "swap decode_gif for a PIL/ffmpeg-backed implementation")
+        items.append((left, top, idx, pal, transparent, disposal))
+        disposal, transparent = 0, -1
+    if not items:
+        raise ValueError("GIF contains no image frames")
+    return w, h, bg, palette, items
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """GIF bytes → ((n, h, w) uint8 palette indices composited onto the
+    logical screen, (256, 3) uint8 palette). Frames smaller than the screen
+    composite over the previous frame per the disposal method. An animation
+    whose frames use CONFLICTING palettes cannot be expressed as
+    shared-palette indices — that raises the explicit decoder seam; the
+    luma view (decode_gif_gray) handles it by compositing per frame."""
+    w, h, bg, palette, items = _parse_gif(payload)
+    for _, _, _, pal, _, _ in items:
+        if pal is not palette and not np.array_equal(pal, palette):
+            if len(items) == 1:
+                palette = pal                    # single frame: just use it
+            else:
+                raise NotImplementedError(
+                    "multi-frame GIF with conflicting local palettes has no "
+                    "shared-palette index form; use decode_gif_gray or swap "
+                    "in a PIL/ffmpeg-backed decoder")
+    screen = np.full((h, w), bg, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for left, top, idx, _, transparent, disposal in items:
+        fh, fw = idx.shape
         region = screen[top:top + fh, left:left + fw]
         if transparent >= 0:
             region = np.where(idx == transparent, region, idx)
@@ -245,25 +277,36 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         frames.append(screen.copy())
         if disposal == 2:                        # restore to background
             screen[top:top + fh, left:left + fw] = bg
-        elif disposal == 3:
-            raise NotImplementedError(
-                "GIF disposal method 3 (restore-previous) not supported; "
-                "swap decode_gif for a PIL/ffmpeg-backed implementation")
-        disposal, transparent = 0, -1
-        # a frame with a local palette differing from the global one cannot
-        # be represented as shared-palette indices
-        if pal is not palette and not np.array_equal(pal, palette):
-            palette = pal
-    if not frames:
-        raise ValueError("GIF contains no image frames")
     return np.stack(frames), palette
 
 
-def decode_gif_gray(payload: bytes) -> np.ndarray:
-    """GIF bytes → (n, h, w) uint8 luma frames (integer BT.601 over the
-    palette; identity for the greyscale palette encode_gif writes)."""
-    frames, palette = decode_gif(payload)
+def _luma(palette: np.ndarray) -> np.ndarray:
     rgb = palette.astype(np.int64)
-    luma = ((299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2])
+    return ((299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2])
             // 1000).astype(np.uint8)
-    return luma[frames]
+
+
+def decode_gif_gray(payload: bytes) -> np.ndarray:
+    """GIF bytes → (n, h, w) uint8 luma frames (integer BT.601 over each
+    frame's EFFECTIVE palette; identity for the greyscale palette
+    encode_gif writes). Composites in luma space, so frames with differing
+    local palettes — which the index view cannot express — decode
+    correctly: pixels showing through transparency keep the luma of the
+    palette they were drawn with."""
+    w, h, bg, palette, items = _parse_gif(payload)
+    bg_luma = _luma(palette)[bg]
+    screen = np.full((h, w), bg_luma, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for left, top, idx, pal, transparent, disposal in items:
+        fh, fw = idx.shape
+        gray = _luma(pal)[idx]
+        region = screen[top:top + fh, left:left + fw]
+        if transparent >= 0:
+            region = np.where(idx == transparent, region, gray)
+        else:
+            region = gray
+        screen[top:top + fh, left:left + fw] = region
+        frames.append(screen.copy())
+        if disposal == 2:                        # restore to background
+            screen[top:top + fh, left:left + fw] = bg_luma
+    return np.stack(frames)

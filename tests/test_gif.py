@@ -142,3 +142,58 @@ def test_gif_explicit_seams():
     ])
     with pytest.raises(NotImplementedError):
         decode_gif(blob)
+
+
+def _local_palette_gif(w, h, bg, frames_spec):
+    """Like _minimal_gif but each frame carries (..., palette_or_None):
+    a (256, 3) LOCAL color table, or None to use the grey global one."""
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | 0x07, bg, 0),
+           np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1).tobytes()]
+    for left, top, fw, fh, idx, transparent, disposal, pal in frames_spec:
+        gc_packed = (disposal << 2) | (1 if transparent >= 0 else 0)
+        out.append(b"\x21\xf9\x04"
+                   + struct.pack("<BHB", gc_packed, 0, max(transparent, 0))
+                   + b"\x00")
+        fpacked = 0 if pal is None else (0x80 | 0x07)
+        out.append(b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, fpacked))
+        if pal is not None:
+            out.append(np.asarray(pal, np.uint8).tobytes())
+        data = _lzw_encode(np.asarray(idx, np.uint8).ravel(), 8)
+        out.append(b"\x08" + bytes([len(data)]) + data + b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def test_gif_single_frame_local_palette():
+    """A lone frame with a non-grey LOCAL color table decodes through that
+    table: index 200 on a red ramp (R=i, G=B=0) → luma 299*200//1000."""
+    red = np.zeros((256, 3), np.uint8)
+    red[:, 0] = np.arange(256)
+    blob = _local_palette_gif(2, 2, 0, [
+        (0, 0, 2, 2, np.full((2, 2), 200, np.uint8), -1, 0, red)])
+    frames, palette = decode_gif(blob)
+    assert np.array_equal(palette, red)
+    assert np.array_equal(decode_gif_gray(blob),
+                          np.full((1, 2, 2), 299 * 200 // 1000, np.uint8))
+
+
+def test_gif_conflicting_palettes_luma_composite():
+    """Frame 1 uses the grey global palette, frame 2 a red-ramp LOCAL one
+    with transparency: the index view cannot express two palettes (its
+    explicit seam), but the luma view composites per frame — transparent
+    pixels keep frame 1's GREY luma while opaque ones take the RED luma."""
+    red = np.zeros((256, 3), np.uint8)
+    red[:, 0] = np.arange(256)
+    f1 = np.full((2, 2), 100, np.uint8)
+    f2 = np.array([[9, 200], [200, 9]], np.uint8)   # 9s transparent
+    blob = _local_palette_gif(2, 2, 0, [
+        (0, 0, 2, 2, f1, -1, 0, None),
+        (0, 0, 2, 2, f2, 9, 0, red),
+    ])
+    with pytest.raises(NotImplementedError):
+        decode_gif(blob)
+    gray = decode_gif_gray(blob)
+    assert np.array_equal(gray[0], f1)              # grey palette identity
+    red200 = 299 * 200 // 1000
+    assert np.array_equal(gray[1], np.array([[100, red200],
+                                             [red200, 100]], np.uint8))
