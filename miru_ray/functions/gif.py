@@ -206,7 +206,11 @@ def _parse_gif(payload: bytes):
                 if label == 0xF9 and size >= 3:  # graphic control
                     gc_packed = payload[pos + 1]
                     disposal = (gc_packed >> 2) & 0x07
-                    transparent = payload[pos + 4] if gc_packed & 1 else -1
+                    # the transparent index is the FOURTH data byte — only
+                    # present when size >= 4 (a truncated 3-byte GCE must
+                    # not read the next sub-block's length as an index)
+                    transparent = (payload[pos + 4]
+                                   if gc_packed & 1 and size >= 4 else -1)
                 pos += 1 + size
             pos += 1
             continue
@@ -281,9 +285,8 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _luma(palette: np.ndarray) -> np.ndarray:
-    rgb = palette.astype(np.int64)
-    return ((299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2])
-            // 1000).astype(np.uint8)
+    from miru_ray.functions.color import bt601_luma
+    return bt601_luma(palette)
 
 
 def decode_gif_gray(payload: bytes) -> np.ndarray:

@@ -135,8 +135,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG scan truncated mid-entropy-data")
         byte = self.data[self.pos]
         if byte == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG scan truncated mid-entropy-data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:               # stuffed
                 self.pos += 2
@@ -383,6 +387,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so libjpeg-padded streams parse
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("JPEG truncated at marker")
         marker = payload[pos + 1]
         if marker == 0xD9:                       # EOI
             break

@@ -60,9 +60,10 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def _make_blob(media_id: int, width: int, height: int, n_frames: int) -> bytes:
+def _make_blob(content_seed: int, width: int, height: int,
+               n_frames: int) -> bytes:
     """Deterministic fake media blob: MMF1 header + seeded frame bytes."""
-    rng = np.random.default_rng(1000 + media_id)
+    rng = np.random.default_rng(content_seed)
     body = rng.integers(0, 256, width * height * n_frames, dtype=np.int64) \
               .astype(np.uint8).tobytes()
     return _MAGIC + struct.pack("<iii", width, height, n_frames) + body
@@ -96,7 +97,11 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
         rows["width"].append(w)
         rows["height"].append(h)
         rows["n_frames"].append(frames)
-        pix = np.random.default_rng(1000 + i).integers(
+        # payload CONTENT derives from the table seed too (default 42
+        # reproduces the historical 1000+i fixtures) — varying the seed
+        # must vary the pixels, not just the dims
+        content_seed = (1000 + i) if seed == 42 else ((seed << 22) ^ (1000 + i))
+        pix = np.random.default_rng(content_seed).integers(
             0, 256, w * h * frames, dtype=np.int64).astype(np.uint8)
         if is_png:
             rows["payload"].append(encode_png(pix.reshape(h, w)))
@@ -106,7 +111,7 @@ def media_table(n: int, seed: int = 42) -> pa.Table:
             rows["payload"].append(encode_gif(pix.reshape(frames, h, w),
                                               interlace=(i % 20 == 19)))
         else:
-            rows["payload"].append(_make_blob(i, w, h, frames))
+            rows["payload"].append(_make_blob(content_seed, w, h, frames))
     return pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
         "kind": pa.array(rows["kind"], pa.string()),
@@ -131,21 +136,19 @@ def _decode_blob(fmt: str, payload: bytes) -> np.ndarray:
         from miru_ray.functions.gif import decode_gif_gray
         return decode_gif_gray(payload)
     if fmt == "jpeg":
+        from miru_ray.functions.color import bt601_luma
         from miru_ray.functions.jpeg import decode_jpeg
         img = decode_jpeg(payload)
         if img.ndim == 3:               # RGB → integer BT.601 luma
-            rgb = img.astype(np.int64)
-            img = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
-                    + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+            img = bt601_luma(img)
         return img[None, :, :]
     if fmt == "png":
+        from miru_ray.functions.color import bt601_luma
         from miru_ray.functions.png import decode_png
         img = decode_png(payload)
         if img.ndim == 3:
             if img.shape[2] >= 3:   # RGB/RGBA → integer BT.601 luma
-                rgb = img[:, :, :3].astype(np.int64)
-                img = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
-                        + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+                img = bt601_luma(img[:, :, :3])
             else:                   # grey+alpha → the grey channel
                 img = img[:, :, 0]
         return img[None, :, :]
@@ -262,9 +265,10 @@ def frame_sample_pipeline(n_media: int = 200, every_k: int = 4) -> pa.Table:
 _AUDIO_MAGIC = b"MMA1"
 
 
-def _make_audio_blob(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+def _make_audio_blob(content_seed: int, sample_rate: int,
+                     n_samples: int) -> bytes:
     """Deterministic fake audio blob: MMA1 header + seeded int16 PCM."""
-    rng = np.random.default_rng(2000 + media_id)
+    rng = np.random.default_rng(content_seed)
     body = rng.integers(-32768, 32768, n_samples, dtype=np.int64) \
               .astype(np.int16).tobytes()
     return _AUDIO_MAGIC + struct.pack("<ii", sample_rate, n_samples) + body
@@ -286,12 +290,13 @@ def audio_table(n: int, seed: int = 42) -> pa.Table:
         rows["format"].append("wav" if is_wav else "fake-pcm")
         rows["sample_rate"].append(sr)
         rows["n_samples"].append(ns)
+        content_seed = (2000 + i) if seed == 42 else ((seed << 22) ^ (2000 + i))
         if is_wav:
-            pcm = np.random.default_rng(2000 + i).integers(
+            pcm = np.random.default_rng(content_seed).integers(
                 -32768, 32768, ns, dtype=np.int64).astype(np.int16)
             rows["payload"].append(encode_wav(pcm, sr))
         else:
-            rows["payload"].append(_make_audio_blob(i, sr, ns))
+            rows["payload"].append(_make_audio_blob(content_seed, sr, ns))
     return pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
         "format": pa.array(rows["format"], pa.string()),

@@ -70,7 +70,13 @@ def _part_fn_from_meta(meta):
     from miru_ray.functions.hashing import part_for
     from miru_ray.pipelines.build import _time_parts
     num_parts = int(meta["num_parts"])
-    if meta.get("partition_mode", "hash") == "time_range":
+    # metas written before partition_mode was recorded still carry
+    # time_bounds when (and only when) they were built time_range — don't
+    # default such an index to hash routing, or every repair row lands in
+    # the wrong partition and silently matches nothing
+    mode = meta.get("partition_mode") or (
+        "time_range" if "time_bounds" in meta else "hash")
+    if mode == "time_range":
         lo, hi = meta["time_bounds"]
 
         def route(urls, ts_us):
@@ -237,7 +243,8 @@ def repair_index(index_dir: str, feed: pa.Table) -> dict:
             meta.get("schema") or [], meta.get("analyzer", "simple")))
     _ray.get(futs)
 
-    mode_meta = {"partition_mode": meta.get("partition_mode", "hash")}
+    mode_meta = {"partition_mode": meta.get("partition_mode") or (
+        "time_range" if "time_bounds" in meta else "hash")}
     if "time_bounds" in meta:
         mode_meta["time_bounds"] = meta["time_bounds"]
     phase_t = {"repair_partitions": round(time.perf_counter() - t0, 3),

@@ -137,8 +137,18 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
     fresh = merge_rows(pa.concat_tables(pieces) if pieces else
                        pa.table({"term": pa.array([], pa.string())}),
                        new_bases)
-    fresh_by_term: dict[str, int] = {t: i for i, t in
-                                     enumerate(fresh["term"].to_pylist())}
+    # bulk-convert EVERY column touched in the loop once — chained-array
+    # cell.as_py() per row costs five chunk lookups per untouched term,
+    # which dominates exactly the fast path this function exists for
+    f_term = fresh["term"].to_pylist()
+    f_df = fresh["df"].to_pylist()
+    f_cf = fresh["cf"].to_pylist()
+    f_docids = fresh["docids"].to_pylist()
+    f_tfs = fresh["tfs"].to_pylist()
+    f_bmax = fresh["bmax"].to_pylist()
+    f_parts = fresh["parts"].to_pylist()
+    f_pdfs = fresh["pdfs"].to_pylist()
+    fresh_by_term: dict[str, int] = {t: i for i, t in enumerate(f_term)}
     gone = set(changed_files) | set(dropped)
     delta = {p: new_bases.get(p, 0) - old_bases.get(p, 0)
              for p in old_bases}
@@ -146,6 +156,11 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
     o_term = old["term"].to_pylist()
     o_parts = old["parts"].to_pylist()
     o_pdfs = old["pdfs"].to_pylist()
+    o_df = old["df"].to_pylist()
+    o_cf = old["cf"].to_pylist()
+    o_docids = old["docids"].to_pylist()
+    o_tfs = old["tfs"].to_pylist()
+    o_bmax = old["bmax"].to_pylist()
     out = {k: [] for k in ("term", "shard", "df", "cf", "docids", "tfs",
                            "bmax", "parts", "pdfs")}
 
@@ -157,10 +172,8 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
         out["parts"].append(parts_l); out["pdfs"].append(pdfs_l)
 
     def emit_fresh(fi: int):
-        emit(fresh["term"][fi].as_py(), fresh["df"][fi].as_py(),
-             fresh["cf"][fi].as_py(), fresh["docids"][fi].as_py(),
-             fresh["tfs"][fi].as_py(), fresh["bmax"][fi].as_py(),
-             fresh["parts"][fi].as_py(), fresh["pdfs"][fi].as_py())
+        emit(f_term[fi], f_df[fi], f_cf[fi], f_docids[fi], f_tfs[fi],
+             f_bmax[fi], f_parts[fi], f_pdfs[fi])
 
     consumed: set[str] = set()
     for i in range(old.num_rows):
@@ -172,13 +185,12 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
                      and not any(p in gone for p in parts_l)
                      and all(delta.get(p, 0) == 0 for p in parts_l))
         if untouched:
-            emit(term, old["df"][i].as_py(), old["cf"][i].as_py(),
-                 old["docids"][i].as_py(), old["tfs"][i].as_py(),
-                 old["bmax"][i].as_py(), parts_l, pdfs_l)
+            emit(term, o_df[i], o_cf[i], o_docids[i], o_tfs[i],
+                 o_bmax[i], parts_l, pdfs_l)
             continue
         # decode, drop gone runs, shift kept runs, weave in fresh runs
-        ids = decode_ids(old["docids"][i].as_py())
-        tfs = decode_tfs(old["tfs"][i].as_py())
+        ids = decode_ids(o_docids[i])
+        tfs = decode_tfs(o_tfs[i])
         bounds = np.concatenate([[0], np.cumsum(pdfs_l)]).astype(np.int64)
         runs = []   # (part, ids, tfs)
         for r, p in enumerate(parts_l):
@@ -192,13 +204,12 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
             runs.append((p, rid, tfs[seg]))
         if fi is not None:
             consumed.add(term)
-            f_ids = decode_ids(fresh["docids"][fi].as_py())
-            f_tfs = decode_tfs(fresh["tfs"][fi].as_py())
-            fb = np.concatenate([[0], np.cumsum(fresh["pdfs"][fi].as_py())]) \
-                   .astype(np.int64)
-            for r, p in enumerate(fresh["parts"][fi].as_py()):
+            fr_ids = decode_ids(f_docids[fi])
+            fr_tfs = decode_tfs(f_tfs[fi])
+            fb = np.concatenate([[0], np.cumsum(f_pdfs[fi])]).astype(np.int64)
+            for r, p in enumerate(f_parts[fi]):
                 seg = slice(fb[r], fb[r + 1])
-                runs.append((int(p), f_ids[seg], f_tfs[seg]))
+                runs.append((int(p), fr_ids[seg], fr_tfs[seg]))
         if not runs:
             continue   # every run dropped: the term vanishes
         runs.sort(key=lambda x: x[0])   # part order == id order
@@ -209,7 +220,7 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
              [r[0] for r in runs], [len(r[1]) for r in runs])
     # fresh terms not woven into an existing row are brand new — emit as-is
     for fi in range(fresh.num_rows):
-        if fresh["term"][fi].as_py() not in consumed:
+        if f_term[fi] not in consumed:
             emit_fresh(fi)
 
     merged = pa.table({

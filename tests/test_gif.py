@@ -197,3 +197,19 @@ def test_gif_conflicting_palettes_luma_composite():
     red200 = 299 * 200 // 1000
     assert np.array_equal(gray[1], np.array([[100, red200],
                                              [red200, 100]], np.uint8))
+
+
+def test_gif_three_byte_gce_ignores_transparency():
+    """A malformed 3-byte graphic-control sub-block (packed + delay, no
+    transparent-index byte) must NOT read the following byte as the
+    transparent index — the flag is ignored when the byte is absent."""
+    idx = np.full((2, 2), 7, np.uint8)
+    out = [b"GIF89a", struct.pack("<HHBBB", 2, 2, 0x80 | 0x07, 0, 0),
+           np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1).tobytes(),
+           # GCE with block size 3: packed(flag set) + 2-byte delay only
+           b"\x21\xf9\x03" + struct.pack("<BH", 0x01, 0) + b"\x00",
+           b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)]
+    data = _lzw_encode(idx.ravel(), 8)
+    out.append(b"\x08" + bytes([len(data)]) + data + b"\x00\x3b")
+    frames, _ = decode_gif(b"".join(out))
+    assert np.array_equal(frames[0], idx)        # no pixel went transparent

@@ -142,3 +142,32 @@ def test_explicit_seams():
     blob[blob.index(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    libjpeg emits them. Decoding must be identical with padding inserted
+    before every non-scan segment marker."""
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    blob = encode_jpeg(img, 90)
+    ref = decode_jpeg(blob)
+    padded, pos = [blob[:2]], 2
+    while True:
+        marker = blob[pos + 1]
+        padded.append(b"\xff\xff\xff")           # three fill bytes
+        if marker == 0xDA:
+            padded.append(blob[pos:])
+            break
+        size = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+        padded.append(blob[pos:pos + 2 + size])
+        pos += 2 + size
+    assert np.array_equal(decode_jpeg(b"".join(padded)), ref)
+
+
+def test_truncated_scan_raises_valueerror():
+    """A payload cut mid-entropy-data must raise the codec's documented
+    ValueError, not escape as IndexError."""
+    blob = encode_jpeg(np.arange(4096, dtype=np.int64).astype(np.uint8)
+                       .reshape(64, 64), 90)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:len(blob) - len(blob) // 4])

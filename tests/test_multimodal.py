@@ -147,3 +147,15 @@ def test_audio_features_deterministic_and_exact(ray_session):
     assert np.array_equal(x, exp)
     with pytest.raises(NotImplementedError):
         _decode_audio("mp3", b"xxxx")
+
+
+def test_fixture_seed_varies_payload_content():
+    """media_table/audio_table seed must vary payload CONTENT, not just
+    dims; the default seed keeps the historical fixtures byte-identical."""
+    from miru_ray.pipelines.multimodal import audio_table, media_table
+    a, b = media_table(12, seed=7), media_table(12, seed=8)
+    assert a["payload"].to_pylist() != b["payload"].to_pylist()
+    assert media_table(12, seed=7)["payload"].to_pylist() == \
+        a["payload"].to_pylist()                 # still deterministic
+    ax, bx = audio_table(9, seed=7), audio_table(9, seed=8)
+    assert ax["payload"].to_pylist() != bx["payload"].to_pylist()
