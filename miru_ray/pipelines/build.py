@@ -260,6 +260,14 @@ class BuildConfig:
                                      # html-mode inputs digest (url, warc_ts)
                                      # only — a content-only change with the
                                      # same url+fetch-ts is NOT detected there.
+    delta_appends: bool = True       # small sips/repairs leave the base
+                                     # segments untouched and write a delta
+                                     # OVERLAY generation (O(changed), not
+                                     # O(index) — the LAB delta-chit model);
+                                     # readers resolve base+overlay through
+                                     # state/segview.py. Falls back to the
+                                     # splice/full merge whenever the
+                                     # overlay preconditions fail.
 
 
 def _merge_one_shard(shard: int, part_files: dict[int, str],
@@ -492,7 +500,8 @@ def build_index(source, index_dir: str, cfg: BuildConfig | None = None) -> dict:
         index_dir, num_parts=cfg.num_parts, num_shards=cfg.num_shards,
         k1=cfg.k1, b=cfg.b, schema=cfg.schema, analyzer=cfg.analyzer,
         skipped=skipped, phase_t=phase_t, group_cpus=group_cpus,
-        bus_gbps=bus_gbps, mode_meta=mode_meta, changed_parts=changed)
+        bus_gbps=bus_gbps, mode_meta=mode_meta, changed_parts=changed,
+        delta_appends=cfg.delta_appends)
 
 
 def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
@@ -500,7 +509,8 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
                    skipped: list[int], phase_t: dict[str, float],
                    group_cpus: int = 1, bus_gbps: float | None = None,
                    mode_meta: dict | None = None,
-                   changed_parts: set[int] | None = None) -> dict:
+                   changed_parts: set[int] | None = None,
+                   delta_appends: bool = True) -> dict:
     """Global docID bases (prefix sum over completed partitions) → per-shard
     segment merge → meta.json. The commit tail of ``build_index``, shared
     with the repair path (pipelines/repair.py) which rewrites partitions
@@ -543,26 +553,36 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
     # bus guard widened the partition-build reservation (measured under a
     # 4 GB/s bus: merge 3.4 s at 16 tasks vs 5.3 s at 8)
     merge_cpus = min(group_cpus, 2)
+    delta_out = None          # "delta" meta dict when the overlay path ran
+    base_pd_keep = None       # base-time part_digests to retain in meta
     if changed_parts is not None and old_meta is not None:
-        old_bases = {int(p): int(v) for p, v in
-                     (old_meta.get("bases") or {}).items()}
-        dropped = set(old_bases) - set(parts_sorted)
+        prev_delta = old_meta.get("delta")
+        # the bases the BASE segment files were merged under: a live
+        # overlay means meta["bases"] has moved past them
+        base_bases = {int(p): int(v) for p, v in
+                      (((prev_delta or {}).get("base_bases"))
+                       or old_meta.get("bases") or {}).items()}
+        dropped = set(base_bases) - set(parts_sorted)
         changed = set(changed_parts) & set(parts_sorted)
         # crash-safety: a partition rebuilt by a PREVIOUS run that died
         # before finalize is not in changed_parts, but its manifest no
-        # longer matches what the old segments were merged from. The old
-        # meta records each merged partition's input digest; any skipped
-        # partition whose manifest digest differs must be spliced too —
-        # without part_digests in the old meta the splice is unsafe.
+        # longer matches what the current view was derived from. That view
+        # is the BASE digests overridden by the overlay's digests; any
+        # skipped partition whose manifest digest differs must be folded
+        # too — without part_digests in the old meta this is unsafe.
         old_pd = old_meta.get("part_digests")
+        gen_pd = {int(p): v for p, v in
+                  ((prev_delta or {}).get("part_digests") or {}).items()}
         if old_pd is None:
             changed = None   # pre-digest meta: fall back to full merge
         else:
+            prior = {int(p): v for p, v in old_pd.items()}
+            prior.update(gen_pd)
             for p in parts_sorted:
                 if p in changed:
                     continue
-                if (str(p) not in old_pd
-                        or old_pd[str(p)] != done[p].get("input_digest")):
+                if (p not in prior
+                        or prior[p] != done[p].get("input_digest")):
                     changed.add(p)
         touch = ((changed | dropped) if changed is not None else set())
         seg_old = {s: os.path.join(segments_dir(index_dir),
@@ -573,8 +593,8 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
                        and int(old_meta.get("num_shards", -1)) == num_shards
                        and all(os.path.exists(f) for f in seg_old.values()))
         if segs_usable and not touch:
-            # true no-op resume: the existing segments were merged from
-            # exactly these partition builds — reuse them untouched
+            # true no-op resume: the current view (base + any overlay) was
+            # derived from exactly these partition builds — reuse untouched
             phase_t["segment_merge"] = round(time.perf_counter() - t_merge, 3)
             phase_t["merge_mode"] = "reuse"
             meta = {**old_meta, "skipped_parts": skipped,
@@ -582,16 +602,63 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
                     "group_cpus": group_cpus, **(mode_meta or {})}
             write_json_atomic(meta_path(index_dir), meta)
             return meta
-        if (segs_usable
-                and touch and len(touch) <= len(parts_sorted) // 2):
-            from miru_ray.stages.merge import splice_shard
-            changed_files = {p: part_files[p] for p in sorted(changed)}
-            splice_task = _ray.remote(num_cpus=merge_cpus)(splice_shard)
-            futs = [splice_task.remote(s_, seg_old[s_], changed_files,
-                                       old_bases, bases, dropped, seg_tmp)
-                    for s_ in range(num_shards)]
-            seg_stats = _ray.get(futs)
-            merge_mode = "splice"
+        if segs_usable and touch:
+            # parts whose BASE runs are superseded: changed this run plus
+            # everything a live overlay already covers (the new overlay/
+            # splice must keep covering them — base files stay stale)
+            prev_overlaid = {p for p in gen_pd if p in set(parts_sorted)}
+            stale = changed | prev_overlaid
+            kept = [p for p in parts_sorted if p not in stale]
+            replaced = sorted(stale | dropped)
+            bases_stable = all(bases[p] == base_bases.get(p) for p in kept)
+            if (delta_appends and bases_stable
+                    and len(replaced) * 4 <= max(num_parts, len(parts_sorted),
+                                                 len(base_bases))):
+                # overlay append: leave the base files untouched, write ONE
+                # small generation covering every stale partition (a prior
+                # generation is fully superseded, then dropped)
+                import shutil as _shutil
+                from miru_ray.stages.merge import delta_shard
+                gen = (int(prev_delta["gen"]) + 1) if prev_delta else 0
+                gen_dir = layout.delta_gen_dir(index_dir, gen)
+                gen_tmp = gen_dir + ".tmp"
+                _shutil.rmtree(gen_tmp, ignore_errors=True)
+                changed_files = {p: part_files[p] for p in sorted(stale)}
+                delta_task = _ray.remote(num_cpus=merge_cpus)(delta_shard)
+                futs = [delta_task.remote(s_, seg_old[s_], changed_files,
+                                          bases, set(replaced), gen_tmp)
+                        for s_ in range(num_shards)]
+                seg_stats = _ray.get(futs)
+                _shutil.rmtree(gen_dir, ignore_errors=True)  # crashed orphan
+                os.makedirs(os.path.dirname(gen_dir), exist_ok=True)
+                os.replace(gen_tmp, gen_dir)
+                # the superseded generation is removed only AFTER the new
+                # meta commits (below) — a crash here must leave the old
+                # meta's generation readable
+                superseded_gen = (int(prev_delta["gen"])
+                                  if prev_delta is not None else None)
+                merge_mode = "delta"
+                delta_out = {
+                    "gen": gen,
+                    "replaced_parts": [int(p) for p in replaced],
+                    "base_bases": {str(p): int(v)
+                                   for p, v in base_bases.items()},
+                    "part_digests": {str(p): done[p].get("input_digest")
+                                     for p in sorted(stale)},
+                }
+                base_pd_keep = dict(old_pd)
+            elif len(stale | dropped) <= len(parts_sorted) // 2:
+                # splice the base files up to current truth (folds any live
+                # overlay's partitions too, re-reading their postings)
+                from miru_ray.stages.merge import splice_shard
+                changed_files = {p: part_files[p] for p in sorted(stale)}
+                splice_task = _ray.remote(num_cpus=merge_cpus)(splice_shard)
+                futs = [splice_task.remote(s_, seg_old[s_], changed_files,
+                                           base_bases, bases, dropped,
+                                           seg_tmp)
+                        for s_ in range(num_shards)]
+                seg_stats = _ray.get(futs)
+                merge_mode = "splice"
     if merge_mode == "full":
         # plain task fan-out (the documented raw-Ray exception: input is a
         # list of shard ids, not data — no Dataset semantics to preserve)
@@ -599,8 +666,9 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
         futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
                 for s_ in range(num_shards)]
         seg_stats = _ray.get(futs)
-    layout.clear_segments(index_dir)
-    os.replace(seg_tmp, segments_dir(index_dir))
+    if merge_mode != "delta":
+        layout.clear_segments(index_dir)   # also clears any delta overlay
+        os.replace(seg_tmp, segments_dir(index_dir))
     phase_t["segment_merge"] = round(time.perf_counter() - t_merge, 3)
     phase_t["merge_mode"] = merge_mode
 
@@ -614,11 +682,15 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
         "sum_doclen": sum_doclen,
         "bases": {str(p): bases[p] for p in parts_sorted},
         "part_counts": {str(p): int(done[p]["n_docs"]) for p in parts_sorted},
-        # what THESE segments were merged from — the splice-merge staleness
-        # guard (a skipped partition whose manifest digest differs from
-        # this record was rebuilt by a run that died before finalize)
-        "part_digests": {str(p): done[p].get("input_digest")
-                         for p in parts_sorted},
+        # what the BASE segments were merged from — the splice/delta
+        # staleness guard (a skipped partition whose manifest digest
+        # differs from this view was rebuilt by a run that died before
+        # finalize). Under a delta overlay this stays pinned at base time;
+        # the overlay's own digests live in meta["delta"]["part_digests"].
+        "part_digests": (base_pd_keep if merge_mode == "delta"
+                         else {str(p): done[p].get("input_digest")
+                               for p in parts_sorted}),
+        **({"delta": delta_out} if delta_out is not None else {}),
         "extractor_version": EXTRACTOR_VERSION,
         "skipped_parts": skipped,
         "schema": schema.to_meta() if schema else [],
@@ -632,4 +704,8 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
         **(mode_meta or {}),
     }
     write_json_atomic(meta_path(index_dir), meta)
+    if merge_mode == "delta" and superseded_gen is not None:
+        import shutil as _shutil
+        _shutil.rmtree(layout.delta_gen_dir(index_dir, superseded_gen),
+                       ignore_errors=True)
     return meta

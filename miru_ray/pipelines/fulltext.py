@@ -172,10 +172,10 @@ def incremental_index(sf_dir: str) -> str:
             raise AssertionError(
                 f"incremental resume rebuilt too much: skipped only "
                 f"{meta['skipped_parts']} of {meta['num_parts']}")
-        if meta["phase_sec"].get("merge_mode") != "splice":
+        if meta["phase_sec"].get("merge_mode") not in ("splice", "delta"):
             raise AssertionError(
                 f"append merged via {meta['phase_sec'].get('merge_mode')!r}, "
-                "expected the v3 splice")
+                "expected the incremental splice or delta overlay")
 
     return cached_source_index(sf_dir, "incr", 1, build, root=_CACHE_ROOT)
 

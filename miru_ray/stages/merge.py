@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from miru_ray.functions.postings import (block_max_tf, decode_ids, decode_tfs,
                                          encode_ids, encode_tfs)
 
-__all__ = ["merge_shard", "merge_rows"]
+__all__ = ["merge_shard", "merge_rows", "splice_shard", "delta_shard"]
 
 
 def _empty_segment_table() -> pa.Table:
@@ -41,6 +41,7 @@ def _empty_segment_table() -> pa.Table:
         "bmax": pa.array([], pa.binary()),
         "parts": pa.array([], pa.list_(pa.int64())),
         "pdfs": pa.array([], pa.list_(pa.int64())),
+        "pcfs": pa.array([], pa.list_(pa.int64())),
     })
 
 
@@ -75,7 +76,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
     shards = df_["shard"].to_numpy()
 
     out_term, out_shard, out_df, out_cf, out_ids, out_tfs, out_bmax = ([], [], [], [], [], [], [])
-    out_parts, out_pdfs = [], []
+    out_parts, out_pdfs, out_pcfs = [], [], []
     for s, e in zip(starts, ends):
         if e - s == 1:  # single-partition term: rebase only
             ids = decode_ids(blobs[s]) + np.uint64(bases[int(parts[s])])
@@ -93,6 +94,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
         out_bmax.append(block_max_tf(tfs))
         out_parts.append([int(p) for p in parts[s:e]])
         out_pdfs.append([int(d) for d in dfs[s:e]])
+        out_pcfs.append([int(c) for c in cfs[s:e]])
     return pa.table({
         "term": pa.array(out_term, pa.string()),
         "shard": pa.array(out_shard, pa.int64()),
@@ -103,6 +105,7 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
         "bmax": pa.array(out_bmax, pa.binary()),
         "parts": pa.array(out_parts, pa.list_(pa.int64())),
         "pdfs": pa.array(out_pdfs, pa.list_(pa.int64())),
+        "pcfs": pa.array(out_pcfs, pa.list_(pa.int64())),
     })
 
 
@@ -148,6 +151,7 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
     f_bmax = fresh["bmax"].to_pylist()
     f_parts = fresh["parts"].to_pylist()
     f_pdfs = fresh["pdfs"].to_pylist()
+    f_pcfs = fresh["pcfs"].to_pylist()
     fresh_by_term: dict[str, int] = {t: i for i, t in enumerate(f_term)}
     gone = set(changed_files) | set(dropped)
     delta = {p: new_bases.get(p, 0) - old_bases.get(p, 0)
@@ -161,19 +165,21 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
     o_docids = old["docids"].to_pylist()
     o_tfs = old["tfs"].to_pylist()
     o_bmax = old["bmax"].to_pylist()
+    o_pcfs = old["pcfs"].to_pylist()
     out = {k: [] for k in ("term", "shard", "df", "cf", "docids", "tfs",
-                           "bmax", "parts", "pdfs")}
+                           "bmax", "parts", "pdfs", "pcfs")}
 
-    def emit(term, df, cf, ids_b, tfs_b, bmax_b, parts_l, pdfs_l):
+    def emit(term, df, cf, ids_b, tfs_b, bmax_b, parts_l, pdfs_l, pcfs_l):
         out["term"].append(term); out["shard"].append(shard)
         out["df"].append(df); out["cf"].append(cf)
         out["docids"].append(ids_b); out["tfs"].append(tfs_b)
         out["bmax"].append(bmax_b)
         out["parts"].append(parts_l); out["pdfs"].append(pdfs_l)
+        out["pcfs"].append(pcfs_l)
 
     def emit_fresh(fi: int):
         emit(f_term[fi], f_df[fi], f_cf[fi], f_docids[fi], f_tfs[fi],
-             f_bmax[fi], f_parts[fi], f_pdfs[fi])
+             f_bmax[fi], f_parts[fi], f_pdfs[fi], f_pcfs[fi])
 
     consumed: set[str] = set()
     for i in range(old.num_rows):
@@ -186,7 +192,7 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
                      and all(delta.get(p, 0) == 0 for p in parts_l))
         if untouched:
             emit(term, o_df[i], o_cf[i], o_docids[i], o_tfs[i],
-                 o_bmax[i], parts_l, pdfs_l)
+                 o_bmax[i], parts_l, pdfs_l, o_pcfs[i])
             continue
         # decode, drop gone runs, shift kept runs, weave in fresh runs
         ids = decode_ids(o_docids[i])
@@ -217,7 +223,8 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
         m_tfs = np.concatenate([r[2] for r in runs])
         emit(term, len(m_ids), int(m_tfs.sum()), encode_ids(m_ids),
              encode_tfs(m_tfs), block_max_tf(m_tfs),
-             [r[0] for r in runs], [len(r[1]) for r in runs])
+             [r[0] for r in runs], [len(r[1]) for r in runs],
+             [int(r[2].sum()) for r in runs])
     # fresh terms not woven into an existing row are brand new — emit as-is
     for fi in range(fresh.num_rows):
         if f_term[fi] not in consumed:
@@ -233,6 +240,7 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
         "bmax": pa.array(out["bmax"], pa.binary()),
         "parts": pa.array(out["parts"], pa.list_(pa.int64())),
         "pdfs": pa.array(out["pdfs"], pa.list_(pa.int64())),
+        "pcfs": pa.array(out["pcfs"], pa.list_(pa.int64())),
     }).sort_by("term")
     os.makedirs(segments_tmp, exist_ok=True)
     final = os.path.join(segments_tmp, f"shard={shard:05d}.parquet")
@@ -240,6 +248,49 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
                    row_group_size=4096, compression="zstd")
     os.replace(final + ".tmp", final)
     return {"n_terms": merged.num_rows, "bytes": os.path.getsize(final)}
+
+
+def delta_shard(shard: int, old_file: str, changed_files: dict[int, str],
+                new_bases: dict[int, int], replaced: set[int],
+                gen_tmp: str) -> dict:
+    """Delta-overlay merge of ONE shard: the base segment file is left
+    UNTOUCHED; the changed partitions' fresh postings are merged into one
+    small overlay file under the pending generation directory (reference
+    dual: LAB delta chits over immutable atomized containers,
+    LabInvertedIndex.java:76-449). Cost is O(changed partitions), not
+    O(index) — the read side (state/segview.py) weaves overlay runs over
+    base runs, dropping base runs of ``replaced`` partitions.
+
+    Returns the shard's RESOLVED stats: n_terms = surviving base terms
+    (>=1 run outside ``replaced``) + overlay terms, bytes = base + overlay
+    file sizes (a term may be counted through both sources once)."""
+    from miru_ray.functions.runtime import limit_worker_threads
+    limit_worker_threads()
+    pieces = []
+    for part, path in changed_files.items():
+        t = pq.read_table(path, filters=pads.field("shard") == shard,
+                          columns=["term", "df", "cf", "docids", "tfs"])
+        if t.num_rows:
+            t = t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
+            t = t.append_column("shard", pa.array([shard] * t.num_rows, pa.int64()))
+            pieces.append(t)
+    fresh = merge_rows(pa.concat_tables(pieces) if pieces else
+                       pa.table({"term": pa.array([], pa.string())}),
+                       new_bases)
+    os.makedirs(gen_tmp, exist_ok=True)
+    final = os.path.join(gen_tmp, f"shard={shard:05d}.parquet")
+    pq.write_table(fresh, final + ".tmp",
+                   row_group_size=4096, compression="zstd")
+    os.replace(final + ".tmp", final)
+    # resolved n_terms without touching any posting blob
+    survivors = set(fresh["term"].to_pylist())
+    base = pq.read_table(old_file, columns=["term", "parts"])
+    for term, parts in zip(base["term"].to_pylist(),
+                           base["parts"].to_pylist()):
+        if term not in survivors and any(p not in replaced for p in parts):
+            survivors.add(term)
+    return {"n_terms": len(survivors),
+            "bytes": os.path.getsize(old_file) + os.path.getsize(final)}
 
 
 def merge_shard(batch: pa.Table, *, index_dir: str, part_files: dict[int, str],

@@ -31,13 +31,17 @@ from typing import Any
 __all__ = [
     "part_dir", "manifest_path", "read_manifest", "write_manifest",
     "completed_parts", "write_json_atomic", "read_json", "meta_path",
-    "segments_dir", "partitions_root",
+    "segments_dir", "partitions_root", "delta_root", "delta_gen_dir",
+    "clear_deltas",
     "source_cache_dir", "stat_validated_memo",
 ]
 
-FORMAT_VERSION = 3  # v2: segments carry block-max (bmax) WAND metadata
+FORMAT_VERSION = 4  # v2: segments carry block-max (bmax) WAND metadata
                     # v3: + per-term run directory (parts, pdfs) enabling
                     #     incremental splice merges (stages/merge.py)
+                    # v4: + per-run cf (pcfs), so the delta-overlay read
+                    #     path resolves df/cf without decoding blobs
+                    #     (state/segview.py)
 
 
 def partitions_root(index_dir: str) -> str:
@@ -58,6 +62,14 @@ def meta_path(index_dir: str) -> str:
 
 def segments_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "segments")
+
+
+def delta_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments_delta")
+
+
+def delta_gen_dir(index_dir: str, gen: int) -> str:
+    return os.path.join(delta_root(index_dir), f"gen={gen:05d}")
 
 
 def write_json_atomic(path: str, obj: dict[str, Any]) -> None:
@@ -106,6 +118,13 @@ def clear_segments(index_dir: str) -> None:
     seg = segments_dir(index_dir)
     if os.path.isdir(seg):
         shutil.rmtree(seg)
+    clear_deltas(index_dir)
+
+
+def clear_deltas(index_dir: str) -> None:
+    d = delta_root(index_dir)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
 
 
 # ------------------------------------------------ source-derived caches

@@ -75,15 +75,18 @@ class IndexReader:
                               dtype=np.int64)
         self.counts = np.array([meta["part_counts"][str(p)] for p in self.parts],
                                dtype=np.int64)
-        def _scan_segs(d: str) -> dict[int, str]:
-            return {int(os.path.basename(f).split("=")[1].split(".")[0]): f
-                    for f in glob.glob(os.path.join(d, "shard=*.parquet"))}
-
-        self._seg_files = _scan_segs(segments_dir(index_dir))
+        # segment access goes through SegView, which resolves the delta
+        # overlay (segments_delta/gen=K) when one is live; an index without
+        # an overlay reads base files untouched. Sidecar field families are
+        # always overlay-free (schema_evolve rewrites them whole).
+        from miru_ray.state.segview import SegView
+        self._views: dict[str | None, SegView] = {
+            None: SegView.primary(index_dir, meta)}
+        for name in self.extra_fields:
+            self._views[name] = SegView(
+                os.path.join(index_dir, f"segments_field_{name}"))
         self._field_seg_files = {
-            name: _scan_segs(os.path.join(index_dir,
-                                          f"segments_field_{name}"))
-            for name in self.extra_fields}
+            name: self._views[name].files for name in self.extra_fields}
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
         self._bmax_cache: dict[str, np.ndarray] = {}
         self._doclen_parts: dict[int, np.ndarray] = {}
@@ -108,13 +111,12 @@ class IndexReader:
                 return name
         return None
 
-    def _family_files(self, fam: str | None) -> dict[int, str]:
-        return self._seg_files if fam is None else self._field_seg_files[fam]
+    def _view(self, fam: str | None):
+        return self._views[fam]
 
     def load_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray, int]]:
         """term → (sorted global ids uint64, aligned tfs int64, df).
         Missing terms are absent from the result."""
-        from miru_ray.functions.postings import decode_ids, decode_tfs
         need = [t for t in terms if t not in self._postings_cache]
         by_fam: dict[str | None, dict[int, list[str]]] = {}
         for t, s in zip(need, shard_for(np.array(need, dtype=object),
@@ -122,23 +124,13 @@ class IndexReader:
             by_fam.setdefault(self._family_of(t), {}) \
                   .setdefault(int(s), []).append(t)
         for fam, by_shard in by_fam.items():
-            files = self._family_files(fam)
+            view = self._view(fam)
             for s, ts in by_shard.items():
-                f = files.get(s)
-                if f is None:
-                    continue
-                tbl = pq.read_table(
-                    f, columns=["term", "df", "docids", "tfs", "bmax"],
-                    filters=pads.field("term").isin(ts))
-                for i in range(tbl.num_rows):
-                    term = tbl["term"][i].as_py()
-                    self._postings_cache[term] = (
-                        decode_ids(tbl["docids"][i].as_py()),
-                        decode_tfs(tbl["tfs"][i].as_py()),
-                        int(tbl["df"][i].as_py()),
-                    )
-                    self._bmax_cache[term] = np.frombuffer(
-                        tbl["bmax"][i].as_py(), dtype="<u2").astype(np.int64)
+                for row in view.postings(s, pads.field("term").isin(ts),
+                                         want_tfs=True, want_bmax=True):
+                    self._postings_cache[row["term"]] = (
+                        row["ids"], row["tfs"], row["df"])
+                    self._bmax_cache[row["term"]] = row["bmax"]
         return {t: self._postings_cache[t] for t in terms if t in self._postings_cache}
 
     def removed_ids(self) -> np.ndarray:
@@ -167,13 +159,9 @@ class IndexReader:
             by_fam.setdefault(self._family_of(t), {}) \
                   .setdefault(int(s), []).append(t)
         for fam, by_shard in by_fam.items():
-            files = self._family_files(fam)
+            view = self._view(fam)
             for s, ts in by_shard.items():
-                f = files.get(s)
-                if f is None:
-                    continue
-                tbl = pq.read_table(f, columns=["term", "df", "cf"],
-                                    filters=pads.field("term").isin(ts))
+                tbl = view.stats(s, pads.field("term").isin(ts))
                 for term, df, cf in zip(tbl["term"].to_pylist(),
                                         tbl["df"].to_pylist(), tbl["cf"].to_pylist()):
                     out[term] = (df, cf)
@@ -188,12 +176,10 @@ class IndexReader:
             return self._prefix_terms_cache[key]
         hi = prefix + "￿"
         found: list[str] = []
-        files = self._family_files(self._family_of(prefix))
-        for s in sorted(files):
-            tbl = pq.read_table(
-                files[s], columns=["term"],
-                filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
-            found.extend(tbl["term"].to_pylist())
+        view = self._view(self._family_of(prefix))
+        for s in view.shards():
+            found.extend(view.terms(
+                s, (pads.field("term") >= prefix) & (pads.field("term") < hi)))
         # bare scans never cross into field namespaces (\x00field\x00…);
         # a namespaced prefix (field:val* queries) stays inside its field
         if prefix.startswith("\x00"):
@@ -211,14 +197,12 @@ class IndexReader:
         key = (lo, hi)
         if key in self._range_ids_cache:
             return self._range_ids_cache[key]
-        from miru_ray.functions.postings import decode_ids
         arrs: list[np.ndarray] = []
-        files = self._family_files(self._family_of(lo))
-        for s in sorted(files):
-            tbl = pq.read_table(
-                files[s], columns=["docids"],
-                filters=(pads.field("term") >= lo) & (pads.field("term") <= hi))
-            arrs.extend(decode_ids(b) for b in tbl["docids"].to_pylist())
+        view = self._view(self._family_of(lo))
+        for s in view.shards():
+            arrs.extend(row["ids"] for row in view.postings(
+                s, (pads.field("term") >= lo) & (pads.field("term") <= hi),
+                want_tfs=False))
         arrs = [a for a in arrs if len(a)]
         if not arrs:
             out = np.empty(0, dtype=np.uint64)

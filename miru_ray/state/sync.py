@@ -49,6 +49,18 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         for name in sorted(os.listdir(sseg)):
             _copy_atomic(os.path.join(sseg, name),
                          os.path.join(segments_dir(dst_dir), name))
+    # a live delta overlay travels with the base it annotates
+    from miru_ray.state.layout import clear_deltas, delta_root
+    clear_deltas(dst_dir)
+    sdelta = delta_root(src_dir)
+    if os.path.isdir(sdelta):
+        for gen_name in sorted(os.listdir(sdelta)):
+            gdir = os.path.join(sdelta, gen_name)
+            if not os.path.isdir(gdir) or gen_name.endswith(".tmp"):
+                continue
+            for name in sorted(os.listdir(gdir)):
+                _copy_atomic(os.path.join(gdir, name),
+                             os.path.join(delta_root(dst_dir), gen_name, name))
     meta = read_json(meta_path(src_dir))
     if meta:
         write_json_atomic(meta_path(dst_dir), meta)

@@ -107,8 +107,12 @@ def test_sip_detects_content_only_change_text_mode(tmp_path, ray_session):
     mutated = pages.set_column(pages.schema.get_field_index("text"), "text",
                                pa.array(texts, pa.string()))
     pq.write_table(mutated, str(src / "a.parquet"))
+    # delta_appends=False: this test pins the DIGEST DETECTION + base-file
+    # identity; the overlay form of the same sip is covered by
+    # tests/test_delta_overlay.py
     meta = build_index(str(src), idx, BuildConfig(num_parts=4, num_shards=2,
-                                                  verify_inputs=True))
+                                                  verify_inputs=True,
+                                                  delta_appends=False))
     assert len(meta["skipped_parts"]) == 3   # only row 17's partition rebuilt
 
     clean = str(tmp_path / "clean")
