@@ -55,9 +55,16 @@ class SegView:
         self.gen_files: dict[int, str] = {}
         self.replaced: set[int] = set()
         if delta:
-            self.gen_files = scan_shard_files(
-                delta_gen_dir(index_dir, int(delta["gen"])))
+            gdir = delta_gen_dir(index_dir, int(delta["gen"]))
+            self.gen_files = scan_shard_files(gdir)
             self.replaced = {int(p) for p in delta["replaced_parts"]}
+            if self.replaced and not self.gen_files:
+                # meta names an overlay that is not on disk: serving base
+                # rows with replaced runs dropped would silently lose docs
+                raise FileNotFoundError(
+                    f"index meta references delta generation {gdir} but no "
+                    "shard files exist there (partial copy or tampering); "
+                    "re-run the build to restore a consistent view")
 
     @classmethod
     def primary(cls, index_dir: str, meta: dict) -> "SegView":

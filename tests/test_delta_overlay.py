@@ -220,3 +220,44 @@ def test_segview_drops_dead_terms(tmp_path):
     assert rows["alive"]["ids"].tolist() == [1, 2]
     assert rows["fresh"]["ids"].tolist() == [20, 21]
     assert rows["fresh"]["tfs"].tolist() == [1, 2]
+
+
+def test_crash_between_gen_commit_and_meta_is_recoverable(tmp_path,
+                                                          ray_session,
+                                                          corpus):
+    """Simulate a build that died AFTER renaming the new generation but
+    BEFORE writing meta: the old meta still references the previous view,
+    the orphan gen dir is superseded on the next run, and queries stay
+    exact."""
+    import json
+    import shutil
+    src, full, cfg = corpus
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, cfg(False))
+    meta_before = json.load(open(os.path.join(idx, "meta.json")))
+    pq.write_table(full.slice(720, 80), str(src / "b.parquet"))
+    meta_after = build_index(str(src), idx, cfg(True))
+    assert meta_after["phase_sec"]["merge_mode"] == "delta"
+    # roll meta back to the pre-append state: gen=00000 is now an orphan
+    # the old meta knows nothing about, and the appended partitions'
+    # manifests disagree with the old part_digests (the crash signature)
+    json.dump(meta_before, open(os.path.join(idx, "meta.json"), "w"))
+    meta2 = build_index(str(src), idx, cfg(True))
+    assert meta2["phase_sec"]["merge_mode"] == "delta"
+    clean = str(tmp_path / "clean")
+    build_index(str(src), clean, cfg(False))
+    _assert_reader_equiv(idx, clean)
+
+
+def test_missing_referenced_generation_fails_loudly(tmp_path, ray_session,
+                                                    corpus):
+    import shutil
+    src, full, cfg = corpus
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, cfg(False))
+    pq.write_table(full.slice(720, 80), str(src / "b.parquet"))
+    meta = build_index(str(src), idx, cfg(True))
+    assert meta["phase_sec"]["merge_mode"] == "delta"
+    shutil.rmtree(os.path.join(idx, "segments_delta"))
+    with pytest.raises(FileNotFoundError):
+        IndexReader(idx)
