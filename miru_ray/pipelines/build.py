@@ -626,17 +626,15 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
                 changed_files = {p: part_files[p] for p in sorted(stale)}
                 delta_task = _ray.remote(num_cpus=merge_cpus)(delta_shard)
                 futs = [delta_task.remote(s_, seg_old[s_], changed_files,
-                                          bases, set(replaced), gen_tmp)
+                                          bases, gen_tmp)
                         for s_ in range(num_shards)]
                 seg_stats = _ray.get(futs)
                 _shutil.rmtree(gen_dir, ignore_errors=True)  # crashed orphan
                 os.makedirs(os.path.dirname(gen_dir), exist_ok=True)
                 os.replace(gen_tmp, gen_dir)
-                # the superseded generation is removed only AFTER the new
+                # superseded generations are removed only AFTER the new
                 # meta commits (below) — a crash here must leave the old
                 # meta's generation readable
-                superseded_gen = (int(prev_delta["gen"])
-                                  if prev_delta is not None else None)
                 merge_mode = "delta"
                 delta_out = {
                     "gen": gen,
@@ -704,8 +702,17 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
         **(mode_meta or {}),
     }
     write_json_atomic(meta_path(index_dir), meta)
-    if merge_mode == "delta" and superseded_gen is not None:
+    if merge_mode == "delta":
+        # drop EVERY generation the new meta does not reference — the one
+        # just superseded plus any leaked by runs that crashed between
+        # their meta commit and this cleanup
         import shutil as _shutil
-        _shutil.rmtree(layout.delta_gen_dir(index_dir, superseded_gen),
-                       ignore_errors=True)
+        droot = layout.delta_root(index_dir)
+        keep = os.path.basename(
+            layout.delta_gen_dir(index_dir, int(delta_out["gen"])))
+        if os.path.isdir(droot):
+            for name in os.listdir(droot):
+                if name != keep:
+                    _shutil.rmtree(os.path.join(droot, name),
+                                   ignore_errors=True)
     return meta

@@ -104,11 +104,22 @@ def term_stats_prefix(sf_dir: str, prefix: str = "s") -> pa.Table:
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import glob
+    from miru_ray.state.layout import meta_path, read_json
     idx = documents_index(sf_dir)
-    files = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))
     hi = prefix + "￿"
-    t = pq.read_table(files, columns=["term", "df", "cf"],
-                      filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
+    flt = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+    meta = read_json(meta_path(idx)) or {}
+    if meta.get("delta"):
+        # a live overlay (possible after a sip/repair on this cache):
+        # resolve per shard through SegView — raw base rows would carry
+        # superseded df/cf and miss overlay-only terms
+        from miru_ray.state.segview import SegView
+        view = SegView.primary(idx, meta)
+        parts = [view.stats(s, flt) for s in view.shards()]
+        t = pa.concat_tables(parts)
+    else:
+        files = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))
+        t = pq.read_table(files, columns=["term", "df", "cf"], filters=flt)
     return t.sort_by("term")
 
 
@@ -300,17 +311,31 @@ def term_first_last(sf_dir: str, prefix: str = "s") -> pa.Table:
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     from miru_ray.functions.postings import decode_first_last
+    from miru_ray.state.layout import meta_path, read_json
     idx = documents_index(sf_dir)
-    files = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))
     hi = prefix + "\uffff"
-    t = pq.read_table(files, columns=["term", "docids"],
-                      filters=(pads.field("term") >= prefix) & (pads.field("term") < hi))
+    flt = (pads.field("term") >= prefix) & (pads.field("term") < hi)
     terms, first, last = [], [], []
-    for term, blob in zip(t["term"].to_pylist(), t["docids"].to_pylist()):
-        lo, hiid = decode_first_last(blob)
-        terms.append(term)
-        first.append(lo)
-        last.append(hiid)
+    meta = read_json(meta_path(idx)) or {}
+    if meta.get("delta"):
+        # live overlay: the raw base blobs' edges can point at replaced
+        # docs \u2014 resolve runs through SegView (full decode for the few
+        # prefix-matched terms; the edge read stays the overlay-free path)
+        from miru_ray.state.segview import SegView
+        view = SegView.primary(idx, meta)
+        for s in view.shards():
+            for row in view.postings(s, flt, want_tfs=False):
+                terms.append(row["term"])
+                first.append(int(row["ids"][0]))
+                last.append(int(row["ids"][-1]))
+    else:
+        files = sorted(glob.glob(os.path.join(idx, "segments", "*.parquet")))
+        t = pq.read_table(files, columns=["term", "docids"], filters=flt)
+        for term, blob in zip(t["term"].to_pylist(), t["docids"].to_pylist()):
+            lo, hiid = decode_first_last(blob)
+            terms.append(term)
+            first.append(lo)
+            last.append(hiid)
     out = pa.table({"term": pa.array(terms, pa.string()),
                     "first_doc": pa.array(first, pa.int64()),
                     "last_doc": pa.array(last, pa.int64())})

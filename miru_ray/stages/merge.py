@@ -251,8 +251,7 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
 
 
 def delta_shard(shard: int, old_file: str, changed_files: dict[int, str],
-                new_bases: dict[int, int], replaced: set[int],
-                gen_tmp: str) -> dict:
+                new_bases: dict[int, int], gen_tmp: str) -> dict:
     """Delta-overlay merge of ONE shard: the base segment file is left
     UNTOUCHED; the changed partitions' fresh postings are merged into one
     small overlay file under the pending generation directory (reference
@@ -261,9 +260,12 @@ def delta_shard(shard: int, old_file: str, changed_files: dict[int, str],
     O(index) — the read side (state/segview.py) weaves overlay runs over
     base runs, dropping base runs of ``replaced`` partitions.
 
-    Returns the shard's RESOLVED stats: n_terms = surviving base terms
-    (>=1 run outside ``replaced``) + overlay terms, bytes = base + overlay
-    file sizes (a term may be counted through both sources once)."""
+    Returns the shard's stats: n_terms = base terms + overlay-only terms
+    (the base-term count comes free from parquet metadata and the
+    intersection is a row-group-pruned isin read over just the overlay's
+    terms — O(changed), not O(vocabulary); a base term whose every run was
+    replaced and that got no fresh row is overcounted until the next fold,
+    a documented metadata-only approximation), bytes = base + overlay."""
     from miru_ray.functions.runtime import limit_worker_threads
     limit_worker_threads()
     pieces = []
@@ -282,14 +284,13 @@ def delta_shard(shard: int, old_file: str, changed_files: dict[int, str],
     pq.write_table(fresh, final + ".tmp",
                    row_group_size=4096, compression="zstd")
     os.replace(final + ".tmp", final)
-    # resolved n_terms without touching any posting blob
-    survivors = set(fresh["term"].to_pylist())
-    base = pq.read_table(old_file, columns=["term", "parts"])
-    for term, parts in zip(base["term"].to_pylist(),
-                           base["parts"].to_pylist()):
-        if term not in survivors and any(p not in replaced for p in parts):
-            survivors.add(term)
-    return {"n_terms": len(survivors),
+    base_rows = pq.ParquetFile(old_file).metadata.num_rows
+    gen_terms = fresh["term"].to_pylist()
+    matched = (pq.read_table(
+        old_file, columns=["term"],
+        filters=pads.field("term").isin(gen_terms)).num_rows
+        if gen_terms else 0)
+    return {"n_terms": base_rows + len(gen_terms) - matched,
             "bytes": os.path.getsize(old_file) + os.path.getsize(final)}
 
 

@@ -74,11 +74,11 @@ class SegView:
         self._min_rep: int | None = None
         # per-shard caches, built on first touch (a SegView lives inside
         # one IndexReader; the index is immutable for its lifetime):
-        #   _gen_cache: the full overlay table + term -> row index
+        #   _gen_cache: the full overlay table per shard
         #   _res_cache: term -> (parts, pdfs, pcfs) for terms whose runs
         #               reach min(replaced) — the only terms that can need
         #               run surgery or part-interleaved weaving
-        self._gen_cache: dict[int, tuple[pa.Table | None, dict[str, int]]] = {}
+        self._gen_cache: dict[int, pa.Table | None] = {}
         self._res_cache: dict[int, dict[str, tuple[list, list, list]]] = {}
         if delta:
             gdir = delta_gen_dir(index_dir, int(delta["gen"]))
@@ -86,13 +86,17 @@ class SegView:
             self.replaced = {int(p) for p in delta["replaced_parts"]}
             if self.replaced:
                 self._min_rep = min(self.replaced)
-            if self.replaced and not self.gen_files:
-                # meta names an overlay that is not on disk: serving base
-                # rows with replaced runs dropped would silently lose docs
+            missing = set(self.files) - set(self.gen_files)
+            if self.replaced and missing:
+                # delta_shard writes a file for EVERY shard (even when the
+                # fresh rows are empty), so any base shard without an
+                # overlay twin means a partial copy — serving base rows
+                # with replaced runs dropped would silently lose docs
                 raise FileNotFoundError(
-                    f"index meta references delta generation {gdir} but no "
-                    "shard files exist there (partial copy or tampering); "
-                    "re-run the build to restore a consistent view")
+                    f"index meta references delta generation {gdir} but "
+                    f"shards {sorted(missing)} have no overlay file there "
+                    "(partial copy or tampering); re-run the build or sync "
+                    "to restore a consistent view")
 
     @classmethod
     def primary(cls, index_dir: str, meta: dict) -> "SegView":
@@ -107,15 +111,12 @@ class SegView:
 
     # ------------------------------------------------- one-time caches
 
-    def _gen(self, shard: int) -> tuple[pa.Table | None, dict[str, int]]:
-        hit = self._gen_cache.get(shard)
-        if hit is None:
+    def _gen(self, shard: int) -> pa.Table | None:
+        if shard not in self._gen_cache:
             g = self.gen_files.get(shard)
-            tbl = pq.read_table(g) if g is not None else None
-            idx = (dict(zip(tbl["term"].to_pylist(), range(tbl.num_rows)))
-                   if tbl is not None else {})
-            hit = self._gen_cache[shard] = (tbl, idx)
-        return hit
+            self._gen_cache[shard] = pq.read_table(g) if g is not None \
+                else None
+        return self._gen_cache[shard]
 
     def _res(self, shard: int) -> dict[str, tuple[list, list, list]]:
         hit = self._res_cache.get(shard)
@@ -142,7 +143,7 @@ class SegView:
         return pq.read_table(f, columns=columns, filters=filters)
 
     def _gen_rows(self, shard: int, filters) -> pa.Table | None:
-        tbl, _ = self._gen(shard)
+        tbl = self._gen(shard)
         if tbl is None:
             return None
         return tbl.filter(filters) if filters is not None else tbl

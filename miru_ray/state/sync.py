@@ -49,21 +49,36 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         for name in sorted(os.listdir(sseg)):
             _copy_atomic(os.path.join(sseg, name),
                          os.path.join(segments_dir(dst_dir), name))
-    # a live delta overlay travels with the base it annotates
-    from miru_ray.state.layout import clear_deltas, delta_root
-    clear_deltas(dst_dir)
-    sdelta = delta_root(src_dir)
-    if os.path.isdir(sdelta):
-        for gen_name in sorted(os.listdir(sdelta)):
-            gdir = os.path.join(sdelta, gen_name)
-            if not os.path.isdir(gdir) or gen_name.endswith(".tmp"):
-                continue
-            for name in sorted(os.listdir(gdir)):
-                _copy_atomic(os.path.join(gdir, name),
-                             os.path.join(delta_root(dst_dir), gen_name, name))
+    # a live delta overlay travels with the base it annotates. Crash
+    # contract (same as the build's finalize): the destination's OLD
+    # meta + its generation stay readable until the new meta commits, so
+    # the src generation is copied under a FRESH dst generation number
+    # (never colliding with any dir a live dst meta could reference), the
+    # remapped meta commits, and only then are unreferenced gens dropped.
+    from miru_ray.state.layout import delta_gen_dir, delta_root
     meta = read_json(meta_path(src_dir))
+    keep_gen_name = None
+    if meta and meta.get("delta"):
+        src_gdir = delta_gen_dir(src_dir, int(meta["delta"]["gen"]))
+        ddelta = delta_root(dst_dir)
+        existing = [int(n.split("=")[1]) for n in
+                    (os.listdir(ddelta) if os.path.isdir(ddelta) else [])
+                    if n.startswith("gen=") and not n.endswith(".tmp")]
+        dst_gen = max(existing + [int(meta["delta"]["gen"]) - 1]) + 1
+        dst_gdir = delta_gen_dir(dst_dir, dst_gen)
+        for name in sorted(os.listdir(src_gdir)):
+            _copy_atomic(os.path.join(src_gdir, name),
+                         os.path.join(dst_gdir, name))
+        meta = {**meta, "delta": {**meta["delta"], "gen": dst_gen}}
+        keep_gen_name = os.path.basename(dst_gdir)
     if meta:
         write_json_atomic(meta_path(dst_dir), meta)
+    ddelta = delta_root(dst_dir)
+    if os.path.isdir(ddelta):
+        for name in os.listdir(ddelta):   # stale/superseded generations
+            if name != keep_gen_name:
+                shutil.rmtree(os.path.join(ddelta, name),
+                              ignore_errors=True)
     ts = os.path.join(src_dir, "tombstones.json")
     if os.path.exists(ts):
         _copy_atomic(ts, os.path.join(dst_dir, "tombstones.json"))

@@ -261,3 +261,46 @@ def test_missing_referenced_generation_fails_loudly(tmp_path, ray_session,
     shutil.rmtree(os.path.join(idx, "segments_delta"))
     with pytest.raises(FileNotFoundError):
         IndexReader(idx)
+
+
+def test_resync_with_live_destination_overlay(tmp_path, ray_session, corpus):
+    """Re-syncing over a destination that already carries an overlay must
+    land the src generation under a FRESH dst generation number (the old
+    one stays readable until the new meta commits) and then drop it."""
+    from miru_ray.state.sync import sync_index
+    src, full, cfg = corpus
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, cfg(False))
+    pq.write_table(full.slice(720, 40), str(src / "b.parquet"))
+    assert build_index(str(src), idx, cfg(True))["phase_sec"]["merge_mode"] == "delta"
+    dst = str(tmp_path / "dst")
+    sync_index(idx, dst)
+    # src takes a second sip (superseding gen 1), then re-sync
+    pq.write_table(full.slice(760, 40), str(src / "c.parquet"))
+    m2 = build_index(str(src), idx, cfg(True))
+    assert m2["phase_sec"]["merge_mode"] == "delta" and m2["delta"]["gen"] == 1
+    sync_index(idx, dst)
+    import json
+    dmeta = json.load(open(os.path.join(dst, "meta.json")))
+    gens = os.listdir(os.path.join(dst, "segments_delta"))
+    assert gens == [f"gen={int(dmeta['delta']['gen']):05d}"]
+    clean = str(tmp_path / "clean")
+    build_index(str(src), clean, cfg(False))
+    _assert_reader_equiv(dst, clean)
+
+
+def test_stats_scans_resolve_overlay(tmp_path, ray_session, corpus):
+    """term_stats through the reader equals a clean build even for terms
+    whose df/cf changed ONLY via the overlay (regression for the raw
+    segment-glob scans)."""
+    src, full, cfg = corpus
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, cfg(False))
+    pq.write_table(full.slice(720, 80), str(src / "b.parquet"))
+    assert build_index(str(src), idx, cfg(True))["phase_sec"]["merge_mode"] == "delta"
+    clean = str(tmp_path / "clean")
+    build_index(str(src), clean, cfg(False))
+    ra, rb = IndexReader(idx), IndexReader(clean)
+    # needle7's later-docs need the overlay; 'the' spans nearly every doc
+    for t in ("needle7", "the", "scan"):
+        assert ra.term_stats([t]) == rb.term_stats([t]), t
