@@ -304,3 +304,33 @@ def test_stats_scans_resolve_overlay(tmp_path, ray_session, corpus):
     # needle7's later-docs need the overlay; 'the' spans nearly every doc
     for t in ("needle7", "the", "scan"):
         assert ra.term_stats([t]) == rb.term_stats([t]), t
+
+
+def test_many_sips_auto_fold_lifecycle(tmp_path, ray_session):
+    """A stream of small time-ordered sips: overlay generations supersede
+    one another while the stale set grows, the engine auto-folds via the
+    splice once the overlay would cover too much, and the result equals a
+    clean build after EVERY step."""
+    full = generate_pages(0, 1000)
+    ts = full["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    bounds = (int(ts.min()), int(ts.max()) + 1)
+    src = tmp_path / "wal"
+    src.mkdir()
+    pq.write_table(full.slice(0, 500), str(src / "base.parquet"))
+    cfg = lambda v: BuildConfig(num_parts=16, num_shards=2,    # noqa: E731
+                                partition_mode="time_range",
+                                time_bounds=bounds, verify_inputs=v)
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, cfg(False))
+    modes = []
+    for k in range(10):                      # ten 50-row sips
+        pq.write_table(full.slice(500 + 50 * k, 50),
+                       str(src / f"sip{k:02d}.parquet"))
+        m = build_index(str(src), idx, cfg(True))
+        modes.append(m["phase_sec"]["merge_mode"])
+    # the lifecycle engaged both rungs: overlays early, >=1 auto-fold once
+    # the cumulative stale set outgrew the 1/4 threshold
+    assert "delta" in modes and ("splice" in modes or "full" in modes), modes
+    clean = str(tmp_path / "clean")
+    build_index(str(src), clean, cfg(False))
+    _assert_reader_equiv(idx, clean)
