@@ -703,16 +703,5 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
     }
     write_json_atomic(meta_path(index_dir), meta)
     if merge_mode == "delta":
-        # drop EVERY generation the new meta does not reference — the one
-        # just superseded plus any leaked by runs that crashed between
-        # their meta commit and this cleanup
-        import shutil as _shutil
-        droot = layout.delta_root(index_dir)
-        keep = os.path.basename(
-            layout.delta_gen_dir(index_dir, int(delta_out["gen"])))
-        if os.path.isdir(droot):
-            for name in os.listdir(droot):
-                if name != keep:
-                    _shutil.rmtree(os.path.join(droot, name),
-                                   ignore_errors=True)
+        layout.prune_delta_gens(index_dir, int(delta_out["gen"]))
     return meta

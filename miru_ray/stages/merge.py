@@ -109,6 +109,23 @@ def merge_rows(rows: pa.Table, bases: dict[int, int]) -> pa.Table:
     })
 
 
+def _fresh_rows(shard: int, changed_files: dict[int, str],
+                bases: dict[int, int]) -> pa.Table:
+    """Read the ``shard`` rows of each changed partition's postings
+    (predicate pushdown), stamp part/shard, and merge per term — the
+    shared front half of the full/splice/delta merges."""
+    pieces = []
+    for part, path in changed_files.items():
+        t = pq.read_table(path, filters=pads.field("shard") == shard,
+                          columns=["term", "df", "cf", "docids", "tfs"])
+        if t.num_rows:
+            t = t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
+            t = t.append_column("shard", pa.array([shard] * t.num_rows, pa.int64()))
+            pieces.append(t)
+    return merge_rows(pa.concat_tables(pieces) if pieces else
+                      pa.table({"term": pa.array([], pa.string())}), bases)
+
+
 def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
                  old_bases: dict[int, int], new_bases: dict[int, int],
                  dropped: set[int], segments_tmp: str) -> dict:
@@ -128,18 +145,7 @@ def splice_shard(shard: int, old_file: str, changed_files: dict[int, str],
     from miru_ray.functions.runtime import limit_worker_threads
     limit_worker_threads()
     old = pq.read_table(old_file)
-    # fresh rows of the changed partitions, merged per term in part order
-    pieces = []
-    for part, path in changed_files.items():
-        t = pq.read_table(path, filters=pads.field("shard") == shard,
-                          columns=["term", "df", "cf", "docids", "tfs"])
-        if t.num_rows:
-            t = t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
-            t = t.append_column("shard", pa.array([shard] * t.num_rows, pa.int64()))
-            pieces.append(t)
-    fresh = merge_rows(pa.concat_tables(pieces) if pieces else
-                       pa.table({"term": pa.array([], pa.string())}),
-                       new_bases)
+    fresh = _fresh_rows(shard, changed_files, new_bases)
     # bulk-convert EVERY column touched in the loop once — chained-array
     # cell.as_py() per row costs five chunk lookups per untouched term,
     # which dominates exactly the fast path this function exists for
@@ -268,17 +274,7 @@ def delta_shard(shard: int, old_file: str, changed_files: dict[int, str],
     a documented metadata-only approximation), bytes = base + overlay."""
     from miru_ray.functions.runtime import limit_worker_threads
     limit_worker_threads()
-    pieces = []
-    for part, path in changed_files.items():
-        t = pq.read_table(path, filters=pads.field("shard") == shard,
-                          columns=["term", "df", "cf", "docids", "tfs"])
-        if t.num_rows:
-            t = t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
-            t = t.append_column("shard", pa.array([shard] * t.num_rows, pa.int64()))
-            pieces.append(t)
-    fresh = merge_rows(pa.concat_tables(pieces) if pieces else
-                       pa.table({"term": pa.array([], pa.string())}),
-                       new_bases)
+    fresh = _fresh_rows(shard, changed_files, new_bases)
     os.makedirs(gen_tmp, exist_ok=True)
     final = os.path.join(gen_tmp, f"shard={shard:05d}.parquet")
     pq.write_table(fresh, final + ".tmp",
@@ -305,17 +301,7 @@ def merge_shard(batch: pa.Table, *, index_dir: str, part_files: dict[int, str],
     limit_worker_threads()
     out_rows = {"shard": [], "n_terms": [], "bytes": []}
     for shard in batch["shard"].to_pylist():
-        pieces = []
-        for part, path in part_files.items():
-            t = pq.read_table(path, filters=pads.field("shard") == shard,
-                              columns=["term", "df", "cf", "docids", "tfs"])
-            if t.num_rows:
-                t = t.append_column("part", pa.array([part] * t.num_rows, pa.int64()))
-                t = t.append_column("shard", pa.array([shard] * t.num_rows, pa.int64()))
-                pieces.append(t)
-        merged = merge_rows(
-            pa.concat_tables(pieces) if pieces else
-            pa.table({"term": pa.array([], pa.string())}), bases)
+        merged = _fresh_rows(shard, part_files, bases)
         os.makedirs(segments_tmp, exist_ok=True)
         final = os.path.join(segments_tmp, f"shard={shard:05d}.parquet")
         pq.write_table(merged, final + ".tmp",

@@ -32,7 +32,7 @@ __all__ = [
     "part_dir", "manifest_path", "read_manifest", "write_manifest",
     "completed_parts", "write_json_atomic", "read_json", "meta_path",
     "segments_dir", "partitions_root", "delta_root", "delta_gen_dir",
-    "clear_deltas",
+    "clear_deltas", "prune_delta_gens",
     "source_cache_dir", "stat_validated_memo",
 ]
 
@@ -125,6 +125,21 @@ def clear_deltas(index_dir: str) -> None:
     d = delta_root(index_dir)
     if os.path.isdir(d):
         shutil.rmtree(d)
+
+
+def prune_delta_gens(index_dir: str, keep_gen: int) -> None:
+    """Remove every overlay generation directory except ``keep_gen`` —
+    the one the just-committed meta references. Run AFTER the meta commit
+    so a crash never leaves a referenced generation missing; also sweeps
+    generations leaked by earlier runs that crashed before their own
+    cleanup."""
+    d = delta_root(index_dir)
+    if not os.path.isdir(d):
+        return
+    keep = os.path.basename(delta_gen_dir(index_dir, keep_gen))
+    for name in os.listdir(d):
+        if name != keep:
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
 
 # ------------------------------------------------ source-derived caches

@@ -85,8 +85,6 @@ class IndexReader:
         for name in self.extra_fields:
             self._views[name] = SegView(
                 os.path.join(index_dir, f"segments_field_{name}"))
-        self._field_seg_files = {
-            name: self._views[name].files for name in self.extra_fields}
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
         self._bmax_cache: dict[str, np.ndarray] = {}
         self._doclen_parts: dict[int, np.ndarray] = {}
@@ -107,7 +105,7 @@ class IndexReader:
         too — they share the primary posting space)."""
         if term.startswith("\x00"):
             name = term[1:].split("\x00", 1)[0]
-            if name in self._field_seg_files:
+            if name in self.extra_fields:
                 return name
         return None
 

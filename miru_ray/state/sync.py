@@ -55,9 +55,10 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     # the src generation is copied under a FRESH dst generation number
     # (never colliding with any dir a live dst meta could reference), the
     # remapped meta commits, and only then are unreferenced gens dropped.
-    from miru_ray.state.layout import delta_gen_dir, delta_root
+    from miru_ray.state.layout import (clear_deltas, delta_gen_dir,
+                                       delta_root, prune_delta_gens)
     meta = read_json(meta_path(src_dir))
-    keep_gen_name = None
+    dst_gen = None
     if meta and meta.get("delta"):
         src_gdir = delta_gen_dir(src_dir, int(meta["delta"]["gen"]))
         ddelta = delta_root(dst_dir)
@@ -70,15 +71,12 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
             _copy_atomic(os.path.join(src_gdir, name),
                          os.path.join(dst_gdir, name))
         meta = {**meta, "delta": {**meta["delta"], "gen": dst_gen}}
-        keep_gen_name = os.path.basename(dst_gdir)
     if meta:
         write_json_atomic(meta_path(dst_dir), meta)
-    ddelta = delta_root(dst_dir)
-    if os.path.isdir(ddelta):
-        for name in os.listdir(ddelta):   # stale/superseded generations
-            if name != keep_gen_name:
-                shutil.rmtree(os.path.join(ddelta, name),
-                              ignore_errors=True)
+    if dst_gen is not None:
+        prune_delta_gens(dst_dir, dst_gen)
+    else:
+        clear_deltas(dst_dir)
     ts = os.path.join(src_dir, "tombstones.json")
     if os.path.exists(ts):
         _copy_atomic(ts, os.path.join(dst_dir, "tombstones.json"))
