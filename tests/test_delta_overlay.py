@@ -334,3 +334,44 @@ def test_many_sips_auto_fold_lifecycle(tmp_path, ray_session):
     clean = str(tmp_path / "clean")
     build_index(str(src), clean, cfg(False))
     _assert_reader_equiv(idx, clean)
+
+
+def test_stable_count_repair_takes_overlay(tmp_path, ray_session):
+    """A pure value repair (same url+version count per partition) merges
+    via the overlay — base files byte-untouched — and queries equal a
+    clean build over the corrected corpus; delta_appends=False forces the
+    digest-identical splice path."""
+    from miru_ray.pipelines.repair import repair_index
+    from miru_ray.sources.fixtures import write_pages_parquet
+    src = str(tmp_path / "src")
+    write_pages_parquet(src, 1500, rows_per_file=500)
+    cfg = BuildConfig(num_parts=16, num_shards=2, store_text=True)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, cfg)
+    before = _file_digests(idx)
+    pages = generate_pages(10, 11)
+    # the repair VERSION must be newer than the stored one to supersede
+    newer = pa.array(pages["warc_ts"].to_numpy()
+                     + np.timedelta64(1, "s"), pa.timestamp("us"))
+    feed = pa.table({
+        "op": pa.array(["repair"]),
+        "url": pages["url"],
+        "warc_ts": newer,
+        "text": pa.array(["replacement text needle7 needle7"]),
+        "lang": pages["lang"],
+    })
+    meta = repair_index(idx, feed)
+    assert meta["phase_sec"]["merge_mode"] == "delta"
+    assert _file_digests(idx) == before          # base untouched
+    # the repaired doc is served from the overlay
+    r = IndexReader(idx)
+    hits = search(r, "replacement", k=5)
+    assert hits.num_rows == 1
+    # forcing the splice folds the overlay and digests match a rebuild
+    idx2 = str(tmp_path / "idx2")
+    build_index(src, idx2, cfg)
+    repair_index(idx2, feed, delta_appends=False)
+    r2 = IndexReader(idx2)
+    for q in ("replacement", "needle7"):
+        assert (search(r, q, k=20)["doc_id"].to_pylist()
+                == search(r2, q, k=20)["doc_id"].to_pylist()), q
