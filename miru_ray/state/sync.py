@@ -43,9 +43,25 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
             _copy_atomic(os.path.join(sdir, name), os.path.join(ddir, name))
         write_json_atomic(os.path.join(ddir, "manifest.json"), m)  # commit last
         synced.append(p)
-    # segments + meta (small; always refreshed to match src)
+    # base segments: skip the whole copy when the destination's BASE was
+    # merged from exactly the same partition builds (meta.part_digests are
+    # pinned at base time and the merge is deterministic, so equal digests
+    # ⇒ byte-identical base files). After an overlay sip only the ~MB
+    # generation travels — the O(delta) replication the reference's
+    # sync-sender does (MiruSyncSender.java:74-295).
+    src_meta = read_json(meta_path(src_dir))
+    dst_meta = read_json(meta_path(dst_dir))
     sseg = segments_dir(src_dir)
-    if os.path.isdir(sseg):
+    base_skipped = bool(
+        src_meta and dst_meta
+        and src_meta.get("part_digests")
+        and src_meta.get("part_digests") == dst_meta.get("part_digests")
+        and src_meta.get("format_version") == dst_meta.get("format_version")
+        and src_meta.get("num_shards") == dst_meta.get("num_shards")
+        and os.path.isdir(sseg)
+        and all(os.path.exists(os.path.join(segments_dir(dst_dir), n))
+                for n in os.listdir(sseg)))
+    if os.path.isdir(sseg) and not base_skipped:
         for name in sorted(os.listdir(sseg)):
             _copy_atomic(os.path.join(sseg, name),
                          os.path.join(segments_dir(dst_dir), name))
@@ -57,7 +73,7 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     # remapped meta commits, and only then are unreferenced gens dropped.
     from miru_ray.state.layout import (clear_deltas, delta_gen_dir,
                                        delta_root, prune_delta_gens)
-    meta = read_json(meta_path(src_dir))
+    meta = src_meta
     dst_gen = None
     if meta and meta.get("delta"):
         src_gdir = delta_gen_dir(src_dir, int(meta["delta"]["gen"]))
@@ -80,6 +96,7 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     ts = os.path.join(src_dir, "tombstones.json")
     if os.path.exists(ts):
         _copy_atomic(ts, os.path.join(dst_dir, "tombstones.json"))
-    progress = {"synced": synced, "skipped": skipped}
+    progress = {"synced": synced, "skipped": skipped,
+                "base_skipped": base_skipped}
     write_json_atomic(os.path.join(dst_dir, "sync_progress.json"), progress)
     return progress

@@ -375,3 +375,27 @@ def test_stable_count_repair_takes_overlay(tmp_path, ray_session):
     for q in ("replacement", "needle7"):
         assert (search(r, q, k=20)["doc_id"].to_pylist()
                 == search(r2, q, k=20)["doc_id"].to_pylist()), q
+
+
+def test_resync_after_sip_skips_base_copy(tmp_path, ray_session, corpus):
+    """After an overlay sip on src, a re-sync moves ONLY the overlay: the
+    destination's base segment files are not rewritten (part_digests are
+    pinned at base time and the merge is deterministic)."""
+    from miru_ray.state.sync import sync_index
+    src, full, cfg = corpus
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, cfg(False))
+    dst = str(tmp_path / "dst")
+    p0 = sync_index(idx, dst)
+    assert p0["base_skipped"] is False          # first sync copies the base
+    base_mtimes = {f: os.path.getmtime(f) for f in
+                   glob.glob(os.path.join(dst, "segments", "*.parquet"))}
+    pq.write_table(full.slice(720, 80), str(src / "b.parquet"))
+    assert build_index(str(src), idx, cfg(True))["phase_sec"]["merge_mode"] == "delta"
+    p1 = sync_index(idx, dst)
+    assert p1["base_skipped"] is True           # only the overlay traveled
+    assert {f: os.path.getmtime(f) for f in
+            glob.glob(os.path.join(dst, "segments", "*.parquet"))} == base_mtimes
+    clean = str(tmp_path / "clean")
+    build_index(str(src), clean, cfg(False))
+    _assert_reader_equiv(dst, clean)
