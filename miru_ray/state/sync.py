@@ -58,6 +58,12 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         and src_meta.get("part_digests") == dst_meta.get("part_digests")
         and src_meta.get("format_version") == dst_meta.get("format_version")
         and src_meta.get("num_shards") == dst_meta.get("num_shards")
+        # part_digests hash the partition INPUTS — identical inputs under
+        # a different analyzer/schema produce different segments, so those
+        # must match too before equal digests imply equal bytes
+        and src_meta.get("analyzer") == dst_meta.get("analyzer")
+        and src_meta.get("schema") == dst_meta.get("schema")
+        and src_meta.get("extractor_version") == dst_meta.get("extractor_version")
         and os.path.isdir(sseg)
         and all(os.path.exists(os.path.join(segments_dir(dst_dir), n))
                 for n in os.listdir(sseg)))
