@@ -23,7 +23,6 @@ import pyarrow as pa
 from miru_ray.functions.bm25 import bm25_term_scores, topk_order
 from miru_ray.functions.filters import evaluate, parse_query, query_terms
 from miru_ray.functions.postings import intersect_sorted
-from miru_ray.state.domain import DomainMask
 from miru_ray.state.reader import IndexReader
 
 __all__ = ["search", "BatchSearcher", "score_candidates", "search_scattered",
@@ -184,14 +183,7 @@ def search(reader: IndexReader, query: str, k: int = 10,
     # domains compose as predicates on ONE lazy packed-bitmap mask
     # (1 bit/doc per touched partition) ANDed against candidates during
     # evaluation — never an explicit id array of the matching domain
-    preds = []
-    if time_range is not None:
-        preds.append(reader.time_pred(*time_range))
-    if langs:
-        preds.append(reader.lang_pred(langs))
-    if authz is not None:
-        preds.append(reader.ids_pred(reader.authz_domain(authz)))
-    domain = DomainMask(reader, preds) if preds else None
+    domain = reader.domain_mask(time_range, langs, authz)
     candidates = evaluate(tree, reader, domain)
     removed = reader.removed_ids()
     if len(removed):   # removal-index ANDNOT mask (MiruRemovalIndex)

@@ -95,6 +95,7 @@ class IndexReader:
         self._docs_cache: dict[int, pa.Table] = {}
         self._doc_cols: dict[tuple[int, str], pa.ChunkedArray] = {}
         self._terms_cache: dict[int, np.ndarray] = {}
+        self._domain_masks: dict = {}
 
     # --- postings ---
 
@@ -392,6 +393,33 @@ class IndexReader:
             m[ids_sorted[lo:hi].astype(np.int64) - base] = True
             return m
         return pred
+
+    def domain_mask(self, time_range=None, langs=None, authz=None):
+        """The composed lazy packed-bitmap DomainMask for these domain
+        parameters, CACHED across queries (bounded): the per-partition
+        bitmaps cost a column scan per build, and serving workloads repeat
+        the same few (time_range, langs, authz) combinations — rebuilding
+        the lang mask per query dominated the warm p99 tail. The index is
+        immutable for this reader's lifetime, so reuse is exact."""
+        from miru_ray.state.domain import DomainMask
+        key = (tuple(time_range) if time_range is not None else None,
+               tuple(sorted(langs)) if langs else None,
+               tuple(sorted(authz)) if authz is not None else None)
+        if key == (None, None, None):
+            return None
+        got = self._domain_masks.get(key)
+        if got is None:
+            preds = []
+            if time_range is not None:
+                preds.append(self.time_pred(*time_range))
+            if langs:
+                preds.append(self.lang_pred(langs))
+            if authz is not None:
+                preds.append(self.ids_pred(self.authz_domain(authz)))
+            if len(self._domain_masks) >= 32:      # bound resident bitmaps
+                self._domain_masks.pop(next(iter(self._domain_masks)))
+            got = self._domain_masks[key] = DomainMask(self, preds)
+        return got
 
     def time_range_domain(self, lo_us: int | None, hi_us: int | None) -> np.ndarray:
         """Sorted docIDs with lo_us <= warc_ts < hi_us (resolved per
