@@ -52,8 +52,15 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
     src_meta = read_json(meta_path(src_dir))
     dst_meta = read_json(meta_path(dst_dir))
     sseg = segments_dir(src_dir)
+    # per-file copies are atomic but the SET is not: a sync that dies mid
+    # base copy leaves a MIX of old/new shard files under the old dst meta.
+    # The dirty marker brackets that window — set before the first segment
+    # byte, cleared only after the dst meta commits — so the skip never
+    # trusts digests whose files may not match them.
+    dirty_marker = os.path.join(dst_dir, "segments.dirty")
     base_skipped = bool(
         src_meta and dst_meta
+        and not os.path.exists(dirty_marker)
         and src_meta.get("part_digests")
         and src_meta.get("part_digests") == dst_meta.get("part_digests")
         and src_meta.get("format_version") == dst_meta.get("format_version")
@@ -68,9 +75,20 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         and all(os.path.exists(os.path.join(segments_dir(dst_dir), n))
                 for n in os.listdir(sseg)))
     if os.path.isdir(sseg) and not base_skipped:
-        for name in sorted(os.listdir(sseg)):
+        src_names = sorted(os.listdir(sseg))
+        dseg = segments_dir(dst_dir)
+        os.makedirs(dseg, exist_ok=True)
+        with open(dirty_marker, "w"):
+            pass
+        for name in src_names:
             _copy_atomic(os.path.join(sseg, name),
-                         os.path.join(segments_dir(dst_dir), name))
+                         os.path.join(dseg, name))
+        # drop dst shard files src no longer has (e.g. num_shards shrank):
+        # SegView globs the directory, so stale extras would pollute reads
+        keep_names = set(src_names)
+        for name in os.listdir(dseg):
+            if name not in keep_names and not name.endswith(".tmp"):
+                os.remove(os.path.join(dseg, name))
     # a live delta overlay travels with the base it annotates. Crash
     # contract (same as the build's finalize): the destination's OLD
     # meta + its generation stay readable until the new meta commits, so
@@ -95,6 +113,10 @@ def sync_index(src_dir: str, dst_dir: str) -> dict:
         meta = {**meta, "delta": {**meta["delta"], "gen": dst_gen}}
     if meta:
         write_json_atomic(meta_path(dst_dir), meta)
+        # base files (if copied) now match the committed meta — close the
+        # dirty window. No meta at src ⇒ marker stays, future syncs recopy.
+        if os.path.exists(dirty_marker):
+            os.remove(dirty_marker)
     if dst_gen is not None:
         prune_delta_gens(dst_dir, dst_gen)
     else:

@@ -399,3 +399,55 @@ def test_resync_after_sip_skips_base_copy(tmp_path, ray_session, corpus):
     clean = str(tmp_path / "clean")
     build_index(str(src), clean, cfg(False))
     _assert_reader_equiv(dst, clean)
+
+
+def test_crashed_base_copy_never_base_skips(tmp_path, ray_session, corpus):
+    """A sync that dies mid base-segment copy leaves per-file-atomic but
+    SET-inconsistent shard files under the old dst meta. The segments.dirty
+    marker brackets that window: while it exists, equal part_digests must
+    NOT skip the copy — the next sync recopies (healing the mix) and only
+    then clears the marker."""
+    from miru_ray.state.sync import sync_index
+    src, full, cfg = corpus
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, cfg(False))
+    dst = str(tmp_path / "dst")
+    assert sync_index(idx, dst)["base_skipped"] is False
+    # simulate the crash window: marker set, one shard file diverged
+    open(os.path.join(dst, "segments.dirty"), "w").close()
+    victim = sorted(glob.glob(os.path.join(dst, "segments", "*.parquet")))[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"torn")
+    p = sync_index(idx, dst)
+    assert p["base_skipped"] is False            # marker vetoed the skip
+    assert not os.path.exists(os.path.join(dst, "segments.dirty"))
+    with open(victim, "rb") as fh:
+        healed = fh.read()
+    with open(os.path.join(idx, "segments", os.path.basename(victim)),
+              "rb") as fh:
+        assert healed == fh.read()               # recopy healed the file
+    # with the marker gone and digests equal, the NEXT sync skips again
+    assert sync_index(idx, dst)["base_skipped"] is True
+
+
+def test_sync_removes_stale_dst_segment_files(tmp_path, ray_session, corpus):
+    """Re-syncing from a src whose shard layout shrank must REMOVE dst
+    shard files src no longer has: SegView globs the segments directory,
+    so a stale extra shard would feed dead postings into every query."""
+    from miru_ray.state.sync import sync_index
+    src, full, cfg = corpus
+    wide = str(tmp_path / "wide")
+    c4 = cfg(False); c4.num_shards = 4
+    build_index(str(src), wide, c4)
+    dst = str(tmp_path / "dst")
+    sync_index(wide, dst)
+    assert len(glob.glob(os.path.join(dst, "segments", "*.parquet"))) == 4
+    narrow = str(tmp_path / "narrow")
+    build_index(str(src), narrow, cfg(False))    # num_shards=2, same input
+    p = sync_index(narrow, dst)                  # digests equal, shards differ
+    assert p["base_skipped"] is False
+    assert (sorted(os.path.basename(f) for f in
+                   glob.glob(os.path.join(dst, "segments", "*.parquet")))
+            == sorted(os.path.basename(f) for f in
+                      glob.glob(os.path.join(narrow, "segments", "*.parquet"))))
+    _assert_reader_equiv(dst, narrow)
