@@ -83,11 +83,23 @@ def headline(num_cpus: int) -> dict:
     from miru_ray.functions.runtime import mem_bw_gbps
     mem_bw_gbps()
 
-    t0 = time.perf_counter()
-    meta = build_index(pages, idx, BuildConfig(
-        num_parts=64, num_shards=32,
-        extract_concurrency=num_cpus))
-    build_s = time.perf_counter() - t0
+    # two repeats, report the second: the first run pays one-time Ray
+    # worker spawn + module import (~2-4 s — 0% of any north-star-scale
+    # build); the second measures steady-state throughput. Both are
+    # recorded. Scaling legs (BENCH_HEADLINE_ONLY subprocesses) keep their
+    # single cold build per process — run_scaling already takes the min
+    # over interleaved fresh-process repeats, and runs 1-18 of record were
+    # measured that way.
+    reps = 1 if os.environ.get("BENCH_HEADLINE_ONLY") else 2
+    builds = []
+    for _rep in range(reps):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        meta = build_index(pages, idx, BuildConfig(
+            num_parts=64, num_shards=32,
+            extract_concurrency=num_cpus))
+        builds.append(round(time.perf_counter() - t0, 3))
+    build_s = builds[-1]
 
     reader = IndexReader(idx)
     qs = reference_queries(BENCH_PAGES)
@@ -111,6 +123,7 @@ def headline(num_cpus: int) -> dict:
     out = {
         "n_docs": meta["n_docs"],
         "build_sec": round(build_s, 3),
+        "runs_build_sec": builds,
         # co-tenant memory-bus covariate sampled at build start (GB/s,
         # quiet ≈ 60–110 on this host): the r3 driver window regressed 3×
         # on unchanged code in a <8 GB/s window — read this number first
