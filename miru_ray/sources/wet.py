@@ -30,7 +30,9 @@ from datetime import datetime, timezone
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["read_wet", "write_wet", "parse_wet_bytes", "pages_to_wet_bytes"]
+__all__ = ["read_wet", "write_wet", "parse_wet_bytes", "pages_to_wet_bytes",
+           "read_warc", "write_warc", "parse_warc_bytes",
+           "pages_to_warc_bytes"]
 
 _CRLF = b"\r\n"
 
@@ -89,18 +91,14 @@ def write_wet(table: pa.Table, path: str, gz: bool | None = None) -> str:
     return path
 
 
-def parse_wet_bytes(data: bytes) -> pa.Table:
-    """Parse WET bytes → pages rows. Handles gzip (multi-member) and plain
-    streams; skips non-``conversion`` records (CC WET files open with a
-    ``warcinfo`` record). Records are walked by Content-Length — payload
-    bytes are never scanned for delimiters."""
+def _iter_records(data: bytes):
+    """Yield (headers, body) per WARC record — gzip (multi-member) or
+    plain streams; records walked by Content-Length."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
-    urls, tss, texts, langs = [], [], [], []
     pos, n = 0, len(data)
     while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos:pos + 2] == _CRLF:
+        while pos < n and data[pos:pos + 2] == _CRLF:   # inter-record CRLFs
             pos += 2
         if pos >= n:
             break
@@ -112,8 +110,17 @@ def parse_wet_bytes(data: bytes) -> pa.Table:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
         length = int(headers.get(b"content-length", b"0"))
-        body = data[hdr_end + 4:hdr_end + 4 + length]
+        yield headers, data[hdr_end + 4:hdr_end + 4 + length]
         pos = hdr_end + 4 + length
+
+
+def parse_wet_bytes(data: bytes) -> pa.Table:
+    """Parse WET bytes → pages rows. Handles gzip (multi-member) and plain
+    streams; skips non-``conversion`` records (CC WET files open with a
+    ``warcinfo`` record). Records are walked by Content-Length — payload
+    bytes are never scanned for delimiters."""
+    urls, tss, texts, langs = [], [], [], []
+    for headers, body in _iter_records(data):
         if headers.get(b"warc-type") != b"conversion":
             continue
         urls.append(headers.get(b"warc-target-uri", b"").decode())
@@ -127,6 +134,82 @@ def parse_wet_bytes(data: bytes) -> pa.Table:
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
     })
+
+
+def pages_to_warc_bytes(table: pa.Table, gz: bool = True) -> bytes:
+    """Serialize pages rows as WARC ``response`` records (the raw-capture
+    sibling of WET): each record's block is an HTTP/1.1 response whose
+    payload is the page html — the Common Crawl WARC layout."""
+    urls = table["url"].to_pylist()
+    ts = table["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    htmls = table["html"].to_pylist()
+    out = []
+    for url, t_us, html in zip(urls, ts, htmls):
+        payload = html if isinstance(html, bytes) else (html or "").encode()
+        http = (b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Type: text/html; charset=UTF-8" + _CRLF
+                + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+                + _CRLF + payload)
+        rid = hashlib.md5(url.encode() + str(int(t_us)).encode()).hexdigest()
+        hdr = [b"WARC/1.0",
+               b"WARC-Type: response",
+               b"WARC-Target-URI: " + url.encode(),
+               b"WARC-Date: " + _warc_date((int(t_us) // 1_000_000) * 1_000_000),
+               b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+               b"Content-Type: application/http; msgtype=response",
+               b"Content-Length: " + str(len(http)).encode()]
+        rec = _CRLF.join(hdr) + _CRLF + _CRLF + http + _CRLF + _CRLF
+        out.append(gzip.compress(rec, mtime=0) if gz else rec)
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes) -> pa.Table:
+    """Parse WARC bytes → pages rows with the raw ``html`` payload (the
+    HTTP response head is stripped at its header/body boundary — the
+    outer record is still walked by Content-Length alone). Non-``response``
+    records (warcinfo, request, metadata) are skipped."""
+    urls, tss, htmls = [], [], []
+    for headers, body in _iter_records(data):
+        if headers.get(b"warc-type") != b"response":
+            continue
+        http_end = body.find(_CRLF + _CRLF)
+        payload = body[http_end + 4:] if http_end >= 0 else body
+        urls.append(headers.get(b"warc-target-uri", b"").decode())
+        tss.append(_parse_warc_date(headers.get(b"warc-date", b"1970-01-01T00:00:00Z")))
+        htmls.append(payload)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "lang": pa.array([""] * len(urls), pa.string()),
+    })
+
+
+def write_warc(table: pa.Table, path: str, gz: bool | None = None) -> str:
+    """Write pages rows as one WARC file (``.warc`` / ``.warc.gz``)."""
+    if gz is None:
+        gz = path.endswith(".gz")
+    data = pages_to_warc_bytes(table, gz=gz)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path + ".tmp", "wb") as f:
+        f.write(data)
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def read_warc(paths: str | list[str]):
+    """``ray.data.Dataset`` of pages rows (html payloads) from WARC
+    file(s)/dir — html-mode input: ``build_index`` runs its extract stage,
+    so the indexed text is byte-identical to the parquet-html path."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        pieces = [parse_warc_bytes(b.as_py()) for b in batch["bytes"]]
+        return (pa.concat_tables(pieces) if pieces
+                else parse_warc_bytes(b""))
+
+    files = rd.read_binary_files(paths, file_extensions=None)
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
 
 
 def read_wet(paths: str | list[str]):

@@ -16,11 +16,12 @@ from miru_ray.sources.wet import (pages_to_wet_bytes, parse_wet_bytes,
                                   read_wet, write_wet)
 
 
-def _second_aligned_pages(lo: int, hi: int) -> pa.Table:
-    """WARC-Date carries second resolution — align the fixture so the WET
-    round-trip is lossless for the equality assertions."""
-    t = generate_pages(lo, hi).drop_columns(["html"]) \
-        if "html" in generate_pages(lo, lo + 1).column_names else generate_pages(lo, hi)
+def _second_aligned_pages(lo: int, hi: int, keep_html: bool = False) -> pa.Table:
+    """WARC-Date carries second resolution — align the fixture so the
+    WET/WARC round-trip is lossless for the equality assertions."""
+    t = generate_pages(lo, hi)
+    if not keep_html and "html" in t.column_names:
+        t = t.drop_columns(["html"])
     ts = t["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     ts = (ts // 1_000_000) * 1_000_000
     i = t.schema.get_field_index("warc_ts")
@@ -76,6 +77,48 @@ def test_build_from_wet_matches_parquet_build(tmp_path, ray_session):
     mp = build_index(str(pdir), idx_p, cfg())
     # latest-wins url dedup applies identically on both paths (the fixture
     # plants duplicate fetches, so the doc count is the unique-url count)
+    n_unique = len(set(t["url"].to_pylist()))
+    assert mw["n_docs"] == mp["n_docs"] == n_unique
+
+    def seg_digest(d):
+        tt = pq.read_table(sorted(glob.glob(os.path.join(d, "segments",
+                                                         "*.parquet"))))
+        tt = tt.sort_by("term")
+        h = hashlib.sha256()
+        for col in ("term", "df", "cf", "docids", "tfs"):
+            for v in tt[col].to_pylist():
+                h.update(v if isinstance(v, bytes) else str(v).encode())
+        return h.hexdigest()
+
+    assert seg_digest(idx_w) == seg_digest(idx_p)
+
+
+def test_warc_roundtrip_and_build_matches_html_parquet(tmp_path, ray_session):
+    """WARC response records: the html payload round-trips byte-exactly
+    and a build from WARC (html mode — the extract stage runs) is
+    segment-digest-identical to the same rows built from parquet."""
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.wet import (pages_to_warc_bytes, parse_warc_bytes,
+                                      read_warc, write_warc)
+    t = _second_aligned_pages(0, 300, keep_html=True)
+    assert "html" in t.column_names
+    back = parse_warc_bytes(pages_to_warc_bytes(t.slice(0, 150), gz=True))
+    assert back["url"].to_pylist() == t.slice(0, 150)["url"].to_pylist()
+    assert back["html"].to_pylist() == [
+        h if isinstance(h, bytes) else h.encode()
+        for h in t.slice(0, 150)["html"].to_pylist()]
+
+    wdir = tmp_path / "warc"
+    write_warc(t.slice(0, 150), str(wdir / "seg-00000.warc.gz"))
+    write_warc(t.slice(150, 150), str(wdir / "seg-00001.warc"))
+    pdir = tmp_path / "pq"
+    pdir.mkdir()
+    pq.write_table(t, str(pdir / "pages.parquet"))
+    cfg = lambda: BuildConfig(num_parts=4, num_shards=2)   # noqa: E731
+    idx_w = str(tmp_path / "idx_warc")
+    idx_p = str(tmp_path / "idx_pq")
+    mw = build_index(read_warc(str(wdir)), idx_w, cfg())
+    mp = build_index(str(pdir), idx_p, cfg())
     n_unique = len(set(t["url"].to_pylist()))
     assert mw["n_docs"] == mp["n_docs"] == n_unique
 
