@@ -37,8 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build/resume an inverted index")
-    b.add_argument("source", help="pages parquet file/dir")
+    b.add_argument("source", help="pages source file/dir (see --format)")
     b.add_argument("index_dir")
+    b.add_argument("--format", default="parquet",
+                   choices=("parquet", "wet", "warc"),
+                   help="parquet pages table (default), Common Crawl WET "
+                        "(extracted text), or WARC (raw html captures)")
     b.add_argument("--num-parts", type=int, default=16)
     b.add_argument("--num-shards", type=int, default=8)
     b.add_argument("--store-text", action="store_true")
@@ -72,7 +76,14 @@ def main(argv: list[str] | None = None) -> int:
                           store_text=args.store_text,
                           verify_inputs=args.verify_inputs,
                           langs=args.langs.split(",") if args.langs else None)
-        meta = build_index(args.source, args.index_dir, cfg)
+        src = args.source
+        if args.format == "wet":
+            from miru_ray.sources.wet import read_wet
+            src = read_wet(src)
+        elif args.format == "warc":
+            from miru_ray.sources.wet import read_warc
+            src = read_warc(src)
+        meta = build_index(src, args.index_dir, cfg)
         print(json.dumps({k: meta[k] for k in
                           ("n_docs", "n_terms", "avgdl", "segment_bytes",
                            "skipped_parts", "phase_sec") if k in meta}))
