@@ -45,6 +45,10 @@ def main() -> int:
                    help="hash: global url dedup; time_range: the "
                         "reference's time-ordered partitions (ts-ordered "
                         "global docIDs, partition-local dedup)")
+    p.add_argument("--format", default="parquet",
+                   choices=("parquet", "wet", "warc"),
+                   help="parquet pages table (default), Common Crawl WET "
+                        "(extracted text), or WARC (raw html captures)")
     args = p.parse_args()
 
     import ray
@@ -63,8 +67,15 @@ def main() -> int:
                       verify_inputs=args.verify_inputs,
                       partition_mode=args.partition_mode,
                       langs=args.langs.split(",") if args.langs else None)
+    src = args.source
+    if args.format == "wet":
+        from miru_ray.sources.wet import read_wet
+        src = read_wet(src)
+    elif args.format == "warc":
+        from miru_ray.sources.wet import read_warc
+        src = read_warc(src)
     t0 = time.perf_counter()
-    meta = build_index(args.source, args.index_dir, cfg)
+    meta = build_index(src, args.index_dir, cfg)
     elapsed = time.perf_counter() - t0
     print(json.dumps({
         "n_docs": meta["n_docs"], "n_terms": meta.get("n_terms"),
