@@ -545,6 +545,9 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
     part_files = {p: os.path.join(part_dir(index_dir, p), "postings.parquet")
                   for p in parts_sorted}
     seg_tmp = segments_dir(index_dir) + ".tmp"
+    import shutil as _shutil0
+    _shutil0.rmtree(seg_tmp, ignore_errors=True)   # a crashed run's leftovers
+    # (possibly under a different num_shards) must never ride into the swap
     t_merge = time.perf_counter()
     old_meta = layout.read_json(meta_path(index_dir))
     merge_mode = "full"
@@ -664,9 +667,21 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
         futs = [merge_task.remote(s_, part_files, bases, seg_tmp)
                 for s_ in range(num_shards)]
         seg_stats = _ray.get(futs)
+    seg_trash = None
     if merge_mode != "delta":
-        layout.clear_segments(index_dir)   # also clears any delta overlay
-        os.replace(seg_tmp, segments_dir(index_dir))
+        # swap via two atomic renames (live → trash, tmp → live) instead of
+        # rmtree-then-rename: the no-segments window shrinks from an
+        # O(files) delete to ~µs, and a reader holding open handles keeps
+        # reading the old inodes. Trash + any overlay the OLD meta still
+        # references are deleted only AFTER the new meta commits below, so
+        # every crash point leaves a meta whose referenced files exist.
+        import shutil as _shutil
+        seg_live = segments_dir(index_dir)
+        seg_trash = seg_live + ".old"
+        _shutil.rmtree(seg_trash, ignore_errors=True)   # stale from a crash
+        if os.path.isdir(seg_live):
+            os.rename(seg_live, seg_trash)
+        os.replace(seg_tmp, seg_live)
     phase_t["segment_merge"] = round(time.perf_counter() - t_merge, 3)
     phase_t["merge_mode"] = merge_mode
 
@@ -704,4 +719,9 @@ def finalize_index(index_dir: str, *, num_parts: int, num_shards: int,
     write_json_atomic(meta_path(index_dir), meta)
     if merge_mode == "delta":
         layout.prune_delta_gens(index_dir, int(delta_out["gen"]))
+    else:
+        import shutil as _shutil
+        if seg_trash is not None:
+            _shutil.rmtree(seg_trash, ignore_errors=True)
+        layout.clear_deltas(index_dir)   # the new meta carries no overlay
     return meta
