@@ -222,11 +222,20 @@ def build_index_shuffle_light(source, index_dir: str,
     # --- merge + doclen finalize (parallel task fan-outs) ---
     t3 = time.perf_counter()
     partial_files = sorted(glob.glob(os.path.join(partials_dir, "*.parquet")))
-    layout.clear_segments(index_dir)
     seg_tmp = segments_dir(index_dir) + ".tmp"
+    shutil.rmtree(seg_tmp, ignore_errors=True)   # crashed run's leftovers
     seg_stats = ray.get([_merge_shard_light.remote(s, partial_files, seg_tmp)
                          for s in range(cfg.num_shards)])
-    os.replace(seg_tmp, segments_dir(index_dir))
+    # same two-rename swap as finalize_index: the live dir exists for all
+    # but the ~µs between renames, never through an O(files) rmtree
+    seg_live = segments_dir(index_dir)
+    seg_trash = seg_live + ".old"
+    shutil.rmtree(seg_trash, ignore_errors=True)
+    if os.path.isdir(seg_live):
+        os.rename(seg_live, seg_trash)
+    os.replace(seg_tmp, seg_live)
+    shutil.rmtree(seg_trash, ignore_errors=True)
+    layout.clear_deltas(index_dir)
     doclen_all = ray.get(_gather_doclen.remote(partial_files, n_docs))
     sums = ray.get([_write_doclen.remote(
         p, doclen_all[bases[p]:bases[p] + int(parts_mani[p]["n_docs"])],
