@@ -114,13 +114,6 @@ def completed_parts(index_dir: str) -> dict[int, dict[str, Any]]:
     return out
 
 
-def clear_segments(index_dir: str) -> None:
-    seg = segments_dir(index_dir)
-    if os.path.isdir(seg):
-        shutil.rmtree(seg)
-    clear_deltas(index_dir)
-
-
 def clear_deltas(index_dir: str) -> None:
     d = delta_root(index_dir)
     if os.path.isdir(d):
