@@ -133,3 +133,45 @@ def test_warc_roundtrip_and_build_matches_html_parquet(tmp_path, ray_session):
         return h.hexdigest()
 
     assert seg_digest(idx_w) == seg_digest(idx_p)
+
+
+def test_wet_wal_ingest_is_incremental(tmp_path, ray_session):
+    """ingest_wet_to_wal converts each WET file once (stat-validated skip)
+    and composes with the build's sip: a new WET file converts alone, and
+    verify_inputs rebuilds only the partitions its rows land in."""
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import search
+    from miru_ray.sources.ingest import ingest_wet_to_wal
+    from miru_ray.sources.wet import write_wet
+    from miru_ray.state.reader import IndexReader
+
+    t = _pages_text(0, 600)
+    ts = t["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    bounds = (int(ts.min()), int(ts.max()) + 1)
+    wdir = tmp_path / "wet"
+    write_wet(t.slice(0, 300), str(wdir / "crawl-a.warc.wet.gz"))
+    write_wet(t.slice(300, 200), str(wdir / "crawl-b.warc.wet.gz"))
+    wal = str(tmp_path / "wal")
+    p1 = ingest_wet_to_wal(str(wdir), wal)
+    assert len(p1["converted"]) == 2 and p1["rows"] == 500
+    # re-ingest: both sources skip (stat-validated)
+    p2 = ingest_wet_to_wal(str(wdir), wal)
+    assert p2["converted"] == [] and len(p2["skipped"]) == 2
+
+    idx = str(tmp_path / "idx")
+    cfg = lambda: BuildConfig(num_parts=8, num_shards=2,     # noqa: E731
+                              partition_mode="time_range",
+                              time_bounds=bounds, verify_inputs=True)
+    m1 = build_index(wal, idx, cfg())
+    assert m1["n_docs"] == len(set(t.slice(0, 500)["url"].to_pylist()))
+
+    # the daily delta: one new WET file → one conversion, partial rebuild
+    write_wet(t.slice(500, 100), str(wdir / "crawl-c.warc.wet.gz"))
+    p3 = ingest_wet_to_wal(str(wdir), wal)
+    assert len(p3["converted"]) == 1 and p3["rows"] == 100
+    m2 = build_index(wal, idx, cfg())
+    assert m2["n_docs"] == len(set(t["url"].to_pylist()))
+    rebuilt = sorted(set(range(8)) - set(m2["skipped_parts"]))
+    assert 0 < len(rebuilt) < 8      # time-ordered append → tail partitions
+    hits = search(IndexReader(idx), "needle7", k=20)
+    assert hits.num_rows == 7
