@@ -58,9 +58,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--scattered", action="store_true",
                    help="per-partition scatter-gather execution")
 
-    i = sub.add_parser("ingest", help="NDJSON page records → parquet WAL")
-    i.add_argument("json_path")
+    i = sub.add_parser("ingest", help="page records → parquet WAL")
+    i.add_argument("json_path", metavar="source",
+                   help="NDJSON file (default) or WET/WARC file/dir")
     i.add_argument("wal_dir")
+    i.add_argument("--format", default="json",
+                   choices=("json", "wet", "warc"),
+                   help="json: NDJSON records; wet/warc: Common Crawl "
+                        "files, converted incrementally (one WAL parquet "
+                        "per source file, unchanged sources skipped)")
 
     y = sub.add_parser("sync", help="replicate an index (durable progress)")
     y.add_argument("src_index")
@@ -104,9 +110,15 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
     elif args.cmd == "ingest":
         _init_ray(args.num_cpus)
-        from miru_ray.sources.ingest import ingest_json_to_wal
-        n = ingest_json_to_wal(args.json_path, args.wal_dir)
-        print(json.dumps({"rows": n, "wal_dir": args.wal_dir}))
+        if args.format in ("wet", "warc"):
+            from miru_ray.sources.ingest import ingest_wet_to_wal
+            out = ingest_wet_to_wal(args.json_path, args.wal_dir,
+                                    fmt=args.format)
+            print(json.dumps({**out, "wal_dir": args.wal_dir}))
+        else:
+            from miru_ray.sources.ingest import ingest_json_to_wal
+            n = ingest_json_to_wal(args.json_path, args.wal_dir)
+            print(json.dumps({"rows": n, "wal_dir": args.wal_dir}))
         ray.shutdown()
     elif args.cmd == "sync":
         from miru_ray.state.sync import sync_index
