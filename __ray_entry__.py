@@ -202,6 +202,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # resume over the full corpus → v3 splice merge (hard-asserted on
         # the cold path) → full-corpus BM25 equality
         "fulltext_incremental": lambda sf: fulltext.fulltext_incremental(sf),
+        # near-dup CLUSTER RESOLUTION: connected components over the
+        # exact prefix-filtered pair graph (local pointer-jumping tier +
+        # distributed label-propagation tier, pytest-pinned equal);
+        # oracle = recursive-CTE transitive closure over the same pairs
+        "dedup_clusters": dedup.dedup_clusters,
+        # keep-one-per-cluster corpus dedup: bucketed anti-join of the
+        # cluster losers against the doc_id scan (no O(corpus) broadcast)
+        "dedup_keep_one": dedup.dedup_keep_one,
+        # Gopher-family within-doc repetition rules (most-common-token
+        # fraction, duplicate-bigram fraction), fully vectorized
+        "repetition_scores": textstats.repetition_scores,
+        # corpus-wide hot-bigram top-k: per-batch combiner → one
+        # hash(ngram)-bucketed exchange → per-bucket local top-k
+        "top_ngrams": textstats.top_ngrams,
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -293,6 +307,26 @@ JOIN lens la ON la.doc_id = doc_a
 JOIN lens lb ON lb.doc_id = doc_b
 WHERE inter::DOUBLE / (la.n + lb.n - inter) >= 0.8
 ORDER BY doc_a, doc_b
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """WITH-RECURSIVE prefix shared by the dedup_clusters / dedup_keep_one
+    oracles: the exact pair graph (the ngram-Jaccard oracle as a CTE),
+    symmetrized edges, and ``reach`` = transitive closure carrying every
+    reachable node id as a candidate label — min(label) per node is the
+    component's minimum doc_id, exactly the engine's cluster_id."""
+    return f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_sql()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+)
 """
 
 
@@ -956,6 +990,60 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
         # prefix filtering is LOSSLESS at J >= t (PPJoin theorem), so the
         # prefix-filtered tier shares the identical brute-force oracle
         "ngram_jaccard_prefix": _ngram_jaccard_sql(),
+        # cluster resolution: recursive-CTE transitive closure over the
+        # SAME exact pair graph; label = component-min doc_id
+        "dedup_clusters": _dedup_clusters_sql() + """
+SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+        "dedup_keep_one": _dedup_clusters_sql() + """,
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+       FROM reach GROUP BY node)
+SELECT d.doc_id::BIGINT AS doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
+ORDER BY d.doc_id
+""",
+        # Gopher repetition rules: most-common-token fraction and
+        # duplicate-bigram fraction (string bigrams in SQL vs 64-bit
+        # hashed bigrams in the engine — identical counts modulo 2^-64
+        # collisions, the ngram_jaccard caveat)
+        "repetition_scores": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+top AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM tf GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, greatest(len(t) - 1, 0) AS nbg,
+         len(list_distinct([t[i] || ' ' || t[i+1]
+                            FOR i IN range(1, greatest(len(t), 1))])) AS ndist
+  FROM toks
+)
+SELECT d.doc_id AS doc_id,
+       round(CASE WHEN coalesce(top.n, 0) > 0
+                  THEN topc::DOUBLE / top.n ELSE 0 END, 6) AS top_token_frac,
+       round(CASE WHEN bg.nbg > 0
+                  THEN (bg.nbg - bg.ndist)::DOUBLE / bg.nbg
+                  ELSE 0 END, 6) AS dup_bigram_frac
+FROM documents d
+LEFT JOIN top ON top.doc_id = d.doc_id
+LEFT JOIN bg ON bg.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+        "top_ngrams": f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents
+),
+bg AS (
+  SELECT unnest([t[i] || ' ' || t[i+1]
+                 FOR i IN range(1, greatest(len(t), 1))]) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*)::BIGINT AS cnt FROM bg
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+""",
         # minhash_near_dups: rows-only BY CONTRACT (ADVICE r2). LSH
         # candidate generation is probabilistic by construction (recall
         # ≈0.9996 at j=0.8 with 16×4 bands): a borderline pair can be

@@ -36,7 +36,9 @@ from miru_ray.functions.tokenize import tokenize, tokenize_column
 from miru_ray.sources.tables import read_table
 
 __all__ = ["dedup_exact", "minhash_near_dups", "simhash64", "simhash64_ds",
-           "ngram_jaccard_pairs", "ngram_jaccard_prefix", "shingle_set",
+           "ngram_jaccard_pairs", "ngram_jaccard_prefix",
+           "ngram_jaccard_prefix_ds", "dedup_clusters", "dedup_keep_one",
+           "dedup_keep_one_ds", "shingle_set",
            "jaccard", "NUM_HASHES", "NUM_BANDS", "SHINGLE_K"]
 
 NUM_HASHES = 64
@@ -615,15 +617,13 @@ def _nj_prefix_rows(batch: pa.Table, threshold: float) -> pa.Table:
     })
 
 
-def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
-    """(doc_a, doc_b, jaccard) — the SAME exact contract as
-    ``ngram_jaccard_pairs`` (value-identical, shared SQL oracle), with
-    PPJoin-style prefix filtering as the candidate generator: pair
-    expansion runs over prefix postings only (lossless at J ≥ t), and
-    survivors are verified by the exact-Jaccard actor pool
-    (``PairVerifier`` — pushdown text gather, no driver-side candidate
-    texts). This is the sub-quadratic EXACT tier for web-scale corpora;
-    the plain inverted-index form remains its brute-force oracle twin."""
+def ngram_jaccard_prefix_ds(sf_dir: str, threshold: float = 0.8):
+    """Lazy Dataset of verified pairs (doc_a, doc_b, jaccard) from the
+    PPJoin prefix-filtered exact tier. May contain DUPLICATE pairs — a
+    candidate can surface from several shingle buckets and each copy is
+    re-verified (the per-actor shingle cache makes that cheap);
+    collectors dedupe. This is the streaming core shared by
+    :func:`ngram_jaccard_prefix` and :func:`dedup_clusters`."""
     import functools
     import os
     src = os.path.join(sf_dir, "documents.parquet")
@@ -639,13 +639,24 @@ def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
                             batch_format="pyarrow", batch_size=1024)
                .groupby("spart").map_groups(_nj_pairs,
                                             batch_format="pandas"))
-    verified = cands.map_batches(
+    return cands.map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow") \
         .map_batches(PairVerifier, batch_format="pyarrow",
                      batch_size=4096, concurrency=(1, 8),
                      fn_constructor_kwargs={"src": src,
                                             "threshold": threshold})
-    got = verified.to_pandas()
+
+
+def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """(doc_a, doc_b, jaccard) — the SAME exact contract as
+    ``ngram_jaccard_pairs`` (value-identical, shared SQL oracle), with
+    PPJoin-style prefix filtering as the candidate generator: pair
+    expansion runs over prefix postings only (lossless at J ≥ t), and
+    survivors are verified by the exact-Jaccard actor pool
+    (``PairVerifier`` — pushdown text gather, no driver-side candidate
+    texts). This is the sub-quadratic EXACT tier for web-scale corpora;
+    the plain inverted-index form remains its brute-force oracle twin."""
+    got = ngram_jaccard_prefix_ds(sf_dir, threshold).to_pandas()
     if got.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
@@ -656,3 +667,216 @@ def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
                      "doc_b": pa.array(got["doc_b"].to_numpy(), pa.int64()),
                      "jaccard": pa.array(got["jaccard"].to_numpy(),
                                          pa.float64())})
+
+
+# --------------------------------------------- near-dup cluster resolution
+
+# Edge-count bound under which connected components solve LOCALLY (a
+# vectorized pointer-jumping pass over the collected pair list). The pair
+# list is the SMALL side of dedup — O(near-dup pairs), already thresholded
+# — but on a boilerplate-heavy 100-TB crawl it can outgrow one machine, so
+# past the bound the solver switches to the DISTRIBUTED label-propagation
+# loop (same answers; pytest pins the two tiers equal by forcing the bound
+# to 0). 4 Mi edges ≈ 64 MB driver-side — the same class of bounded
+# driver state the repo's top-k collectors already accept.
+_LOCAL_CC_EDGES = 1 << 22
+
+
+def _cc_local(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components of the (a[i], b[i]) edge list — vectorized
+    min-label propagation with pointer jumping. Returns (nodes,
+    cluster_id) with cluster_id = the component's minimum node id.
+    Labels only ever decrease, so an unchanged label sum is a sound
+    convergence test."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = int(lab.sum())
+        m = np.minimum(lab[ia], lab[ib])
+        np.minimum.at(lab, ia, m)
+        np.minimum.at(lab, ib, m)
+        lab = np.minimum(lab, lab[lab])      # pointer jumping
+        if int(lab.sum()) == before:
+            break
+    return nodes, nodes[lab]
+
+
+def _cc_msgs(edges, labels, key: str, out: str, nparts: int):
+    """One keyed exchange of the distributed CC round: edge rows bucket
+    on ``key``, label rows on node; each bucket inner-merges and emits
+    (node=``out`` endpoint, cand=label of ``key`` endpoint) — the
+    union-side-tag single-shuffle join the repo uses throughout."""
+
+    def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy()
+        return pd.DataFrame({"k": k, "v": df[out].to_numpy(),
+                             "side": np.full(len(df), 0, dtype=np.int8),
+                             "_bkt": (k % nparts).astype(np.int64)})
+
+    def tag_l(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["node"].to_numpy()
+        return pd.DataFrame({"k": k, "v": df["label"].to_numpy(),
+                             "side": np.full(len(df), 1, dtype=np.int8),
+                             "_bkt": (k % nparts).astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        l = g[g["side"] == 1][["k", "v"]].rename(columns={"v": "label"})
+        m = e[["k", "v"]].merge(l, on="k", how="inner")
+        return pd.DataFrame({"node": m["v"].to_numpy(dtype=np.int64),
+                             "cand": m["label"].to_numpy(dtype=np.int64)})
+
+    tagged = (edges.map_batches(tag_e, batch_format="pandas")
+              .union(labels.map_batches(tag_l, batch_format="pandas")))
+    return tagged.groupby("_bkt").map_groups(merge, batch_format="pandas")
+
+
+def _cc_distributed(edges, nparts: int = _NJ_PARTS):
+    """Distributed min-label propagation over an edge Dataset
+    (doc_a, doc_b): every round attaches each endpoint's current label
+    through two keyed exchanges, folds candidates with a bucketed min,
+    and stops when the (monotonically decreasing) label sum is stable.
+    Rounds = graph diameter — small by construction for near-dup
+    components (clusters of mutually-similar docs are dense); each round
+    is 3 bounded exchanges over O(pairs) rows, nothing driver-side but
+    the convergence scalar."""
+    import ray  # noqa: F401  (Dataset ops only; session owned by caller)
+
+    def init_nodes(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([t["doc_a"].to_numpy(),
+                                        t["doc_b"].to_numpy()]))
+        return pa.table({"_bkt": pa.array(ids % nparts, pa.int64()),
+                         "node": pa.array(ids, pa.int64())})
+
+    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["node"].to_numpy())
+        return pd.DataFrame({"node": ids, "label": ids})
+
+    labels = (edges.map_batches(init_nodes, batch_format="pyarrow")
+              .groupby("_bkt").map_groups(distinct_nodes,
+                                          batch_format="pandas")
+              .materialize())
+    prev = labels.sum("label")
+    if prev is None:                      # no edges at all
+        return labels
+    while True:
+        m1 = _cc_msgs(edges, labels, "doc_a", "doc_b", nparts)
+        m2 = _cc_msgs(edges, labels, "doc_b", "doc_a", nparts)
+        own = labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
+                                     "cand": df["label"].to_numpy()}),
+            batch_format="pandas")
+
+        def bkt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_bkt"] = (df["node"].to_numpy() % nparts).astype(np.int64)
+            return df
+
+        def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby("node", sort=False)["cand"].min()
+                    .reset_index().rename(columns={"cand": "label"}))
+            return out[["node", "label"]]
+
+        labels = (m1.union(m2).union(own)
+                  .map_batches(bkt, batch_format="pandas")
+                  .groupby("_bkt").map_groups(fold_min,
+                                              batch_format="pandas")
+                  .materialize())
+        cur = labels.sum("label")
+        if cur == prev:
+            return labels
+        prev = cur
+
+
+_CL_CACHE: dict[tuple, tuple[tuple, pa.Table]] = {}
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8,
+                   local_edge_bound: int = _LOCAL_CC_EDGES) -> pa.Table:
+    """(doc_id, cluster_id) — CONNECTED COMPONENTS over the exact
+    near-dup pair graph (``ngram_jaccard_prefix`` pairs at ``threshold``):
+    one row per document that belongs to a ≥2-doc near-dup cluster,
+    labeled with the cluster's minimum doc_id; sorted by doc_id. This is
+    the resolution step between pairwise similarity and keep-one dedup —
+    near-dup pairs are not transitive, so corpus dedup must cluster
+    first (the standard web-pipeline step after MinHash/PPJoin).
+
+    Two exact tiers (pytest-pinned equal): a vectorized local
+    pointer-jumping solve while the pair list is under
+    ``local_edge_bound``, and the distributed label-propagation loop
+    (:func:`_cc_distributed` — 3 bounded exchanges per round, rounds =
+    component diameter) past it. Memoized per (corpus file, threshold):
+    the sweep's clusters/keep-one entries share one pair scan.
+
+    Reference: clustering is beyond the reference's operator set; its
+    nearest ancestor is the distinct-value walk in
+    MiruAggregateUtil.java (the same gather→resolve shape).
+    """
+    import os
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build() -> pa.Table:
+        pairs = ngram_jaccard_prefix_ds(sf_dir, threshold).materialize()
+        n_edges = pairs.count()
+        if n_edges == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        if n_edges <= local_edge_bound:
+            got = pairs.to_pandas()
+            nodes, labels = _cc_local(got["doc_a"].to_numpy(),
+                                      got["doc_b"].to_numpy())
+        else:
+            lab = _cc_distributed(pairs).to_pandas().sort_values("node")
+            nodes = lab["node"].to_numpy()
+            labels = lab["label"].to_numpy()
+        return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                         "cluster_id": pa.array(labels, pa.int64())})
+
+    from miru_ray.state.layout import stat_validated_memo
+    return stat_validated_memo(_CL_CACHE, (os.path.abspath(src), threshold),
+                               src, build)
+
+
+def dedup_keep_one_ds(sf_dir: str, threshold: float = 0.8):
+    """Lazy Dataset of (doc_id,) — the corpus with near-dup clusters
+    collapsed to their canonical (minimum-doc_id) member. The loser set
+    rides a bucketed ANTI-JOIN against the doc_id scan — one keyed
+    exchange, no O(corpus) broadcast (at 100 TB the losers of a
+    boilerplate-heavy crawl are corpus-scale, not a small side)."""
+    import ray
+
+    clusters = dedup_clusters(sf_dir, threshold)
+    losers = clusters.filter(
+        pa.compute.not_equal(clusters["doc_id"], clusters["cluster_id"]))
+    losers_ds = ray.data.from_arrow(losers.select(["doc_id"]))
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    nparts = _NJ_PARTS
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "side": pa.array(np.full(len(ids), side, dtype=np.int8)),
+                "_bkt": pa.array(ids % nparts, pa.int64())})
+        return f
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[g["side"] == 0]["doc_id"].to_numpy()
+        drop = g[g["side"] == 1]["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_id": np.setdiff1d(keep, drop)})
+
+    tagged = (docs.map_batches(tag(0), batch_format="pyarrow")
+              .union(losers_ds.map_batches(tag(1), batch_format="pyarrow")))
+    return tagged.groupby("_bkt").map_groups(anti, batch_format="pandas")
+
+
+def dedup_keep_one(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Driver-side collected form of :func:`dedup_keep_one_ds`, sorted
+    by doc_id."""
+    got = dedup_keep_one_ds(sf_dir, threshold).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(got["doc_id"].to_numpy(),
+                                        pa.int64())})

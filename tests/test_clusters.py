@@ -1,0 +1,119 @@
+"""Near-dup cluster resolution + the round-4 text-curation additions.
+
+Pins the properties the driver-parity test (test_entry_oracle) cannot:
+the LOCAL and DISTRIBUTED connected-components tiers return identical
+clusters, clusters are consistent with the pair graph they came from,
+keep-one survivors are exactly corpus − non-canonical members, and the
+repetition/top-ngram kernels handle degenerate docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from miru_ray.pipelines import dedup
+from miru_ray.pipelines.dedup import (_CL_CACHE, _cc_local, dedup_clusters,
+                                      dedup_keep_one,
+                                      ngram_jaccard_prefix)
+from miru_ray.pipelines.textstats import repetition_scores, top_ngrams
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_cc_local_known_graph():
+    # components: {1,2,3,9} (chain), {5,7}, isolated pairs only — labels
+    # are the component minimum
+    a = np.array([2, 3, 9, 5], dtype=np.int64)
+    b = np.array([1, 2, 3, 7], dtype=np.int64)
+    nodes, lab = _cc_local(a, b)
+    got = dict(zip(nodes.tolist(), lab.tolist()))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_cc_local_long_chain_converges():
+    # pointer jumping must converge on a worst-case path graph
+    n = 1000
+    a = np.arange(1, n, dtype=np.int64)
+    b = np.arange(0, n - 1, dtype=np.int64)
+    nodes, lab = _cc_local(a, b)
+    assert (lab == 0).all() and len(nodes) == n
+
+
+def test_distributed_tier_equals_local(ray_session):
+    _CL_CACHE.clear()
+    local = dedup_clusters(SF).to_pandas()
+    _CL_CACHE.clear()
+    dist = dedup_clusters(SF, local_edge_bound=0).to_pandas()
+    _CL_CACHE.clear()
+    pd.testing.assert_frame_equal(local, dist)
+    assert len(local) > 0          # the fixture corpus has near-dups
+
+
+def test_clusters_consistent_with_pairs(ray_session):
+    pairs = ngram_jaccard_prefix(SF).to_pandas()
+    cl = dedup_clusters(SF).to_pandas()
+    lab = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    # every paired doc is clustered, both endpoints share a label
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b]
+    # every cluster node appears in some pair, label = component min
+    nodes = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    assert set(cl["doc_id"]) == nodes
+    for comp in cl.groupby("cluster_id")["doc_id"]:
+        assert comp[0] == comp[1].min()
+        assert len(comp[1]) >= 2
+
+
+def test_keep_one_is_corpus_minus_losers(ray_session):
+    import pyarrow.parquet as pq
+    cl = dedup_clusters(SF).to_pandas()
+    losers = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    all_ids = set(pq.read_table(f"{SF}/documents.parquet",
+                                columns=["doc_id"])["doc_id"].to_pylist())
+    got = dedup_keep_one(SF).to_pandas()
+    assert set(got["doc_id"]) == all_ids - losers
+    assert got["doc_id"].is_monotonic_increasing
+
+
+def test_cc_msgs_empty_pairs(ray_session):
+    # a corpus with no near-dups must produce an empty (doc_id,
+    # cluster_id) table through BOTH tiers, not crash
+    import ray
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+    out = dedup._cc_distributed(empty.materialize())
+    assert out.count() == 0
+
+
+@pytest.mark.parametrize("text,top,dup", [
+    ("", 0.0, 0.0),                     # no tokens
+    ("word", 1.0, 0.0),                 # one token, no bigrams
+    ("a a a a", 1.0, 2 / 3),            # 3 bigram slots, 1 distinct
+    ("a b a b a", 3 / 5, 2 / 4),        # ababa: 3 a's; 4 bigrams, 2 distinct
+])
+def test_repetition_kernel_edges(tmp_path, ray_session, text, top, dup):
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"doc_id": pa.array([0], pa.int64()),
+                             "text": pa.array([text], pa.string())}),
+                   tmp_path / "documents.parquet")
+    got = repetition_scores(str(tmp_path)).to_pandas()
+    assert got["top_token_frac"][0] == pytest.approx(round(top, 6))
+    assert got["dup_bigram_frac"][0] == pytest.approx(round(dup, 6))
+
+
+def test_top_ngrams_ties_and_k(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["x y x y", "b a b a"], pa.string())}),
+                   tmp_path / "documents.parquet")
+    got = top_ngrams(str(tmp_path), k=3).to_pandas()
+    # counts: "x y" 2, "y x" 1, "b a" 2, "a b" 1 → ties broken by ngram asc
+    assert list(got["ngram"]) == ["b a", "x y", "a b"]
+    assert list(got["cnt"]) == [2, 2, 1]
