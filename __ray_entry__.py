@@ -216,6 +216,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-wide hot-bigram top-k: per-batch combiner → one
         # hash(ngram)-bucketed exchange → per-bucket local top-k
         "top_ngrams": textstats.top_ngrams,
+        # substring-dedup signal (Lee et al. 2022): fraction of each
+        # doc's 5-token windows that also occur in another document —
+        # span-hash bucketed df + per-doc rollup + one keyed merge
+        "dup_span_frac": textstats.dup_span_frac,
+        # semantic twin of dedup_clusters: connected components over the
+        # exact embedding-cosine pair graph (same two-tier CC solver)
+        "embedding_dedup_clusters": ann.embedding_dedup_clusters,
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -327,6 +334,38 @@ reach(node, label) AS (
   UNION
   SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
 )
+"""
+
+
+def _dup_span_sql(span: int) -> str:
+    """The dup_span_frac oracle: string ``span``-token windows, a window
+    is duplicated iff ≥2 distinct docs contain it; frac = duplicated
+    window POSITIONS / total window positions per doc."""
+    concat = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(span))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, unnest([{concat}
+                         FOR i IN range(1, greatest(len(t) - {span} + 2, 1))]) AS s
+  FROM toks
+),
+occ AS (SELECT doc_id, s, count(*) AS c FROM sp GROUP BY doc_id, s),
+df AS (SELECT s, count(*) AS nd FROM occ GROUP BY s),
+tot AS (SELECT doc_id, greatest(len(t) - {span} + 1, 0) AS tot FROM toks),
+dup AS (SELECT occ.doc_id, sum(c) AS dup FROM occ JOIN df ON occ.s = df.s
+        WHERE df.nd >= 2 GROUP BY occ.doc_id)
+SELECT d.doc_id AS doc_id,
+       round(CASE WHEN tot.tot > 0
+                  THEN coalesce(dup.dup, 0)::DOUBLE / tot.tot
+                  ELSE 0 END, 6) AS dup_span_frac
+FROM documents d
+JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -1043,6 +1082,30 @@ bg AS (
 )
 SELECT ngram, count(*)::BIGINT AS cnt FROM bg
 GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+""",
+        # duplicated-span fraction: string 5-token windows in SQL vs
+        # 64-bit polynomial window hashes in the engine (the standard
+        # 2^-64-collision caveat); a window is duplicated iff >= 2
+        # DISTINCT docs hold it
+        "dup_span_frac": _dup_span_sql(span=5),
+        "embedding_dedup_clusters": """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT ed.u, r.label FROM edges ed JOIN reach r ON r.node = ed.v
+)
+SELECT node::BIGINT AS vec_id, min(label)::BIGINT AS cluster_id
+FROM reach GROUP BY node ORDER BY vec_id
 """,
         # minhash_near_dups: rows-only BY CONTRACT (ADVICE r2). LSH
         # candidate generation is probabilistic by construction (recall

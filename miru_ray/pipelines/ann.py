@@ -35,7 +35,8 @@ from miru_ray.state.layout import read_json, write_json_atomic
 
 __all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "lsh_buckets",
            "embedding_near_dups", "embedding_near_dups_lsh", "lsh_index",
-           "norm_chunks", "near_dup_chunk_count", "ivf_index", "ann_topk_ivf"]
+           "norm_chunks", "near_dup_chunk_count", "ivf_index", "ann_topk_ivf",
+           "embedding_dedup_clusters"]
 
 _LSH_PLANES = 6   # 64 buckets; multi-probe Hamming<=2 → ~1/3 of space scanned
 _NEAR_DUP_MIN_CHUNKS = 8
@@ -514,3 +515,36 @@ def ann_topk_lsh(sf_dir: str, vec_id: int = 0, k: int = 20) -> pa.Table:
     sel = partials.iloc[order]
     return pa.table({"vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
                      "sim": pa.array(np.round(sel["sim"].to_numpy(), 6), pa.float64())})
+
+
+def embedding_dedup_clusters(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """(vec_id, cluster_id) — near-dup CLUSTER RESOLUTION over the exact
+    embedding-cosine pair graph: connected components of
+    :func:`embedding_near_dups` at ``threshold``, labeled with each
+    component's minimum vec_id; one row per vector in a ≥2-member
+    cluster, sorted by vec_id. The embedding twin of
+    ``dedup.dedup_clusters`` — the SAME two-tier solver (vectorized
+    local pointer jumping under the edge bound, distributed
+    label propagation past it), so semantic-dup collapse composes with
+    the lexical ladder. Oracle: recursive-CTE transitive closure over
+    the embedding_near_dups SQL."""
+    import pandas as pd
+
+    from miru_ray.pipelines.dedup import (_LOCAL_CC_EDGES, _cc_distributed,
+                                          _cc_local)
+
+    pairs = embedding_near_dups(sf_dir, threshold)
+    if pairs.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    if pairs.num_rows <= _LOCAL_CC_EDGES:
+        nodes, labels = _cc_local(pairs["vec_a"].to_numpy(),
+                                  pairs["vec_b"].to_numpy())
+    else:
+        edges = ray.data.from_arrow(pa.table({
+            "doc_a": pairs["vec_a"], "doc_b": pairs["vec_b"]}))
+        lab = _cc_distributed(edges.materialize()).to_pandas()
+        lab = lab.sort_values("node")
+        nodes, labels = lab["node"].to_numpy(), lab["label"].to_numpy()
+    return pa.table({"vec_id": pa.array(nodes, pa.int64()),
+                     "cluster_id": pa.array(labels, pa.int64())})

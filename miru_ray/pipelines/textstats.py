@@ -21,7 +21,7 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "sample_hash", "md5_fingerprint_batch", "doc_fingerprint_table",
            "token_counts_ds", "quality_scores_ds", "lang_id_ds",
            "doc_fingerprints_ds", "repetition_scores", "repetition_scores_ds",
-           "top_ngrams"]
+           "top_ngrams", "dup_span_frac", "dup_span_frac_ds"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -341,6 +341,144 @@ def top_ngrams(sf_dir: str, k: int = 20) -> pa.Table:
                 .head(k).reset_index(drop=True))
     return pa.table({"ngram": pa.array(cand["ngram"], pa.string()),
                      "cnt": pa.array(cand["cnt"].to_numpy(), pa.int64())})
+
+
+_SPAN_POLY = np.uint64(0x9E3779B185EBCA87)   # same fold the shingle tiers use
+_SPAN_BUCKETS = 64
+
+
+def dup_span_frac_ds(sf_dir: str, span: int = 5):
+    """Lazy Dataset of (doc_id, dup_span_frac) — the fraction of each
+    doc's ``span``-token window positions whose window ALSO occurs in at
+    least one other document. This is the per-doc signal behind
+    substring-level corpus dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": duplicated long spans,
+    not just duplicated documents, are what inflate memorization) —
+    rank high-frac docs for span excision or dropping.
+
+    Distributed shape (2 bounded exchanges + 1 keyed merge, no
+    driver-side state beyond the final per-doc rows):
+      1. per-batch (span-hash, doc, occurrences) rows bucket on the
+         span hash → a hash lives in ONE bucket, so each bucket sees
+         every doc holding it and flags cross-doc spans exactly;
+      2. per-doc duplicated-occurrence partials roll up through the
+         standard bucketed sum;
+      3. totals (window positions per doc) attach through one
+         union-side-tag keyed exchange.
+    Span identity is the 64-bit polynomial fold of the token hashes —
+    equal to string spans modulo 2^-64 collisions (the Jaccard-tier
+    caveat). Rounded 6 dp to match the SQL oracle.
+    """
+    from miru_ray.functions.hashing import hash_strings
+    from miru_ray.functions.rollup import bucketed_sum_rollup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"].combine_chunks())
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        th = (hash_strings(flat) if len(flat)
+              else np.empty(0, dtype=np.uint64))
+        doc_of = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        total = len(th)
+        empty = pa.table({"spart": pa.array([], pa.int64()),
+                          "sh": pa.array([], pa.uint64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if total < span:
+            return empty
+        s = th[: total - span + 1].copy()
+        for j in range(1, span):
+            s = s * _SPAN_POLY + th[j: total - span + 1 + j]
+        valid = doc_of[: total - span + 1] == doc_of[span - 1:]
+        d, s = doc_of[: total - span + 1][valid], s[valid]
+        if not len(s):
+            return empty
+        # per-(doc, hash) OCCURRENCE counts (not distinct — the frac is
+        # over window positions): run lengths on a (doc, hash) lexsort
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (d[1:] != d[:-1]) | (s[1:] != s[:-1])]))
+        cnt = np.diff(np.concatenate([starts, [len(s)]]))
+        d, s = d[starts], s[starts]
+        doc_ids = batch["doc_id"].to_numpy()[d]
+        return pa.table({
+            "spart": pa.array((s % np.uint64(_SPAN_BUCKETS)).astype(np.int64),
+                              pa.int64()),
+            "sh": pa.array(s, pa.uint64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def dup_partial(g: pd.DataFrame) -> pd.DataFrame:
+        """Rows of one span-hash bucket → per-doc duplicated-occurrence
+        partial sums (a span is duplicated iff ≥2 docs hold it — rows
+        here are per (doc, hash), so run length = doc count)."""
+        s = g["sh"].to_numpy(dtype=np.uint64)
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        order = np.argsort(s, kind="stable")
+        s, d, c = s[order], d[order], c[order]
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        runlen = np.diff(np.concatenate([starts, [len(s)]]))
+        dup = np.repeat(runlen >= 2, runlen)
+        if not dup.any():
+            return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64),
+                                 "dup": np.empty(0, dtype=np.int64)})
+        out = (pd.DataFrame({"doc_id": d[dup], "dup": c[dup]})
+               .groupby("doc_id", sort=False)["dup"].sum().reset_index())
+        return out[["doc_id", "dup"]]
+
+    dup = bucketed_sum_rollup(
+        ds.map_batches(span_rows, batch_format="pyarrow", batch_size=1024)
+          .groupby("spart").map_groups(dup_partial, batch_format="pandas"),
+        keys=["doc_id"], val_cols=["dup"])
+
+    def tot_rows(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch["text"].combine_chunks())
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "tot": pa.array(np.maximum(n - span + 1, 0),
+                                         pa.int64())})
+
+    tot = ds.map_batches(tot_rows, batch_format="pyarrow")
+
+    # one keyed exchange: totals (side 0) + dup sums (side 1) bucket on
+    # doc_id; each bucket left-merges and emits the final fraction
+    def tag(side: int, col: str):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "val": t[col].cast(pa.int64()),
+                "side": pa.array(np.full(len(ids), side, dtype=np.int8)),
+                "_bkt": pa.array(ids % _SPAN_BUCKETS, pa.int64())})
+        return f
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["side"] == 0][["doc_id", "val"]].rename(columns={"val": "tot"})
+        d = g[g["side"] == 1][["doc_id", "val"]].rename(columns={"val": "dup"})
+        m = t.merge(d, on="doc_id", how="left").fillna({"dup": 0})
+        frac = np.where(m["tot"].to_numpy() > 0,
+                        m["dup"].to_numpy(dtype=np.float64)
+                        / np.maximum(m["tot"].to_numpy(), 1), 0.0)
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
+                             "dup_span_frac": np.round(frac, 6)})
+
+    tagged = (tot.map_batches(tag(0, "tot"), batch_format="pyarrow")
+              .union(dup.map_batches(tag(1, "dup"), batch_format="pyarrow")))
+    return tagged.groupby("_bkt").map_groups(merge, batch_format="pandas")
+
+
+def dup_span_frac(sf_dir: str, span: int = 5) -> pa.Table:
+    """Driver-side collected form of :func:`dup_span_frac_ds`, sorted by
+    doc_id."""
+    got = dup_span_frac_ds(sf_dir, span).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(got["doc_id"].to_numpy(), pa.int64()),
+                     "dup_span_frac": pa.array(
+                         got["dup_span_frac"].to_numpy(), pa.float64())})
 
 
 def sample_hash(sf_dir: str, hex_cut: str = "1a") -> pa.Table:

@@ -117,3 +117,47 @@ def test_top_ngrams_ties_and_k(tmp_path, ray_session):
     # counts: "x y" 2, "y x" 1, "b a" 2, "a b" 1 → ties broken by ngram asc
     assert list(got["ngram"]) == ["b a", "x y", "a b"]
     assert list(got["cnt"]) == [2, 2, 1]
+
+
+def test_dup_span_frac_synthetic(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    from miru_ray.pipelines.textstats import dup_span_frac
+    shared = "alpha beta gamma delta epsilon"        # one 5-token window
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"{shared} zero tail words here",        # 5 windows, 1 dup
+            f"one lead {shared}",                    # 3 windows, 1 dup
+            "totally different text with no overlap at all",
+            "tiny",                                  # no 5-token window
+        ], pa.string())}), tmp_path / "documents.parquet")
+    got = dup_span_frac(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "dup_span_frac"] == pytest.approx(round(1 / 5, 6))
+    assert got.loc[1, "dup_span_frac"] == pytest.approx(round(1 / 3, 6))
+    assert got.loc[2, "dup_span_frac"] == 0.0
+    assert got.loc[3, "dup_span_frac"] == 0.0
+
+
+def test_dup_span_within_doc_repeat_not_cross_doc(tmp_path, ray_session):
+    # a span repeated WITHIN one doc only is not cross-doc duplicated
+    import pyarrow.parquet as pq
+    from miru_ray.pipelines.textstats import dup_span_frac
+    span = "alpha beta gamma delta epsilon"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([f"{span} junk {span}"], pa.string())}),
+                   tmp_path / "documents.parquet")
+    got = dup_span_frac(str(tmp_path)).to_pandas()
+    assert got["dup_span_frac"][0] == 0.0
+
+
+def test_embedding_clusters_consistent_with_pairs(ray_session):
+    from miru_ray.pipelines.ann import (embedding_dedup_clusters,
+                                        embedding_near_dups)
+    pairs = embedding_near_dups(SF).to_pandas()
+    cl = embedding_dedup_clusters(SF).to_pandas()
+    lab = dict(zip(cl["vec_id"], cl["cluster_id"]))
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        assert lab[a] == lab[b]
+    nodes = set(pairs["vec_a"]) | set(pairs["vec_b"])
+    assert set(cl["vec_id"]) == nodes
