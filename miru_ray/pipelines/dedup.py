@@ -37,8 +37,8 @@ from miru_ray.sources.tables import read_table
 
 __all__ = ["dedup_exact", "minhash_near_dups", "simhash64", "simhash64_ds",
            "ngram_jaccard_pairs", "ngram_jaccard_prefix",
-           "ngram_jaccard_prefix_ds", "dedup_clusters", "dedup_keep_one",
-           "dedup_keep_one_ds", "shingle_set",
+           "ngram_jaccard_prefix_ds", "dedup_clusters", "dedup_clusters_ds",
+           "dedup_keep_one", "dedup_keep_one_ds", "shingle_set",
            "jaccard", "NUM_HASHES", "NUM_BANDS", "SHINGLE_K"]
 
 NUM_HASHES = 64
@@ -788,6 +788,21 @@ def _cc_distributed(edges, nparts: int = _NJ_PARTS):
         if cur == prev:
             return labels
         prev = cur
+
+
+def dedup_clusters_ds(sf_dir: str, threshold: float = 0.8):
+    """Lazy Dataset of (doc_id, cluster_id) via the DISTRIBUTED
+    label-propagation solver — the scale form of :func:`dedup_clusters`
+    (on a boilerplate-heavy crawl the cluster-member list is
+    corpus-scale, so the collected table is a driver adapter only;
+    write or iterate this one instead)."""
+    pairs = ngram_jaccard_prefix_ds(sf_dir, threshold).materialize()
+    lab = _cc_distributed(pairs)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "cluster_id"])
+
+    return lab.map_batches(rename, batch_format="pyarrow")
 
 
 _CL_CACHE: dict[tuple, tuple[tuple, pa.Table]] = {}

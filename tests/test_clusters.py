@@ -161,3 +161,14 @@ def test_embedding_clusters_consistent_with_pairs(ray_session):
         assert lab[a] == lab[b]
     nodes = set(pairs["vec_a"]) | set(pairs["vec_b"])
     assert set(cl["vec_id"]) == nodes
+
+
+def test_clusters_ds_lazy_and_equal(ray_session):
+    import ray.data
+    from miru_ray.pipelines.dedup import dedup_clusters_ds
+    ds = dedup_clusters_ds(SF)
+    assert isinstance(ds, ray.data.Dataset)        # lazy handle, no collect
+    got = (ds.to_pandas().sort_values("doc_id").reset_index(drop=True))
+    _CL_CACHE.clear()
+    exp = dedup_clusters(SF).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
