@@ -1,19 +1,22 @@
 #!/usr/bin/env python
 """Composed training-data curation pipeline over the ``documents`` table:
 
-    read (pruned) → exact-dedup mask → quality filter → language filter
+    read (pruned) → exact-dedup mask → NEAR-DUP keep-one (cluster
+    resolution over the exact PPJoin pair graph) → repetition filter
+    (Gopher duplicate-bigram rule) → quality filter → language filter
     → deterministic hash downsample → per-doc stats → partitioned
     parquet out
 
     python examples/training_data_pipeline.py [SF_DIR] [OUT_DIR]
 
 Every stage is a streaming ``map_batches`` over Arrow batches — the
-pipeline never materializes the corpus; the only driver-side object is
-the (small) winner-set of the exact dedup, broadcast once via ray.put.
-Near-dup removal at corpus scale would swap that broadcast for the
-MinHash-LSH pair set (pipelines/dedup.py) keyed the same way. Output is
-one parquet directory partitioned by Ray block — a failed run reruns
-cheaply because every upstream stage is deterministic.
+pipeline never materializes the corpus; the only driver-side objects are
+the (small) exact-dedup winner set and the near-dup LOSER set (O(dup
+docs) at this scale; at a crawl-scale dup rate swap the broadcast for
+the bucketed anti-join ``dedup.dedup_keep_one_ds`` — same labels,
+one keyed exchange instead of a driver set). Output is one parquet
+directory partitioned by Ray block — a failed run reruns cheaply
+because every upstream stage is deterministic.
 """
 
 from __future__ import annotations
@@ -44,9 +47,17 @@ def main() -> None:
 
     # --- stage 0: exact-dedup winners (first doc_id per md5(text)) -----
     # The winner set is O(unique docs) ids — the ONE small broadcast.
-    from miru_ray.pipelines.dedup import dedup_exact
+    from miru_ray.pipelines.dedup import dedup_clusters, dedup_exact
     winners = set(dedup_exact(sf_dir)["doc_id"].to_pylist())
     w_ref = ray.put(np.sort(np.fromiter(winners, dtype=np.int64)))
+
+    # --- stage 0b: NEAR-dup keep-one — cluster resolution over the
+    # exact prefix-filtered Jaccard pair graph; drop every cluster
+    # member except the minimum-id canonical. Loser set is O(dup docs).
+    cl = dedup_clusters(sf_dir)
+    losers = cl.filter(pa.compute.not_equal(cl["doc_id"],
+                                            cl["cluster_id"]))
+    l_ref = ray.put(np.sort(losers["doc_id"].to_numpy()))
 
     ds = read_table(sf_dir, "documents",
                     columns=["doc_id", "text", "lang", "source"])
@@ -56,6 +67,12 @@ def main() -> None:
         ids = batch["doc_id"].to_numpy()
         pos = np.searchsorted(w, ids)
         keep = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == ids)
+        # near-dup losers out (sorted-membership test, same idiom)
+        l = ray.get(l_ref)
+        if len(l):
+            lpos = np.searchsorted(l, ids)
+            keep &= ~((lpos < len(l))
+                      & (l[np.minimum(lpos, len(l) - 1)] == ids))
         # language filter (cheap vectorized masks FIRST)
         keep &= np.isin(batch["lang"].to_numpy(zero_copy_only=False),
                         ("en", "de"))
@@ -66,12 +83,31 @@ def main() -> None:
         samp = np.array([hashlib.md5(t.encode()).hexdigest()[:2] < "80"
                          for t in texts], dtype=bool)
         batch = batch.filter(pa.array(samp, pa.bool_()))
-        # quality stats + filter: ≥20 tokens
+        # quality stats + filters: ≥20 tokens AND the Gopher repetition
+        # rule (duplicate-bigram fraction; loose bound for the synthetic
+        # token-soup fixture — real crawls use ~0.2–0.3)
+        from miru_ray.functions.hashing import hash_strings
         toks = tokenize_column(batch["text"].combine_chunks())
-        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
-        batch = batch.append_column("n_tokens", pa.array(n.astype(np.int64),
-                                                         pa.int64()))
-        return batch.filter(pa.compute.greater_equal(batch["n_tokens"], 20))
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        th = hash_strings(flat) if len(flat) else np.empty(0, np.uint64)
+        doc_of = np.repeat(np.arange(len(n)), n)
+        ndist = np.zeros(len(n), dtype=np.int64)
+        if len(th) >= 2:
+            same = doc_of[:-1] == doc_of[1:]
+            bh = (th[:-1] * np.uint64(1099511628211)) + th[1:]
+            bd, bh = doc_of[:-1][same], bh[same]
+            if len(bh):
+                order = np.lexsort((bh, bd))
+                bd_s, bh_s = bd[order], bh[order]
+                first = np.concatenate(
+                    [[True], (bd_s[1:] != bd_s[:-1]) | (bh_s[1:] != bh_s[:-1])])
+                np.add.at(ndist, bd_s[first], 1)
+        nbg = np.maximum(n - 1, 0)
+        dup_frac = (nbg - ndist) / np.maximum(nbg, 1)
+        batch = batch.append_column("n_tokens", pa.array(n, pa.int64()))
+        ok = pa.array((n >= 20) & (dup_frac <= 0.95), pa.bool_())
+        return batch.filter(ok)
 
     curated = ds.map_batches(curate, batch_format="pyarrow")
     import shutil
