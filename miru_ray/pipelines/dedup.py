@@ -647,6 +647,9 @@ def ngram_jaccard_prefix_ds(sf_dir: str, threshold: float = 0.8):
                                             "threshold": threshold})
 
 
+_NJP_CACHE: dict[tuple, tuple[tuple, pa.Table]] = {}
+
+
 def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     """(doc_a, doc_b, jaccard) — the SAME exact contract as
     ``ngram_jaccard_pairs`` (value-identical, shared SQL oracle), with
@@ -655,7 +658,19 @@ def ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     survivors are verified by the exact-Jaccard actor pool
     (``PairVerifier`` — pushdown text gather, no driver-side candidate
     texts). This is the sub-quadratic EXACT tier for web-scale corpora;
-    the plain inverted-index form remains its brute-force oracle twin."""
+    the plain inverted-index form remains its brute-force oracle twin.
+
+    Memoized per (corpus file, threshold) — the pair scan is shared by
+    the clusters/keep-one consumers, so a sweep pays for ONE scan."""
+    import os
+    from miru_ray.state.layout import stat_validated_memo
+    src = os.path.join(sf_dir, "documents.parquet")
+    return stat_validated_memo(
+        _NJP_CACHE, (os.path.abspath(src), threshold), src,
+        lambda: _ngram_jaccard_prefix_collect(sf_dir, threshold))
+
+
+def _ngram_jaccard_prefix_collect(sf_dir: str, threshold: float) -> pa.Table:
     got = ngram_jaccard_prefix_ds(sf_dir, threshold).to_pandas()
     if got.empty:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -833,21 +848,29 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8,
     src = os.path.join(sf_dir, "documents.parquet")
 
     def build() -> pa.Table:
+        if local_edge_bound > 0:
+            # the pair table is the memoized small side — shared with the
+            # ngram_jaccard_prefix entry, so a sweep scans the corpus once
+            got = ngram_jaccard_prefix(sf_dir, threshold)
+            if got.num_rows <= local_edge_bound:
+                if got.num_rows == 0:
+                    return pa.table({"doc_id": pa.array([], pa.int64()),
+                                     "cluster_id": pa.array([], pa.int64())})
+                nodes, labels = _cc_local(got["doc_a"].to_numpy(),
+                                          got["doc_b"].to_numpy())
+                return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                                 "cluster_id": pa.array(labels, pa.int64())})
+        # past the bound (or forced): distributed label propagation over
+        # the lazy pair Dataset — nothing pair-shaped on the driver
         pairs = ngram_jaccard_prefix_ds(sf_dir, threshold).materialize()
-        n_edges = pairs.count()
-        if n_edges == 0:
+        if pairs.count() == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "cluster_id": pa.array([], pa.int64())})
-        if n_edges <= local_edge_bound:
-            got = pairs.to_pandas()
-            nodes, labels = _cc_local(got["doc_a"].to_numpy(),
-                                      got["doc_b"].to_numpy())
-        else:
-            lab = _cc_distributed(pairs).to_pandas().sort_values("node")
-            nodes = lab["node"].to_numpy()
-            labels = lab["label"].to_numpy()
-        return pa.table({"doc_id": pa.array(nodes, pa.int64()),
-                         "cluster_id": pa.array(labels, pa.int64())})
+        lab = _cc_distributed(pairs).to_pandas().sort_values("node")
+        return pa.table({"doc_id": pa.array(lab["node"].to_numpy(),
+                                            pa.int64()),
+                         "cluster_id": pa.array(lab["label"].to_numpy(),
+                                                pa.int64())})
 
     from miru_ray.state.layout import stat_validated_memo
     return stat_validated_memo(_CL_CACHE, (os.path.abspath(src), threshold),
