@@ -231,6 +231,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": events.value_quantiles_sketch,
         "distinct_count_hll": events.distinct_count_hll,
         "minhash_near_dups": dedup.minhash_near_dups,
+        # sub-quadratic clusters default: CC over the LSH pair graph —
+        # inherits minhash's probabilistic-recall contract (rows-only);
+        # equals the exact tier on fixture corpora (tests/test_clusters.py)
+        "minhash_dedup_clusters": dedup.minhash_dedup_clusters,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_near_dups_lsh": ann.embedding_near_dups_lsh,

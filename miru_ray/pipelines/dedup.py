@@ -38,7 +38,8 @@ from miru_ray.sources.tables import read_table
 __all__ = ["dedup_exact", "minhash_near_dups", "simhash64", "simhash64_ds",
            "ngram_jaccard_pairs", "ngram_jaccard_prefix",
            "ngram_jaccard_prefix_ds", "dedup_clusters", "dedup_clusters_ds",
-           "dedup_keep_one", "dedup_keep_one_ds", "shingle_set",
+           "dedup_keep_one", "dedup_keep_one_ds", "minhash_dedup_clusters",
+           "shingle_set",
            "jaccard", "NUM_HASHES", "NUM_BANDS", "SHINGLE_K"]
 
 NUM_HASHES = 64
@@ -909,6 +910,33 @@ def dedup_keep_one_ds(sf_dir: str, threshold: float = 0.8):
     tagged = (docs.map_batches(tag(0), batch_format="pyarrow")
               .union(losers_ds.map_batches(tag(1), batch_format="pyarrow")))
     return tagged.groupby("_bkt").map_groups(anti, batch_format="pandas")
+
+
+def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.8,
+                           local_edge_bound: int = _LOCAL_CC_EDGES) -> pa.Table:
+    """(doc_id, cluster_id) — cluster resolution over the MinHash-LSH
+    near-dup pair graph: the SUB-QUADRATIC clusters default for web
+    corpora (candidate generation is banded LSH, so the pair graph —
+    and therefore the clustering — inherits minhash_near_dups'
+    probabilistic-recall contract; precision stays 1.0 because every
+    pair is exact-verified). Same two-tier CC solver as
+    :func:`dedup_clusters`; on fixture corpora, where LSH recall is
+    full, the result equals the exact tier (pytest-pinned)."""
+    pairs = minhash_near_dups(sf_dir, threshold)
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    if pairs.num_rows <= local_edge_bound:
+        nodes, labels = _cc_local(pairs["doc_a"].to_numpy(),
+                                  pairs["doc_b"].to_numpy())
+    else:
+        import ray
+        edges = ray.data.from_arrow(pairs.select(["doc_a", "doc_b"]))
+        lab = _cc_distributed(edges.materialize()).to_pandas()
+        lab = lab.sort_values("node")
+        nodes, labels = lab["node"].to_numpy(), lab["label"].to_numpy()
+    return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                     "cluster_id": pa.array(labels, pa.int64())})
 
 
 def dedup_keep_one(sf_dir: str, threshold: float = 0.8) -> pa.Table:

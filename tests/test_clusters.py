@@ -172,3 +172,13 @@ def test_clusters_ds_lazy_and_equal(ray_session):
     _CL_CACHE.clear()
     exp = dedup_clusters(SF).to_pandas()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_minhash_clusters_equal_exact_on_fixture(ray_session):
+    # LSH recall is full on the fixture corpus (pinned by test_ops), so
+    # the sub-quadratic clusters tier must equal the exact tier here
+    from miru_ray.pipelines.dedup import minhash_dedup_clusters
+    got = minhash_dedup_clusters(SF).to_pandas()
+    _CL_CACHE.clear()
+    exp = dedup_clusters(SF).to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
