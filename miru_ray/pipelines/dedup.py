@@ -785,10 +785,15 @@ def _cc_distributed(edges, nparts: int = _NJ_PARTS):
                                      "cand": df["label"].to_numpy()}),
             batch_format="pandas")
 
-        def bkt(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_bkt"] = (df["node"].to_numpy() % nparts).astype(np.int64)
-            return df
+        def precombine(df: pd.DataFrame) -> pd.DataFrame:
+            """Per-batch local min per node BEFORE the exchange — min is
+            associative, so this bounds what a hot node's bucket receives
+            (a mega-component's canonical node would otherwise collect
+            one message per incident edge in a single group)."""
+            out = (df.groupby("node", sort=False)["cand"].min()
+                     .reset_index())
+            out["_bkt"] = (out["node"].to_numpy() % nparts).astype(np.int64)
+            return out
 
         def fold_min(g: pd.DataFrame) -> pd.DataFrame:
             out = (g.groupby("node", sort=False)["cand"].min()
@@ -796,7 +801,7 @@ def _cc_distributed(edges, nparts: int = _NJ_PARTS):
             return out[["node", "label"]]
 
         labels = (m1.union(m2).union(own)
-                  .map_batches(bkt, batch_format="pandas")
+                  .map_batches(precombine, batch_format="pandas")
                   .groupby("_bkt").map_groups(fold_min,
                                               batch_format="pandas")
                   .materialize())
