@@ -752,12 +752,15 @@ def _cc_msgs(edges, labels, key: str, out: str, nparts: int):
 def _cc_distributed(edges, nparts: int = _NJ_PARTS):
     """Distributed min-label propagation over an edge Dataset
     (doc_a, doc_b): every round attaches each endpoint's current label
-    through two keyed exchanges, folds candidates with a bucketed min,
-    and stops when the (monotonically decreasing) label sum is stable.
-    Rounds = graph diameter — small by construction for near-dup
-    components (clusters of mutually-similar docs are dense); each round
-    is 3 bounded exchanges over O(pairs) rows, nothing driver-side but
-    the convergence scalar."""
+    through two keyed exchanges and folds candidates with a bucketed
+    min. The node's OWN previous label rides the same fold (tagged
+    ``own=1``), so each bucket computes new-vs-old per node in place and
+    convergence is the exact CHANGED-NODE COUNT — a bounded counter, not
+    a label sum (node ids reach 2^40 at north-star scale, so a sum over
+    10^9+ nodes could overflow int64). Rounds = graph diameter — small
+    by construction for near-dup components (clusters of
+    mutually-similar docs are dense); each round is 3 bounded exchanges
+    over O(pairs) rows, nothing driver-side but the convergence scalar."""
     import ray  # noqa: F401  (Dataset ops only; session owned by caller)
 
     def init_nodes(t: pa.Table) -> pa.Table:
@@ -774,41 +777,55 @@ def _cc_distributed(edges, nparts: int = _NJ_PARTS):
               .groupby("_bkt").map_groups(distinct_nodes,
                                           batch_format="pandas")
               .materialize())
-    prev = labels.sum("label")
-    if prev is None:                      # no edges at all
+    if labels.count() == 0:               # no edges at all
         return labels
     while True:
         m1 = _cc_msgs(edges, labels, "doc_a", "doc_b", nparts)
         m2 = _cc_msgs(edges, labels, "doc_b", "doc_a", nparts)
+
+        def tag_own(df: pd.DataFrame, own: int) -> pd.DataFrame:
+            df = df[["node", "cand"]].copy()
+            df["own"] = np.int8(own)
+            return df
+
         own = labels.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
-                                     "cand": df["label"].to_numpy()}),
+            lambda df: tag_own(df.rename(columns={"label": "cand"}), 1),
             batch_format="pandas")
 
         def precombine(df: pd.DataFrame) -> pd.DataFrame:
-            """Per-batch local min per node BEFORE the exchange — min is
-            associative, so this bounds what a hot node's bucket receives
-            (a mega-component's canonical node would otherwise collect
-            one message per incident edge in a single group)."""
-            out = (df.groupby("node", sort=False)["cand"].min()
+            """Per-batch local min per (node, own) BEFORE the exchange —
+            min is associative, so this bounds what a hot node's bucket
+            receives (a mega-component's canonical node would otherwise
+            collect one message per incident edge in a single group).
+            Keeping ``own`` in the key preserves the old-label row the
+            fold's changed-count needs (one per node, from the labels
+            dataset itself)."""
+            if "own" not in df.columns:
+                df = tag_own(df, 0)
+            out = (df.groupby(["node", "own"], sort=False)["cand"].min()
                      .reset_index())
             out["_bkt"] = (out["node"].to_numpy() % nparts).astype(np.int64)
             return out
 
         def fold_min(g: pd.DataFrame) -> pd.DataFrame:
-            out = (g.groupby("node", sort=False)["cand"].min()
+            new = (g.groupby("node", sort=False)["cand"].min()
                     .reset_index().rename(columns={"cand": "label"}))
-            return out[["node", "label"]]
+            old = (g[g["own"] == 1][["node", "cand"]]
+                   .rename(columns={"cand": "old"}))
+            m = new.merge(old, on="node", how="left")
+            changed = (m["label"].to_numpy()
+                       != m["old"].fillna(-1).to_numpy()).astype(np.int64)
+            return pd.DataFrame({"node": m["node"].to_numpy(),
+                                 "label": m["label"].to_numpy(),
+                                 "changed": changed})
 
         labels = (m1.union(m2).union(own)
                   .map_batches(precombine, batch_format="pandas")
                   .groupby("_bkt").map_groups(fold_min,
                                               batch_format="pandas")
                   .materialize())
-        cur = labels.sum("label")
-        if cur == prev:
-            return labels
-        prev = cur
+        if labels.sum("changed") == 0:
+            return labels.select_columns(["node", "label"])
 
 
 def dedup_clusters_ds(sf_dir: str, threshold: float = 0.8):
