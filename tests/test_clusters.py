@@ -182,3 +182,39 @@ def test_minhash_clusters_equal_exact_on_fixture(ray_session):
     _CL_CACHE.clear()
     exp = dedup_clusters(SF).to_pandas()
     pd.testing.assert_frame_equal(got, exp)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=120))
+def test_cc_local_matches_bfs(edges):
+    # property: pointer-jumping min-label CC == brute-force BFS components
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    nodes, lab = _cc_local(a, b)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            u = stack.pop()
+            if u in seen:
+                continue
+            seen.add(u)
+            comp.append(u)
+            stack.extend(adj[u] - seen)
+        m = min(comp)
+        for u in comp:
+            expect[u] = m
+    got = dict(zip(nodes.tolist(), lab.tolist()))
+    assert got == expect
