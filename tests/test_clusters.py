@@ -218,3 +218,31 @@ def test_cc_local_matches_bfs(edges):
             expect[u] = m
     got = dict(zip(nodes.tolist(), lab.tolist()))
     assert got == expect
+
+
+def test_distributed_cc_multi_round_chain(tmp_path, ray_session):
+    """A CHAIN of near-dups (adjacent Jaccard ≈0.88 ≥ t, distance-2
+    ≈0.78 < t) — component diameter 5, so the distributed solver needs
+    several propagation rounds, and the changed-count convergence must
+    not stop early."""
+    import pyarrow.parquet as pq
+    base = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(6):
+        toks = list(base)
+        for j in range(i):                     # cumulative single-token edits
+            toks[5 + 5 * j] = f"x{j}"
+        docs.append(" ".join(toks))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+                   tmp_path / "documents.parquet")
+    pairs = ngram_jaccard_prefix(str(tmp_path)).to_pandas()
+    # sanity: the pair graph is exactly the 5-edge chain
+    assert (sorted(zip(pairs["doc_a"], pairs["doc_b"]))
+            == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    _CL_CACHE.clear()
+    dist = dedup_clusters(str(tmp_path), local_edge_bound=0).to_pandas()
+    _CL_CACHE.clear()
+    assert list(dist["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert set(dist["cluster_id"]) == {0}       # one component, min label
