@@ -454,6 +454,9 @@ ORDER BY raw DESC, doc_id DESC LIMIT {k}
 
 
 def oracle_sql() -> dict[str, str]:
+    # the embedding near-dup threshold interpolates from the engine's one
+    # definition so the oracle cannot silently drift (ADVICE r4 #5)
+    from miru_ray.pipelines.ann import EMBED_NEAR_DUP_THRESHOLD as _EMB_T
     return {
         "fulltext_topk": _bm25_sql(["merge", "sort"], 20, require_all=True),
         "fulltext_or": _bm25_sql(["vector", "window"], 50, require_all=False),
@@ -616,12 +619,12 @@ WHERE e.vec_id != 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT 20
 """,
-        "embedding_near_dups": """
+        "embedding_near_dups": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_T}
 """,
         "cf_recommend": """
 WITH my_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
@@ -1092,12 +1095,12 @@ GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
         # 2^-64-collision caveat); a window is duplicated iff >= 2
         # DISTINCT docs hold it
         "dup_span_frac": _dup_span_sql(span=5),
-        "embedding_dedup_clusters": """
+        "embedding_dedup_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+  WHERE list_cosine_similarity(a.v, b.v) >= {_EMB_T}
 ),
 edges AS (
   SELECT vec_a AS u, vec_b AS v FROM pairs

@@ -34,9 +34,15 @@ from miru_ray.sources.tables import read_table
 from miru_ray.state.layout import read_json, write_json_atomic
 
 __all__ = ["ann_topk_bruteforce", "ann_topk_lsh", "lsh_buckets",
-           "embedding_near_dups", "embedding_near_dups_lsh", "lsh_index",
+           "embedding_near_dups", "embedding_near_dups_lsh",
+           "embedding_near_dups_lsh_ds", "lsh_index",
            "norm_chunks", "near_dup_chunk_count", "ivf_index", "ann_topk_ivf",
            "embedding_dedup_clusters"]
+
+# The ONE definition of the embedding near-dup cosine threshold: engine
+# defaults AND the DuckDB oracle SQL interpolate it from here, so a
+# default change cannot silently drift the oracle (ADVICE r4 #5).
+EMBED_NEAR_DUP_THRESHOLD = 0.45
 
 _LSH_PLANES = 6   # 64 buckets; multi-probe Hamming<=2 → ~1/3 of space scanned
 _NEAR_DUP_MIN_CHUNKS = 8
@@ -189,7 +195,7 @@ def _chunk_pair_sims(root: str, ci: int, cj: int, threshold: float) -> pa.Table:
                      "sim": pa.array(s, pa.float64())})
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+def embedding_near_dups(sf_dir: str, threshold: float = EMBED_NEAR_DUP_THRESHOLD) -> pa.Table:
     """(vec_a, vec_b, sim) — EXACT embedding-cosine near-duplicate pairs
     (vec_a < vec_b, sim ≥ threshold, rounded 6 dp; sorted by pair).
 
@@ -308,7 +314,32 @@ class VecPairVerifier:
                          "sim": pa.array(sims[keep], pa.float64())})
 
 
-def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+def embedding_near_dups_lsh_ds(sf_dir: str, threshold: float = EMBED_NEAR_DUP_THRESHOLD):
+    """Lazy Dataset of verified (vec_a, vec_b, sim) near-dup pairs,
+    duplicate-free by construction: LSH candidates go through the same
+    bucketed pair-dedup exchange as the text tier BEFORE the exact
+    verify, so a pair colliding in several hash tables is verified once
+    and nothing pair-shaped ever lands on the driver (VERDICT r4 #1,
+    applied to the embedding twin)."""
+    import functools
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    num_pair_parts = max(2 * ncpu, 16)
+    from miru_ray.pipelines.dedup import _pair_dedup_exchange, _pairs_many
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cands = (ds.map_batches(functools.partial(_nd_lsh_band_rows,
+                                              num_pair_parts=num_pair_parts),
+                            batch_format="pyarrow", batch_size=2048)
+               .groupby("bpart")
+               .map_groups(_pairs_many, batch_format="pandas"))
+    return _pair_dedup_exchange(cands).map_batches(
+        VecPairVerifier, batch_format="pyarrow",
+        batch_size=8192, concurrency=(1, 8),
+        fn_constructor_kwargs={"src": src, "threshold": threshold})
+
+
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = EMBED_NEAR_DUP_THRESHOLD) -> pa.Table:
     """(vec_a, vec_b, sim) — the SUB-QUADRATIC large-corpus near-dup
     path: multi-table hyperplane LSH prefilter (16 tables × 6 planes,
     shuffle moves (band_key, vec_id) rows only) + the SAME exact-cosine
@@ -316,25 +347,9 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     every emitted sim is exact. Recall is probabilistic (per-pair miss
     prob (1−p^6)^16 with p = 1 − θ/π) — rows-only driver contract with a
     precision/recall pytest oracle, exactly like minhash_near_dups.
-    Total work O(n + candidates), vs the exact entry's O(n²)."""
-    import functools
-    import ray as _ray
-    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    num_pair_parts = max(2 * ncpu, 16)
-    from miru_ray.pipelines.dedup import _pairs_many
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    verified = (ds.map_batches(functools.partial(_nd_lsh_band_rows,
-                                                 num_pair_parts=num_pair_parts),
-                               batch_format="pyarrow", batch_size=2048)
-                  .groupby("bpart")
-                  .map_groups(_pairs_many, batch_format="pandas")
-                  .map_batches(VecPairVerifier, batch_format="pyarrow",
-                               batch_size=8192, concurrency=(1, 8),
-                               fn_constructor_kwargs={
-                                   "src": src, "threshold": threshold}))
-    got = verified.to_pandas()
-    got = got.drop_duplicates(["vec_a", "vec_b"])
+    Total work O(n + candidates), vs the exact entry's O(n²). Driver
+    adapter over :func:`embedding_near_dups_lsh_ds`."""
+    got = embedding_near_dups_lsh_ds(sf_dir, threshold).to_pandas()
     got = got.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.table({"vec_a": pa.array(got["vec_a"].to_numpy(), pa.int64()),
                      "vec_b": pa.array(got["vec_b"].to_numpy(), pa.int64()),
@@ -517,7 +532,7 @@ def ann_topk_lsh(sf_dir: str, vec_id: int = 0, k: int = 20) -> pa.Table:
                      "sim": pa.array(np.round(sel["sim"].to_numpy(), 6), pa.float64())})
 
 
-def embedding_dedup_clusters(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+def embedding_dedup_clusters(sf_dir: str, threshold: float = EMBED_NEAR_DUP_THRESHOLD) -> pa.Table:
     """(vec_id, cluster_id) — near-dup CLUSTER RESOLUTION over the exact
     embedding-cosine pair graph: connected components of
     :func:`embedding_near_dups` at ``threshold``, labeled with each

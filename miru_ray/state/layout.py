@@ -179,13 +179,50 @@ def cached_source_index(sf_dir: str, kind: str, layout_version: int,
     return d
 
 
-def stat_validated_memo(cache: dict, key, src_path: str, build):
+def stat_validated_memo(cache: dict, key, src_path: str, build,
+                        max_entries: int | None = None):
     """Process-lifetime memo with the source stat tuple as VALIDATOR,
     not key part: a regenerated source REPLACES its stale entry instead
-    of leaking one per generation."""
+    of leaking one per generation.
+
+    ``max_entries`` bounds the cache as a small LRU (insertion order =
+    recency; hits re-insert): a parameter sweep over one source then
+    holds only the newest few results instead of one full table per
+    parameter value for process lifetime (ADVICE r4 #3)."""
     st = os.stat(src_path)
     stat = (st.st_size, st.st_mtime_ns)
     hit = cache.get(key)
     if hit is None or hit[0] != stat:
-        cache[key] = (stat, build())
-    return cache[key][1]
+        val = build()
+        if max_entries is not None:
+            cache.pop(key, None)
+            while len(cache) >= max_entries:
+                cache.pop(next(iter(cache)))
+        cache[key] = (stat, val)
+        return val
+    if max_entries is not None:        # LRU touch
+        cache.pop(key)
+        cache[key] = hit
+    return hit[1]
+
+
+def stat_validated_peek(cache: dict, key, src_path: str):
+    """Return the memoized value for ``key`` if present AND still valid
+    against the source stat, else None — lets a consumer reuse a sibling
+    entry's collected result without forcing the build (ADVICE r4 #1:
+    the cluster tier decision must not trigger a driver-side collect)."""
+    hit = cache.get(key)
+    if hit is None:
+        return None
+    st = os.stat(src_path)
+    if hit[0] != (st.st_size, st.st_mtime_ns):
+        return None
+    return hit[1]
+
+
+def stat_validated_put(cache: dict, key, src_path: str, value,
+                       max_entries: int | None = None):
+    """Seed a memo entry from a value computed elsewhere (same stat
+    validation and LRU bound as stat_validated_memo)."""
+    return stat_validated_memo(cache, key, src_path, lambda: value,
+                               max_entries=max_entries)
