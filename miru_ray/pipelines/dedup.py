@@ -44,7 +44,7 @@ __all__ = ["dedup_exact", "minhash_near_dups", "minhash_near_dups_ds",
            "ngram_jaccard_prefix",
            "ngram_jaccard_prefix_ds", "dedup_clusters", "dedup_clusters_ds",
            "dedup_keep_one", "dedup_keep_one_ds", "minhash_dedup_clusters",
-           "shingle_set",
+           "minhash_dedup_clusters_ds", "shingle_set",
            "jaccard", "NUM_HASHES", "NUM_BANDS", "SHINGLE_K"]
 
 NUM_HASHES = 64
@@ -1047,6 +1047,21 @@ def dedup_keep_one_ds(sf_dir: str, threshold: float = 0.8, clusters_ds=None):
     tagged = (docs.map_batches(tag(0), batch_format="pyarrow")
               .union(losers_ds.map_batches(tag(1), batch_format="pyarrow")))
     return tagged.groupby("_bkt").map_groups(anti, batch_format="pandas")
+
+
+def minhash_dedup_clusters_ds(sf_dir: str, threshold: float = 0.8):
+    """Lazy Dataset of (doc_id, cluster_id) over the MinHash-LSH pair
+    graph via the DISTRIBUTED CC solver — the 100-TB curation default:
+    LSH banding → bucketed pair dedup → exact verify → label
+    propagation, with nothing pair- or cluster-shaped on the driver.
+    Feed it to ``dedup_keep_one_ds(clusters_ds=...)`` or write it."""
+    pairs = minhash_near_dups_ds(sf_dir, threshold).materialize()
+    lab = _cc_distributed(pairs)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "cluster_id"])
+
+    return lab.map_batches(rename, batch_format="pyarrow")
 
 
 def minhash_dedup_clusters(sf_dir: str, threshold: float = 0.8,
