@@ -65,21 +65,23 @@ def gen_documents(root: str, n_docs: int, n_clusters: int,
     per_file = 100_000
     toks_per_doc = 30
     cluster_texts: dict[int, str] = {}
+
+    def cluster_text(c: int) -> str:
+        if c not in cluster_texts:
+            cr = np.random.RandomState(7_000_000 + c)
+            cluster_texts[c] = " ".join(
+                vocab[cr.randint(0, len(vocab), toks_per_doc)])
+        return cluster_texts[c]
+
     for lo in range(0, n_docs, per_file):
         hi = min(lo + per_file, n_docs)
         rs = np.random.RandomState(1000 + lo // per_file)
-        texts = []
-        for d in range(lo, hi):
+        # vectorized: ONE randint call per file, row-joins only
+        mat = vocab[rs.randint(0, len(vocab), (hi - lo, toks_per_doc))]
+        texts = [" ".join(row) for row in mat]
+        for i, d in enumerate(range(lo, hi)):
             if d >= n_unique:
-                c = (d - n_unique) // cluster_size
-                if c not in cluster_texts:
-                    cr = np.random.RandomState(7_000_000 + c)
-                    cluster_texts[c] = " ".join(
-                        vocab[cr.randint(0, len(vocab), toks_per_doc)])
-                texts.append(cluster_texts[c])
-            else:
-                texts.append(" ".join(
-                    vocab[rs.randint(0, len(vocab), toks_per_doc)]))
+                texts[i] = cluster_text((d - n_unique) // cluster_size)
         t = pa.table({
             "doc_id": pa.array(range(lo, hi), pa.int64()),
             "text": pa.array(texts, pa.string()),
