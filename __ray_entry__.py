@@ -236,6 +236,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic twin of dedup_clusters: connected components over the
         # exact embedding-cosine pair graph (same two-tier CC solver)
         "embedding_dedup_clusters": ann.embedding_dedup_clusters,
+        # benchmark decontamination (GPT-3/Llama recipe): flag corpus
+        # docs sharing token 5-gram windows with the held-out benchmark
+        # slice (doc_id % 25 == 0); broadcast semi-join — the bench
+        # span set is bounded by the eval set, the corpus streams
+        "decontaminate": textstats.decontaminate,
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -383,6 +388,30 @@ FROM documents d
 JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN dup ON dup.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def _decontaminate_sql(span: int, bench_mod: int) -> str:
+    """The decontamination oracle: string ``span``-token windows; a
+    corpus (non-benchmark) doc's contaminated count = its window
+    POSITIONS whose window also occurs in any benchmark doc
+    (doc_id % bench_mod == 0); contaminated docs only, doc_id-sorted."""
+    concat = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(span))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, unnest([{concat}
+                         FOR i IN range(1, greatest(len(t) - {span} + 2, 1))]) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT s FROM sp WHERE doc_id % {bench_mod} = 0)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_contaminated
+FROM sp WHERE doc_id % {bench_mod} != 0 AND s IN (SELECT s FROM bench)
+GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1114,6 +1143,7 @@ GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
         # 2^-64-collision caveat); a window is duplicated iff >= 2
         # DISTINCT docs hold it
         "dup_span_frac": _dup_span_sql(span=5),
+        "decontaminate": _decontaminate_sql(span=5, bench_mod=25),
         "embedding_dedup_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (

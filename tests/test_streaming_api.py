@@ -44,6 +44,8 @@ def _ds_factories():
                                 dedup.ngram_jaccard_pairs),
         "embedding_near_dups_lsh": (ann.embedding_near_dups_lsh_ds,
                                     ann.embedding_near_dups_lsh),
+        "decontaminate": (textstats.decontaminate_ds,
+                          textstats.decontaminate),
     }
 
 
