@@ -261,6 +261,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": lambda sf: multimodal.image_features_pipeline(200),
         "video_frame_sample": lambda sf: multimodal.frame_sample_pipeline(200),
         "audio_features": lambda sf: multimodal.audio_features_pipeline(200),
+        # mp4 box-tree / mp3 frame-header parsing (real, from scratch —
+        # ISO 14496-12 / 11172-3); codec PAYLOAD decode remains the
+        # explicit seam (tests pin the parsing against muxed ground truth)
+        "container_metadata": lambda sf: multimodal.container_metadata_pipeline(200),
     }
 
 

@@ -365,3 +365,98 @@ def audio_features_pipeline(n_media: int = 200) -> pa.Table:
                            batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2))
     out = feats.to_pandas().sort_values("media_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- mp4/mp3 CONTAINER lanes (round 5): real box/frame parsing; codec
+#     payload decode remains the explicit NotImplementedError seam
+#     (functions/mp4.decode_sample_payload, functions/mp3.decode_frame_payload)
+
+def container_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic container-media table: alternating MP4
+    (muxed by functions/mp4.encode_mp4 with known per-sample bytes) and
+    MP3 (functions/mp3.encode_mp3, VBR frame mix) payloads."""
+    from miru_ray.functions.mp3 import encode_mp3
+    from miru_ray.functions.mp4 import encode_mp4
+    rows = {k: [] for k in ("media_id", "container", "payload")}
+    for i in range(n):
+        rng = np.random.default_rng((seed << 23) ^ i)
+        rows["media_id"].append(i)
+        if i % 2 == 0:
+            n_samples = int(rng.integers(4, 24))
+            samples = [rng.integers(0, 256, int(rng.integers(64, 512)),
+                                    dtype=np.int64).astype(np.uint8).tobytes()
+                       for _ in range(n_samples)]
+            rows["container"].append("mp4")
+            rows["payload"].append(encode_mp4(
+                samples, sample_delta=int(rng.choice([33, 40])),
+                width=int(rng.choice([64, 128])), height=48))
+        else:
+            kbps = [int(k) for k in rng.choice([96, 128, 192],
+                                               int(rng.integers(8, 40)))]
+            rows["container"].append("mp3")
+            rows["payload"].append(encode_mp3(
+                kbps, sample_rate=int(rng.choice([44100, 48000]))))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "container": pa.array(rows["container"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+    })
+
+
+class ContainerMetadata:
+    """Actor-pool container-metadata stage: per payload, parse the box
+    tree (mp4) or frame-header walk (mp3) and emit the stats a curation
+    pipeline shards/filters by — duration, unit (sample/frame) count,
+    codec, bytes — WITHOUT any codec decode. Parser tables bind once
+    per actor in __init__."""
+
+    def __init__(self) -> None:
+        from miru_ray.functions.mp3 import parse_mp3
+        from miru_ray.functions.mp4 import extract_samples, parse_mp4
+        self._mp4 = parse_mp4
+        self._mp4_samples = extract_samples
+        self._mp3 = parse_mp3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("media_id", "container", "codec",
+                               "duration_s", "n_units", "payload_bytes")}
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["container"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind == "mp4":
+                info = self._mp4(payload)
+                track = info.tracks[0]
+                samples = self._mp4_samples(payload, track, info)
+                codec = track.codec
+                dur = info.duration_s
+                n_units = len(samples)
+                nbytes = sum(len(s) for s in samples)
+            else:
+                info = self._mp3(payload)
+                codec = "mp3"
+                dur = info.duration_s
+                n_units = info.n_frames
+                nbytes = len(payload)
+            out["media_id"].append(mid)
+            out["container"].append(kind)
+            out["codec"].append(codec)
+            out["duration_s"].append(round(dur, 6))
+            out["n_units"].append(n_units)
+            out["payload_bytes"].append(nbytes)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "container": pa.array(out["container"], pa.string()),
+            "codec": pa.array(out["codec"], pa.string()),
+            "duration_s": pa.array(out["duration_s"], pa.float64()),
+            "n_units": pa.array(out["n_units"], pa.int64()),
+            "payload_bytes": pa.array(out["payload_bytes"], pa.int64()),
+        })
+
+
+def container_metadata_pipeline(n_media: int = 200) -> pa.Table:
+    """container media → parse metadata (actor pool), media_id-sorted."""
+    ds = rd.from_arrow(container_table(n_media))
+    meta = ds.map_batches(ContainerMetadata, batch_format="pyarrow",
+                          batch_size=MEDIA_BATCH_SIZE, concurrency=(1, 2))
+    out = meta.to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
