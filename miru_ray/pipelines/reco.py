@@ -704,3 +704,76 @@ def catwalk_model_gaps(sf_dir: str, label: str = "purchase",
     if repaired != [victim] or catwalk_detect_gaps(store):
         raise AssertionError("repair did not close the planted gap")
     return catwalk_model_merged(store, top_n)
+
+
+@ray.remote
+def _repair_range_task(sf_dir: str, store: str, r: int) -> int:
+    """One queued repair: rebuild range ``r``'s shard from its event_id
+    slice (pushdown read). Idempotent — the sorted atomic write makes
+    re-running a duplicate enqueue harmless."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from miru_ray.state.layout import read_json
+    man = read_json(os.path.join(store, "manifest.json"))
+    width, label = man["width"], man["label"]
+    src = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(
+        src, columns=["event_id", "event_type", "user_id", "props"],
+        filters=(pads.field("event_id") >= r * width)
+        & (pads.field("event_id") < (r + 1) * width))
+    part = _shard_partial(t, label=label, width=width).to_pandas()
+    rolled = (part.groupby(["range_id", *_SHARD_KEY], sort=False)
+              [["numerator", "denominator"]].sum().reset_index())
+    _write_shard(store, r, rolled)
+    return r
+
+
+@ray.remote
+class CatwalkRepairQueue:
+    """The ASYNC half of the reference's model-repair lifecycle
+    (CatwalkModelQueue.java:1-193: updateModel enqueues missing
+    partition ranges; a background worker rebuilds each range and the
+    service re-merges on read). Detected gaps are ENQUEUED, repairs run
+    as background Ray tasks (bounded in-flight), and readers either
+    serve the merged model from the shards that exist or ``drain()``
+    for repair-complete semantics. One queue actor per model store."""
+
+    def __init__(self, sf_dir: str, store: str, max_inflight: int = 4):
+        self.sf_dir = sf_dir
+        self.store = store
+        self.max_inflight = max_inflight
+        self._queued: list[int] = []
+        self._inflight: dict = {}
+        self._done: list[int] = []
+
+    def enqueue_gaps(self) -> list[int]:
+        """Detect gaps and enqueue any not already queued/in-flight."""
+        pending = set(self._queued) | {r for r in self._inflight.values()}
+        gaps = [r for r in catwalk_detect_gaps(self.store)
+                if r not in pending]
+        self._queued.extend(gaps)
+        self._pump()
+        return gaps
+
+    def _pump(self) -> None:
+        while self._queued and len(self._inflight) < self.max_inflight:
+            r = self._queued.pop(0)
+            ref = _repair_range_task.remote(self.sf_dir, self.store, r)
+            self._inflight[ref] = r
+
+    def drain(self) -> list[int]:
+        """Block until every queued repair lands; returns repaired ids."""
+        while self._inflight or self._queued:
+            self._pump()
+            ready, _ = ray.wait(list(self._inflight), num_returns=1)
+            for ref in ready:
+                self._done.append(self._inflight.pop(ref))
+        return sorted(self._done)
+
+    def status(self) -> dict:
+        return {"queued": list(self._queued),
+                "inflight": sorted(self._inflight.values()),
+                "done": sorted(self._done)}

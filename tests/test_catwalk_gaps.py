@@ -83,3 +83,33 @@ def test_driver_entry_matches_clean_model(ray_session):
     want = reco.catwalk_model_multi(SF).to_pandas()
     got = reco.catwalk_model_gaps(SF).to_pandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_async_repair_queue_matches_sync(ray_session):
+    """The ASYNC queue half (CatwalkModelQueue semantics): enqueue
+    detected gaps, background tasks rebuild them, drain() → the store is
+    whole again and the merged model equals the clean one-pass build;
+    re-enqueue on a clean store is a no-op."""
+    import ray
+
+    from miru_ray.pipelines import reco
+    from miru_ray.state.layout import read_json
+    store = reco.catwalk_shard_store(SF)
+    man = read_json(os.path.join(store, "manifest.json"))
+    victims = [e["r"] for e in man["ranges"] if e["rows"] > 0][:2]
+    digests = {}
+    for v in victims:
+        p = reco._shard_path(store, v)
+        digests[v] = _digest(p)
+        os.remove(p)
+
+    q = reco.CatwalkRepairQueue.remote(SF, store)
+    assert sorted(ray.get(q.enqueue_gaps.remote())) == sorted(victims)
+    assert ray.get(q.drain.remote()) == sorted(victims)
+    assert reco.catwalk_detect_gaps(store) == []
+    for v in victims:   # async rebuilds are byte-identical too
+        assert _digest(reco._shard_path(store, v)) == digests[v]
+    assert ray.get(q.enqueue_gaps.remote()) == []   # clean store: no-op
+    want = reco.catwalk_model_multi(SF).to_pandas()
+    got = reco.catwalk_model_merged(store).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
