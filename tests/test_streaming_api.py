@@ -116,6 +116,24 @@ def test_keep_one_ds_is_fully_lazy_and_matches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_minhash_verify_plans_are_value_identical(ray_session):
+    """The two exact-Jaccard verify plans — 'gather' (PairVerifier actor
+    pool, parquet-pushdown text gather) and 'join' (single corpus scan +
+    shingle-set keyed exchanges, the high-dup-density plan) — yield the
+    same verified pair set at the same threshold."""
+    from miru_ray.pipelines import dedup
+    cols = ["doc_a", "doc_b", "jaccard"]
+
+    def norm(ds):
+        return (ds.to_pandas()[cols].sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
+    gather = norm(dedup.minhash_near_dups_ds(SF, 0.8, verify="gather"))
+    join = norm(dedup.minhash_near_dups_ds(SF, 0.8, verify="join"))
+    assert len(gather) > 0
+    pd.testing.assert_frame_equal(join, gather, check_dtype=False)
+
+
 def test_minhash_clusters_lazy_tier_matches_exact(ray_session):
     """minhash_dedup_clusters' lazy tier decision: forcing the bound to 0
     routes the SAME materialized pair Dataset through the distributed CC
