@@ -456,17 +456,21 @@ def _verify_pairs_join(sf_dir: str, pairs, threshold: float,
                 .groupby("_bkt").map_groups(merge, batch_format="pandas"))
 
     def finalize(m: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-pair set intersection: both sides are unique
+        # within a pair, so after a (pair, hash) lexsort every adjacent
+        # duplicate is exactly one shared shingle — no per-row loop
         A, B = m["sh_a"].tolist(), m["sh_b"].tolist()
         n = len(A)
-        inter = np.zeros(n, dtype=np.int64)
-        la = np.zeros(n, dtype=np.int64)
-        lb = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            a = np.frombuffer(A[i], dtype=np.uint64)
-            b = np.frombuffer(B[i], dtype=np.uint64)
-            la[i], lb[i] = len(a), len(b)
-            if len(a) and len(b):
-                inter[i] = len(np.intersect1d(a, b, assume_unique=True))
+        la = np.fromiter((len(a) >> 3 for a in A), dtype=np.int64, count=n)
+        lb = np.fromiter((len(b) >> 3 for b in B), dtype=np.int64, count=n)
+        idx = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                              np.repeat(np.arange(n, dtype=np.int64), lb)])
+        h = np.frombuffer(b"".join(A) + b"".join(B), dtype=np.uint64)
+        order = np.lexsort((h, idx))
+        idx_s, h_s = idx[order], h[order]
+        dup = (idx_s[1:] == idx_s[:-1]) & (h_s[1:] == h_s[:-1])
+        inter = np.bincount(idx_s[1:][dup], minlength=n).astype(np.int64) \
+            if n else np.zeros(0, dtype=np.int64)
         union = la + lb - inter
         j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         keep = j >= threshold
