@@ -1020,6 +1020,16 @@ def _cc_distributed(edges, nparts: int = _NJ_PARTS):
     # graphs, but never a pile of empties on small ones (empty blocks
     # multiply through the 3-stream union — see the repartition note)
     nblocks = max(1, min(nparts, n_nodes // 65536 + 1))
+    # bound EDGE blocks the same way: the caller's pair Dataset may
+    # arrive as thousands of small blocks (the join-verify plan chains
+    # several keyed exchanges, and block counts accumulate through
+    # unions); every round derives TWO message streams from edges, so
+    # an unbounded edge block count multiplies into each round's sort
+    # fan-in — measured as a driver-side metadata blowup (35 GB RSS,
+    # 5k-task precombine) at 1M docs / 4.45M pairs
+    n_edges = edges.count()
+    eblocks = max(nblocks, min(nparts, n_edges // 65536 + 1))
+    edges = edges.repartition(eblocks).materialize()
     while True:
         m1 = _cc_msgs(edges, labels, "doc_a", "doc_b", nparts)
         m2 = _cc_msgs(edges, labels, "doc_b", "doc_a", nparts)
