@@ -1009,6 +1009,18 @@ def _cc_distributed(edges, nparts: int = _NJ_PARTS):
         ids = np.unique(g["node"].to_numpy())
         return pd.DataFrame({"node": ids, "label": ids})
 
+    # bound EDGE blocks FIRST: the caller's pair Dataset may arrive as
+    # thousands of small blocks (the join-verify plan chains several
+    # keyed exchanges, and block counts accumulate through unions).
+    # Everything downstream inherits block counts from its input —
+    # labels init, and the two message streams every round derives from
+    # edges — so an unbounded edge block count multiplies into each
+    # round's sort fan-in (measured: 35 GB driver RSS, 5k-task
+    # precombine, round wall minutes-not-seconds at 1M docs/4.45M pairs)
+    edges = edges.materialize()
+    n_edges = edges.count()
+    eblocks = max(1, min(nparts, n_edges // 65536 + 1))
+    edges = edges.repartition(eblocks).materialize()
     labels = (edges.map_batches(init_nodes, batch_format="pyarrow")
               .groupby("_bkt").map_groups(distinct_nodes,
                                           batch_format="pandas")
@@ -1020,16 +1032,7 @@ def _cc_distributed(edges, nparts: int = _NJ_PARTS):
     # graphs, but never a pile of empties on small ones (empty blocks
     # multiply through the 3-stream union — see the repartition note)
     nblocks = max(1, min(nparts, n_nodes // 65536 + 1))
-    # bound EDGE blocks the same way: the caller's pair Dataset may
-    # arrive as thousands of small blocks (the join-verify plan chains
-    # several keyed exchanges, and block counts accumulate through
-    # unions); every round derives TWO message streams from edges, so
-    # an unbounded edge block count multiplies into each round's sort
-    # fan-in — measured as a driver-side metadata blowup (35 GB RSS,
-    # 5k-task precombine) at 1M docs / 4.45M pairs
-    n_edges = edges.count()
-    eblocks = max(nblocks, min(nparts, n_edges // 65536 + 1))
-    edges = edges.repartition(eblocks).materialize()
+    labels = labels.repartition(nblocks).materialize()
     while True:
         m1 = _cc_msgs(edges, labels, "doc_a", "doc_b", nparts)
         m2 = _cc_msgs(edges, labels, "doc_b", "doc_a", nparts)
