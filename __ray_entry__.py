@@ -241,6 +241,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slice (doc_id % 25 == 0); broadcast semi-join — the bench
         # span set is bounded by the eval set, the corpus streams
         "decontaminate": textstats.decontaminate,
+        # PII redaction (emails / IPv4 / phones): one vectorized RE2
+        # map stage, no shuffle; counts taken on the progressively
+        # redacted text (order is part of the contract). fixture_inject
+        # plants deterministic doc_id-derived PII (the synthetic corpora
+        # carry none organically) — the oracle SQL renders the identical
+        # suffix from the same PII_FIXTURE_PIECES spec
+        "pii_scrub": lambda sf: textstats.pii_scrub(sf, fixture_inject=True),
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -393,6 +400,38 @@ JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN dup ON dup.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+def _pii_scrub_sql() -> str:
+    """PII scrub oracle, derived from the engine's own PII_PATTERNS so
+    the patterns/order/placeholders have ONE definition. Both engines
+    run RE2, so replace+count are exactly comparable. The fixture-PII
+    suffix (the synthetic corpora carry no organic PII) is rendered
+    from the same PII_FIXTURE_PIECES spec the engine injects from."""
+    from miru_ray.pipelines.textstats import (PII_PATTERNS,
+                                              fixture_pii_suffix_sql)
+    src = (f"(SELECT doc_id, text || {fixture_pii_suffix_sql()} AS text "
+           f"FROM documents)")
+    stages, prev = [], "text"
+    for i, (pat, repl, name) in enumerate(PII_PATTERNS):
+        cur = f"t{i}"
+        carried = ", ".join(p[2] for p in PII_PATTERNS[:i])
+        carried = (carried + ", ") if carried else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"length(regexp_extract_all({prev}, '{pat}'))::BIGINT "
+            f"AS {name}, regexp_replace({prev}, '{pat}', '{repl}', 'g') "
+            f"AS {cur} FROM s{i - 1})" if i else
+            f"s0 AS (SELECT doc_id, "
+            f"length(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}, "
+            f"regexp_replace(text, '{pat}', '{repl}', 'g') AS t0 "
+            f"FROM {src})")
+        prev = cur
+    last = len(PII_PATTERNS) - 1
+    counts = ", ".join(p[2] for p in PII_PATTERNS)
+    return (f"WITH {', '.join(stages)} "
+            f"SELECT doc_id, t{last} AS text_clean, {counts} "
+            f"FROM s{last} ORDER BY doc_id")
 
 
 def _decontaminate_sql(span: int, bench_mod: int) -> str:
@@ -1148,6 +1187,7 @@ GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
         # DISTINCT docs hold it
         "dup_span_frac": _dup_span_sql(span=5),
         "decontaminate": _decontaminate_sql(span=5, bench_mod=25),
+        "pii_scrub": _pii_scrub_sql(),
         "embedding_dedup_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (

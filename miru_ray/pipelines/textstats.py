@@ -596,3 +596,117 @@ def decontaminate(sf_dir: str, span: int = _DECON_SPAN,
     return pa.table({"doc_id": pa.array(got["doc_id"].to_numpy(), pa.int64()),
                      "n_contaminated": pa.array(
                          got["n_contaminated"].to_numpy(), pa.int64())})
+
+
+# ------------------------------------------------------------- PII scrub
+
+# (pattern, replacement) in APPLICATION ORDER — counts are taken on the
+# progressively-redacted text, so order is part of the contract. All
+# three are RE2-compatible: pyarrow.compute's regex kernels and DuckDB
+# both run RE2, which is what makes the scrub exactly SQL-oracle-able.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>",
+     "n_emails"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>", "n_ips"),
+    (r"(\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b)", "<PHONE>", "n_phones"),
+]
+
+
+# The synthetic test corpora contain no organic PII (verified: zero
+# matches at sf0.001/0.01), which would leave the driver's oracle
+# compare exercising only the identity path. The fixture-inject spec
+# appends ONE deterministic doc_id-derived email + IPv4 + phone to
+# every doc_id % 3 != 0 row; the spec below is the single definition
+# both the engine (numpy) and the generated DuckDB SQL render from, so
+# the sf0.01 hash compare covers real replacement + counting.
+# Pieces: ("lit", s) literal | ("mod", m) str(doc_id % m)
+#       | ("lpad", (m, w, off)) zero-padded str(off + doc_id % m) to w.
+PII_FIXTURE_PIECES: list[tuple] = [
+    ("lit", " reach u"), ("mod", 97), ("lit", "@mail"), ("mod", 7),
+    ("lit", ".net via 10."), ("mod", 256), ("lit", ".3."), ("mod", 200),
+    ("lit", " tel 555-"), ("lpad", (900, 3, 100)), ("lit", "-"),
+    ("lpad", (10000, 4, 0)),
+]
+PII_FIXTURE_SKIP_MOD = 3   # doc_id % this == 0 rows stay un-injected
+
+
+def _fixture_pii_suffix_np(ids):
+    """Vectorized suffix strings for PII_FIXTURE_PIECES (numpy)."""
+    parts = []
+    for kind, arg in PII_FIXTURE_PIECES:
+        if kind == "lit":
+            parts.append(np.full(len(ids), arg))
+        elif kind == "mod":
+            parts.append((ids % arg).astype("U"))
+        else:
+            m, w, off = arg
+            parts.append(np.char.zfill((off + ids % m).astype("U"), w))
+    out = parts[0]
+    for p in parts[1:]:
+        out = np.char.add(out, p)
+    return np.where(ids % PII_FIXTURE_SKIP_MOD == 0, "", out)
+
+
+def fixture_pii_suffix_sql() -> str:
+    """The same suffix as a DuckDB expression over ``doc_id``."""
+    parts = []
+    for kind, arg in PII_FIXTURE_PIECES:
+        if kind == "lit":
+            parts.append("'" + arg + "'")
+        elif kind == "mod":
+            parts.append(f"CAST(doc_id % {arg} AS VARCHAR)")
+        else:
+            m, w, off = arg
+            parts.append(
+                f"lpad(CAST({off} + doc_id % {m} AS VARCHAR), {w}, '0')")
+    joined = " || ".join(parts)
+    return (f"CASE WHEN doc_id % {PII_FIXTURE_SKIP_MOD} = 0 THEN '' "
+            f"ELSE {joined} END")
+
+
+def pii_scrub_ds(sf_dir: str, fixture_inject: bool = False):
+    """Lazy Dataset of (doc_id, text_clean, n_emails, n_ips, n_phones)
+    — training-corpus PII redaction: emails, IPv4 literals and phone
+    numbers are replaced with typed placeholder tokens and counted per
+    document. Entirely vectorized RE2 kernels
+    (``pyarrow.compute.count_substring_regex`` /
+    ``replace_substring_regex``) — no per-row Python; one streaming
+    pass, no shuffle, so at 100 TB this is a pure map stage bounded by
+    read bandwidth.
+
+    ``fixture_inject`` appends the deterministic PII_FIXTURE_PIECES
+    suffix before scrubbing (test-corpus adapter only — see the spec
+    comment above; the DuckDB oracle renders the identical suffix).
+
+    Reference: beyond enterstudio/miru's operator set (its nearest text
+    transform is the analyzer chain in miru-plugin fulltext); standard
+    web-corpus curation (C4/Gopher-style cleanup).
+    """
+    import pyarrow.compute as pc
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        if fixture_inject:
+            suf = _fixture_pii_suffix_np(batch["doc_id"].to_numpy())
+            text = pc.binary_join_element_wise(
+                text, pa.array(suf, pa.string()), "")
+        cols: dict = {"doc_id": batch["doc_id"]}
+        counts = {}
+        for pat, repl, name in PII_PATTERNS:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(text, pattern=pat), pa.int64())
+            text = pc.replace_substring_regex(text, pattern=pat,
+                                              replacement=repl)
+        cols["text_clean"] = text
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pii_scrub(sf_dir: str, fixture_inject: bool = False) -> pa.Table:
+    """Driver-side collected form of :func:`pii_scrub_ds`."""
+    out = pii_scrub_ds(sf_dir, fixture_inject=fixture_inject)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
