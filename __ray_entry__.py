@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # carry none organically) — the oracle SQL renders the identical
         # suffix from the same PII_FIXTURE_PIECES spec
         "pii_scrub": lambda sf: textstats.pii_scrub(sf, fixture_inject=True),
+        # C4-style per-source document cap (keep the 10 lowest doc_ids
+        # per source): per-batch combiner bounds hot sources to
+        # cap × n_batches rows before the single keyed exchange
+        "source_cap": textstats.source_cap,
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -1188,6 +1192,12 @@ GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
         "dup_span_frac": _dup_span_sql(span=5),
         "decontaminate": _decontaminate_sql(span=5, bench_mod=25),
         "pii_scrub": _pii_scrub_sql(),
+        "source_cap": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 10 ORDER BY doc_id
+""",
         "embedding_dedup_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (

@@ -22,7 +22,8 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "token_counts_ds", "quality_scores_ds", "lang_id_ds",
            "doc_fingerprints_ds", "repetition_scores", "repetition_scores_ds",
            "top_ngrams", "dup_span_frac", "dup_span_frac_ds",
-           "decontaminate", "decontaminate_ds"]
+           "decontaminate", "decontaminate_ds", "pii_scrub", "pii_scrub_ds",
+           "source_cap", "source_cap_ds"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -710,3 +711,67 @@ def pii_scrub(sf_dir: str, fixture_inject: bool = False) -> pa.Table:
     """Driver-side collected form of :func:`pii_scrub_ds`."""
     out = pii_scrub_ds(sf_dir, fixture_inject=fixture_inject)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# --------------------------------------------------------- per-source cap
+
+def source_cap_ds(sf_dir: str, cap: int = 10, nparts: int = 32,
+                  combiner_batch_size: int | None = None):
+    """Lazy Dataset of (doc_id, source) — C4-style per-source document
+    cap: keep at most ``cap`` docs per source, chosen by the
+    deterministic priority "lowest doc_id first".
+
+    Scale shape: a per-batch COMBINER first keeps each batch's ``cap``
+    lowest doc_ids per source (valid because any globally-kept id is
+    necessarily among its own batch's ``cap`` lowest — fewer than
+    ``cap`` ids precede it anywhere), so a hot source ships at most
+    cap × n_batches rows into the single keyed exchange instead of its
+    full corpus share; the bucketed finalize then takes the true global
+    ``cap`` lowest per source. One shuffle, vectorized ranks (lexsort +
+    run boundaries), no driver-side state.
+
+    Reference: beyond enterstudio/miru (its per-tenant partition cap in
+    MiruPartitioner is a write-path size bound, not a curation rule);
+    C4's per-domain heuristics are the public model.
+    """
+    from miru_ray.functions.hashing import hash_strings
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def head_per_source(ids: np.ndarray, src: np.ndarray):
+        """Indices of the ``cap`` lowest ids per source value."""
+        order = np.lexsort((ids, src))
+        s = src[order]
+        new = np.r_[True, s[1:] != s[:-1]] if len(s) else np.array([], bool)
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        rank = np.arange(len(s)) - starts[grp] if len(s) else grp
+        return order[rank < cap]
+
+    def combiner(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        keep = head_per_source(ids, src)
+        kept_src = src[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "source": pa.array(kept_src, pa.string()),
+            "_bkt": pa.array(
+                (hash_strings(kept_src) % np.uint64(nparts)).astype(np.int64)),
+        })
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        src = g["source"].to_numpy()
+        keep = head_per_source(ids, src)
+        return pd.DataFrame({"doc_id": ids[keep], "source": src[keep]})
+
+    return (ds.map_batches(combiner, batch_format="pyarrow",
+                           batch_size=combiner_batch_size)
+            .groupby("_bkt").map_groups(finalize, batch_format="pandas"))
+
+
+def source_cap(sf_dir: str, cap: int = 10) -> pa.Table:
+    """Driver-side collected form of :func:`source_cap_ds`."""
+    df = (source_cap_ds(sf_dir, cap=cap).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)

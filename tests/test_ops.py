@@ -351,3 +351,29 @@ def test_pii_scrub_matches_duckdb_oracle(ray_session):
     got = got[want.columns.tolist()]
     pd_testing = __import__("pandas").testing
     pd_testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_cap_combiner_valid_across_batches(ray_session, tmp_path):
+    """Per-batch head-per-source combiner + bucketed finalize must equal
+    the plain global rank even when one source's docs span many batches
+    and arrive in descending doc_id order (the combiner's keep-set must
+    still contain every globally-kept id)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from miru_ray.pipelines.textstats import source_cap_ds
+    # 3 sources x 60 docs, written DESCENDING so early batches hold the
+    # HIGH ids (the ones a naive "first seen" would wrongly keep)
+    rows = [(i, f"s{i % 3}") for i in range(180)]
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])[::-1]
+    df["text"] = "x"
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq_.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    src / "documents.parquet")
+    got = (source_cap_ds(str(src), cap=7, combiner_batch_size=16)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (df.sort_values("doc_id").groupby("source").head(7)
+            [["doc_id", "source"]].sort_values("doc_id")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
