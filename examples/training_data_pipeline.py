@@ -110,6 +110,22 @@ def main() -> None:
         return batch.filter(ok)
 
     curated = ds.map_batches(curate, batch_format="pyarrow")
+
+    # --- stage N: PII redaction on the survivors (same RE2 kernels as
+    # pipelines.textstats.pii_scrub — one shared pattern definition) ---
+    import pyarrow.compute as pc
+    from miru_ray.pipelines.textstats import PII_PATTERNS
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        for pat, repl, _name in PII_PATTERNS:
+            text = pc.replace_substring_regex(text, pattern=pat,
+                                              replacement=repl)
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", text)
+
+    curated = curated.map_batches(redact, batch_format="pyarrow")
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
     curated.write_parquet(out_dir)
