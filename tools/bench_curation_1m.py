@@ -33,6 +33,8 @@ import sys
 import threading
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def rss_mb() -> float:
     with open("/proc/self/status") as f:
