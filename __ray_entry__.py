@@ -48,7 +48,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from miru_ray.pipelines import (ann, dedup, events, fulltext, joins,
-                                    multimodal, reco, relational, textstats)
+                                    multimodal, pack, reco, relational,
+                                    textstats)
 
     return {
         # --- fulltext / BM25 (flagship family) ---
@@ -102,18 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inbox_unread": lambda sf: __import__(
             "miru_ray.pipelines.inbox", fromlist=["inbox_unread"]
         ).inbox_unread(sf),
-        # realtime unread delivery: incremental state fold over event
-        # deltas must reproduce the bulk backfill (same SQL oracle)
-        "inbox_unread_delta": lambda sf: __import__(
-            "miru_ray.pipelines.inbox", fromlist=["inbox_unread_delta"]
-        ).inbox_unread_delta(sf),
         # --- app-tier intakes (stumptown log mill / anomaly sampler) ---
         "stumptown_level_counts": lambda sf: __import__(
             "miru_ray.pipelines.intake", fromlist=["stumptown_level_counts"]
         ).stumptown_level_counts(sf),
-        "stumptown_message_terms": lambda sf: __import__(
-            "miru_ray.pipelines.intake", fromlist=["stumptown_message_terms"]
-        ).stumptown_message_terms(sf),
         # intake composed with the index engine end to end: mill the log
         # corpus, build a schema'd index over it, fielded BM25 on top
         "stumptown_search": lambda sf: __import__(
@@ -155,6 +148,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per source): per-batch combiner bounds hot sources to
         # cap × n_batches rows before the single keyed exchange
         "source_cap": textstats.source_cap,
+        # --- corpus assembly (mixing + packing; pipelines/pack.py) ---
+        # Pile/Dolma-style source mixing: per-source counts (a #sources-
+        # row collect) → integer md5-prefix cuts → one stateless filter
+        # pass; content-keyed so the kept set is engine/partitioning-
+        # independent. Weights + budget come from ONE shared constant
+        # that also generates the oracle's VALUES CTE
+        "mixture_sample": pack.mixture_sample,
+        # GPT-style concat-and-split packing: global (seq_id, seq_off)
+        # per doc via the docID-allocation prefix-sum pattern — one
+        # 16 B/doc keyed exchange, O(1k) driver state, text never moves
+        "pack_sequences": pack.pack_sequences,
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "embedding_near_dups": ann.embedding_near_dups,
@@ -209,6 +213,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   catwalk_model / strut_scores: r2–r4 hash-exact single-feature
         #     variants of the still-checked catwalk_model_multi /
         #     strut_scores_strategy
+        #   inbox_unread_delta / stumptown_message_terms: r2–r4
+        #     hash-exact; rotated out in r5 to promote mixture_sample /
+        #     pack_sequences into the checked window — the delta fold
+        #     stays pinned to the still-checked inbox_unread by the
+        #     fold==backfill pytest, and message_terms rides the
+        #     still-checked stumptown_level_counts/_search intakes
+        "inbox_unread_delta": lambda sf: __import__(
+            "miru_ray.pipelines.inbox", fromlist=["inbox_unread_delta"]
+        ).inbox_unread_delta(sf),
+        "stumptown_message_terms": lambda sf: __import__(
+            "miru_ray.pipelines.intake", fromlist=["stumptown_message_terms"]
+        ).stumptown_message_terms(sf),
         "term_first_last": fulltext.term_first_last,
         "fulltext_numrange": lambda sf: fulltext.fulltext_fielded(
             sf, "table scan n_chars:250..450", 20),
@@ -549,8 +565,13 @@ ORDER BY raw DESC, doc_id DESC LIMIT {k}
 
 def oracle_sql() -> dict[str, str]:
     # the embedding near-dup threshold interpolates from the engine's one
-    # definition so the oracle cannot silently drift (ADVICE r4 #5)
+    # definition so the oracle cannot silently drift (ADVICE r4 #5);
+    # likewise the mixture weights/budget and packing sequence length
     from miru_ray.pipelines.ann import EMBED_NEAR_DUP_THRESHOLD as _EMB_T
+    from miru_ray.pipelines.pack import MIXTURE_BUDGET_FRAC as _MIX_BF
+    from miru_ray.pipelines.pack import PACK_SEQ_LEN as _PACK_L
+    from miru_ray.pipelines.pack import mixture_weights_sql_values
+    _mix_values = mixture_weights_sql_values()
     return {
         "fulltext_topk": _bm25_sql(["merge", "sort"], 20, require_all=True),
         "fulltext_or": _bm25_sql(["vector", "window"], 50, require_all=False),
@@ -1197,6 +1218,40 @@ GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
         "dup_span_frac": _dup_span_sql(span=5),
         "decontaminate": _decontaminate_sql(span=5, bench_mod=25),
         "pii_scrub": _pii_scrub_sql(),
+        # source-mixture sampling: the weights/budget literals and the
+        # md5-prefix cut arithmetic are generated from the SAME shared
+        # constants the engine uses (pack.MIXTURE_*), term-for-term, so
+        # both sides floor identical IEEE doubles; to_hex is uppercase
+        # in DuckDB, md5 lowercase — hence the lower()
+        "mixture_sample": f"""
+WITH w(source, frac) AS (VALUES {_mix_values}),
+cnt AS (SELECT source, count(*)::DOUBLE AS c FROM documents GROUP BY source),
+tot AS (SELECT count(*)::DOUBLE AS t FROM documents),
+r AS (SELECT w.source,
+             CAST(floor(least(1.0, (({_MIX_BF!r} * tot.t) * w.frac) / cnt.c)
+                        * 4294967296.0) AS BIGINT) AS cut
+      FROM w JOIN cnt USING (source) CROSS JOIN tot)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE r.cut >= 4294967296
+   OR substr(md5(d.text), 1, 8) < lower(lpad(to_hex(r.cut), 8, '0'))
+ORDER BY d.doc_id
+""",
+        # concat-and-split packing: exclusive running token sum in
+        # doc_id order, split at the shared sequence length
+        "pack_sequences": f"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT
+                      AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS cum
+      FROM t)
+SELECT doc_id, n_tokens, (cum // {_PACK_L})::BIGINT AS seq_id,
+       (cum % {_PACK_L})::BIGINT AS seq_off
+FROM c ORDER BY doc_id
+""",
         "source_cap": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source,

@@ -24,7 +24,7 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(SF),
 
 
 def _ds_factories():
-    from miru_ray.pipelines import ann, dedup, joins, textstats
+    from miru_ray.pipelines import ann, dedup, joins, pack, textstats
     return {
         "asof_join": (joins.asof_join_ds, joins.asof_join),
         "interval_join": (joins.interval_join_ds, joins.interval_join),
@@ -46,6 +46,8 @@ def _ds_factories():
                                     ann.embedding_near_dups_lsh),
         "decontaminate": (textstats.decontaminate_ds,
                           textstats.decontaminate),
+        "mixture_sample": (pack.mixture_sample_ds, pack.mixture_sample),
+        "pack_sequences": (pack.pack_sequences_ds, pack.pack_sequences),
     }
 
 
