@@ -83,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggregate_counts": events.aggregate_counts,
         "trending": events.trending,
         "user_sessions": events.user_sessions,
-        "props_k_stats": events.props_k_stats,
         "paired_latest": events.paired_latest,
         # paired-value bloom sidecar (BloomIndex.java mightContain:
         # bloom prefilter over the sidecar, exact verify of survivors
@@ -159,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per doc via the docID-allocation prefix-sum pattern — one
         # 16 B/doc keyed exchange, O(1k) driver state, text never moves
         "pack_sequences": pack.pack_sequences,
+        # CCNet/RefinedWeb-style boilerplate removal: drop every
+        # non-overlapping 3-word chunk occurring in ≥3 distinct docs;
+        # per-bucket df + removal coords in one hash-keyed exchange,
+        # rebuild in a doc_id-keyed exchange — chunk text never shuffles
+        "boilerplate_scrub": textstats.boilerplate_scrub,
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "embedding_near_dups": ann.embedding_near_dups,
@@ -219,6 +223,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     stays pinned to the still-checked inbox_unread by the
         #     fold==backfill pytest, and message_terms rides the
         #     still-checked stumptown_level_counts/_search intakes
+        #   props_k_stats: r2–r4 hash-exact simple JSON rollup; rotated
+        #     out in r5 to promote boilerplate_scrub — the events
+        #     aggregation family keeps five checked siblings
+        "props_k_stats": lambda sf: __import__(
+            "miru_ray.pipelines.events", fromlist=["props_k_stats"]
+        ).props_k_stats(sf),
         "inbox_unread_delta": lambda sf: __import__(
             "miru_ray.pipelines.inbox", fromlist=["inbox_unread_delta"]
         ).inbox_unread_delta(sf),
@@ -570,6 +580,8 @@ def oracle_sql() -> dict[str, str]:
     from miru_ray.pipelines.ann import EMBED_NEAR_DUP_THRESHOLD as _EMB_T
     from miru_ray.pipelines.pack import MIXTURE_BUDGET_FRAC as _MIX_BF
     from miru_ray.pipelines.pack import PACK_SEQ_LEN as _PACK_L
+    from miru_ray.pipelines.textstats import _BP_CHUNK_WORDS as _BP_W
+    from miru_ray.pipelines.textstats import _BP_MIN_DF as _BP_K
     from miru_ray.pipelines.pack import mixture_weights_sql_values
     _mix_values = mixture_weights_sql_values()
     return {
@@ -1257,6 +1269,53 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents) WHERE rn <= 10 ORDER BY doc_id
+""",
+        # chunk identity on the engine side is the 64-bit string hash;
+        # the oracle compares TRUE chunk strings — exact modulo the
+        # 2^-64 collision caveat shared with the Jaccard/span tiers.
+        # chunk_words / min_df interpolate from the engine's constants.
+        "boilerplate_scrub": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) // {_BP_W} AS nfull
+  FROM documents
+),
+chunks AS (
+  SELECT w.doc_id, t.ci,
+         array_to_string(w.words[t.ci*{_BP_W}+1 : t.ci*{_BP_W}+{_BP_W}], ' ')
+             AS chunk
+  FROM w, UNNEST(range(w.nfull)) AS t(ci)
+),
+bp AS (
+  SELECT chunk FROM (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+  WHERE df >= {_BP_K}
+),
+marked AS (
+  SELECT c.doc_id, c.ci, (b.chunk IS NOT NULL) AS removed, c.chunk
+  FROM chunks c LEFT JOIN bp b USING (chunk)
+),
+rebuilt AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list(chunk ORDER BY ci) FILTER (WHERE NOT removed), ' '), '')
+             AS body,
+         count(*)::BIGINT AS n_chunks,
+         sum(removed::INT)::BIGINT AS n_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CASE WHEN coalesce(r.body,'') = '' THEN w.tail
+            WHEN w.tail = '' THEN r.body
+            ELSE r.body || ' ' || w.tail END AS text_clean,
+       coalesce(r.n_chunks, 0)::BIGINT AS n_chunks,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed
+FROM (SELECT doc_id, nfull,
+             coalesce(array_to_string(words[nfull*{_BP_W}+1 : len(words)],
+                                      ' '), '') AS tail
+      FROM w) w
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
 """,
         "embedding_dedup_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

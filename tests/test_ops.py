@@ -377,3 +377,40 @@ def test_source_cap_combiner_valid_across_batches(ray_session, tmp_path):
             [["doc_id", "source"]].sort_values("doc_id")
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_boilerplate_scrub_planted_corpus(ray_session, tmp_path):
+    """Planted boilerplate: a 3-word chunk in >=3 docs is cut from all
+    of them; a chunk shared by only 2 docs survives; removal is
+    CHUNK-ALIGNED (the same words offset by one are a different chunk);
+    trailing partials always survive; <3-word docs pass through."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from miru_ray.pipelines.textstats import boilerplate_scrub
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "the quick fox jumped over logs t1 t2",
+            "the quick fox shared by two",
+            "the quick fox shared by two xx",
+            "hi yo",
+            "the quick fox",
+            "x the quick fox a b",   # off-by-one: NOT the planted chunk
+        ],
+    })
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq_.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                    src / "documents.parquet")
+    got = boilerplate_scrub(str(src)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "text_clean"] == "jumped over logs t1 t2"
+    assert got.loc[1, ["n_chunks", "n_removed"]].tolist() == [2, 1]
+    assert got.loc[2, "text_clean"] == "shared by two"
+    assert got.loc[3, "text_clean"] == "shared by two xx"
+    assert got.loc[4, "text_clean"] == "hi yo"
+    assert got.loc[4, ["n_chunks", "n_removed"]].tolist() == [0, 0]
+    assert got.loc[5, "text_clean"] == ""
+    assert got.loc[5, ["n_chunks", "n_removed"]].tolist() == [1, 1]
+    assert got.loc[6, "text_clean"] == "x the quick fox a b"
+    assert got.loc[6, ["n_chunks", "n_removed"]].tolist() == [2, 0]
