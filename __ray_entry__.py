@@ -134,7 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_one": dedup.dedup_keep_one,
         # --- text analysis ---
         "quality_scores": textstats.quality_scores,
-        "doc_fingerprints": textstats.doc_fingerprints,
         "lang_id": textstats.lang_id,
         # PII redaction (emails / IPv4 / phones): one vectorized RE2
         # map stage, no shuffle; counts taken on the progressively
@@ -163,6 +162,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-bucket df + removal coords in one hash-keyed exchange,
         # rebuild in a doc_id-keyed exchange — chunk text never shuffles
         "boilerplate_scrub": textstats.boilerplate_scrub,
+        # CCNet-style quality scoring: capped bigram LM (top-K vocab +
+        # <unk>) trained on the corpus in two count exchanges, model
+        # broadcast once via ray.put, one stateless scoring pass;
+        # head/middle/tail on frozen absolute cutoffs
+        "lm_perplexity": textstats.lm_perplexity,
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "embedding_near_dups": ann.embedding_near_dups,
@@ -226,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   props_k_stats: r2–r4 hash-exact simple JSON rollup; rotated
         #     out in r5 to promote boilerplate_scrub — the events
         #     aggregation family keeps five checked siblings
+        #   doc_fingerprints: rotated out in r5 to promote
+        #     lm_perplexity — it rides the one md5 kernel the
+        #     still-checked dedup_exact also exercises
+        "doc_fingerprints": textstats.doc_fingerprints,
         "props_k_stats": lambda sf: __import__(
             "miru_ray.pipelines.events", fromlist=["props_k_stats"]
         ).props_k_stats(sf),
@@ -582,6 +590,9 @@ def oracle_sql() -> dict[str, str]:
     from miru_ray.pipelines.pack import PACK_SEQ_LEN as _PACK_L
     from miru_ray.pipelines.textstats import _BP_CHUNK_WORDS as _BP_W
     from miru_ray.pipelines.textstats import _BP_MIN_DF as _BP_K
+    from miru_ray.pipelines.textstats import LM_HEAD_BITS as _LM_H
+    from miru_ray.pipelines.textstats import LM_TAIL_BITS as _LM_T
+    from miru_ray.pipelines.textstats import LM_VOCAB_K as _LM_K
     from miru_ray.pipelines.pack import mixture_weights_sql_values
     _mix_values = mixture_weights_sql_values()
     return {
@@ -1269,6 +1280,48 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents) WHERE rn <= 10 ORDER BY doc_id
+""",
+        # bigram-LM perplexity: the oracle retrains the SAME capped
+        # Laplace-smoothed model in SQL (top-K vocab by (count DESC,
+        # token ASC), <unk> reserved unconditionally) and rescores every
+        # doc; vocab cap / bucket cutoffs interpolate from the engine's
+        # constants. bits rounds to 6 dp AFTER the mean (both sides).
+        "lm_perplexity": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT w.doc_id, t.i, w.toks[t.i + 1] AS tok
+        FROM w, UNNEST(range(len(w.toks))) AS t(i)),
+uni AS (SELECT tok, count(*)::BIGINT AS cnt FROM pos GROUP BY tok),
+vocab AS (SELECT tok, cnt FROM (
+    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+    FROM uni) WHERE rn <= {_LM_K}),
+consts AS (SELECT (SELECT count(*) FROM vocab) + 1 AS V,
+                  (SELECT sum(cnt) FROM uni) AS total,
+                  (SELECT sum(cnt) FROM vocab) AS vtotal),
+cu AS (SELECT tok, cnt FROM vocab
+       UNION ALL
+       SELECT '<unk>', total - vtotal FROM consts),
+mapped AS (SELECT p.doc_id, p.i, coalesce(v.tok, '<unk>') AS m
+           FROM pos p LEFT JOIN vocab v ON v.tok = p.tok),
+pairs AS (SELECT a.doc_id, a.m AS u, b.m AS v
+          FROM mapped a JOIN mapped b
+            ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+cuv AS (SELECT u, v, count(*)::BIGINT AS cnt FROM pairs GROUP BY u, v),
+scored AS (SELECT p.doc_id,
+                  -log2((cuv.cnt + 1.0) / (cu.cnt + consts.V)) AS b
+           FROM pairs p
+           JOIN cuv ON cuv.u = p.u AND cuv.v = p.v
+           JOIN cu ON cu.tok = p.u
+           CROSS JOIN consts),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(b), 6) AS bits
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.bits, 0.0) AS bits,
+       CASE WHEN coalesce(a.bits, 0.0) < {_LM_H} THEN 'head'
+            WHEN coalesce(a.bits, 0.0) >= {_LM_T} THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
 """,
         # chunk identity on the engine side is the 64-bit string hash;
         # the oracle compares TRUE chunk strings — exact modulo the

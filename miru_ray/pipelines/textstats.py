@@ -24,7 +24,8 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "top_ngrams", "dup_span_frac", "dup_span_frac_ds",
            "decontaminate", "decontaminate_ds", "pii_scrub", "pii_scrub_ds",
            "source_cap", "source_cap_ds",
-           "boilerplate_scrub", "boilerplate_scrub_ds"]
+           "boilerplate_scrub", "boilerplate_scrub_ds",
+           "lm_perplexity", "lm_perplexity_ds"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -910,3 +911,164 @@ def boilerplate_scrub(sf_dir: str, chunk_words: int = _BP_CHUNK_WORDS,
     return pa.Table.from_pandas(
         got[["doc_id", "text_clean", "n_chunks", "n_removed"]],
         preserve_index=False)
+
+
+# ------------------------------------------------ bigram-LM perplexity
+
+LM_VOCAB_K = 4096       # CCNet-style model cap: model size is O(K^2)
+                        # worst case, INDEPENDENT of corpus size
+LM_HEAD_BITS = 4.89     # bucket cutoffs in bits/bigram (frozen absolute
+LM_TAIL_BITS = 4.94     # thresholds, the production CCNet shape where
+                        # cutoffs are precomputed once per language)
+_LM_UNK = "<unk>"
+
+
+def _lm_model(sf_dir: str, vocab_k: int):
+    """Train the capped bigram LM: (sorted_vocab, cu, bigram_keys,
+    bigram_cnts, V). Two keyed exchanges over token/bigram COUNT rows
+    (per-batch np.unique pre-combine), never over documents; the only
+    driver-side tables are the top-K vocab and the ≤(K+1)^2 bigram
+    count table — both bounded by the cap, not the corpus."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def uni_counts(batch: pa.Table) -> pa.Table:
+        toks = [w for t in batch["text"].to_pylist() for w in t.split(" ")]
+        if not toks:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"tok": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    uni = (ds.map_batches(uni_counts, batch_format="pyarrow")
+             .groupby("tok").sum("cnt").materialize())
+    total = int(uni.sum("sum(cnt)"))
+    top = (uni.sort(["sum(cnt)", "tok"], descending=[True, False])
+              .limit(vocab_k).take_all())
+    vtoks = np.array([r["tok"] for r in top], dtype=object)
+    vcnts = np.array([r["sum(cnt)"] for r in top], dtype=np.int64)
+    order = np.argsort(vtoks)                 # searchsorted order
+    vtoks, vcnts = vtoks[order], vcnts[order]
+    n_unk = total - int(vcnts.sum())
+    cu = np.concatenate([vcnts, [n_unk]])     # id == position; unk last
+    V = len(vtoks) + 1
+    vref = ray.put(vtoks)
+
+    def map_ids(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(flat mapped ids, per-doc token counts); unk id = V-1."""
+        vt = ray.get(vref)
+        toks = [t.split(" ") for t in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        if not len(flat):
+            return np.empty(0, np.int64), lens
+        pos = np.searchsorted(vt, flat)
+        np.minimum(pos, len(vt) - 1, out=pos)
+        ids = np.where(vt[pos] == flat, pos, len(vt)).astype(np.int64)
+        return ids, lens
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        ids, lens = map_ids(batch["text"].to_pylist())
+        if not len(ids):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        ends = np.cumsum(lens)                # doc-boundary mask: a pair
+        valid = np.ones(len(ids), bool)       # never spans two docs
+        valid[ends - 1] = False
+        keys = ids[:-1] * V + ids[1:]
+        keys = keys[valid[:-1]]
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    big = (ds.map_batches(bigram_counts, batch_format="pyarrow")
+             .groupby("key").sum("cnt").take_all())
+    bkeys = np.array([r["key"] for r in big], dtype=np.int64)
+    bcnts = np.array([r["sum(cnt)"] for r in big], dtype=np.int64)
+    order = np.argsort(bkeys)
+    return vtoks, cu, bkeys[order], bcnts[order], V
+
+
+def lm_perplexity_ds(sf_dir: str, vocab_k: int = LM_VOCAB_K,
+                     head_bits: float = LM_HEAD_BITS,
+                     tail_bits: float = LM_TAIL_BITS):
+    """Lazy Dataset of (doc_id, n_bigrams, bits, bucket) — CCNet-style
+    QUALITY SCORING by language-model perplexity: train a Laplace-
+    smoothed bigram LM with a top-``vocab_k`` vocabulary (+ ``<unk>``)
+    on the corpus itself, then score every document with its mean
+    bits-per-bigram ``-log2((c(u,v)+1) / (c(u)+V))`` and bucket it
+    head/middle/tail on frozen absolute cutoffs (the CCNet deployment
+    shape: cutoffs are computed once, offline, then applied as plain
+    constants so the scoring pass is embarrassingly parallel).
+
+    Scale shape: the MODEL is capped (top-K vocab ⇒ ≤(K+1)^2 bigrams)
+    so it broadcasts once via ``ray.put`` regardless of corpus size;
+    training is two count exchanges whose rows are (token, n) /
+    (bigram, n) partials pre-combined per batch with np.unique — the
+    shuffle moves distinct-gram COUNT rows, never text; scoring is one
+    stateless map_batches probing the broadcast arrays with
+    searchsorted. Docs with <2 tokens score bits=0.0 (bucket by the
+    same CASE). ``<unk>`` is reserved unconditionally (V includes it
+    even when the vocab is uncapped) — caveat: a literal corpus token
+    ``<unk>`` would alias it."""
+    import ray
+
+    vtoks, cu, bkeys, bcnts, V = _lm_model(sf_dir, vocab_k)
+    mref = ray.put((vtoks, cu, bkeys, bcnts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vt, cu_, bk, bc = ray.get(mref)
+        dids = batch["doc_id"].to_numpy()
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        if len(flat):
+            pos = np.searchsorted(vt, flat)
+            np.minimum(pos, len(vt) - 1, out=pos)
+            ids = np.where(vt[pos] == flat, pos, len(vt)).astype(np.int64)
+        else:
+            ids = np.empty(0, np.int64)
+        ends = np.cumsum(lens)
+        valid = np.ones(len(ids), bool)
+        if len(ids):
+            valid[ends - 1] = False
+        keys = ids[:-1] * V + ids[1:]
+        pv = valid[:-1]
+        cuv = np.zeros(len(keys), np.int64)
+        if len(bk) and len(keys):
+            p = np.searchsorted(bk, keys)
+            np.minimum(p, len(bk) - 1, out=p)
+            hit = bk[p] == keys
+            cuv[hit] = bc[p[hit]]
+        bits_pair = -np.log2((cuv + 1.0) / (cu_[ids[:-1]] + float(V)))
+        # per-doc mean over that doc's pairs (segment sum via bincount);
+        # a pair belongs to the doc of its LEFT position
+        doc_of_pos = np.repeat(np.arange(len(lens)), lens)
+        dop = doc_of_pos[:-1] if len(ids) else np.empty(0, np.int64)
+        npairs = np.bincount(dop[pv], minlength=len(lens)).astype(np.int64) \
+            if len(keys) else np.zeros(len(lens), np.int64)
+        sums = np.bincount(dop[pv], weights=bits_pair[pv],
+                           minlength=len(lens)) if len(keys) else \
+            np.zeros(len(lens))
+        bits = np.round(np.divide(sums, npairs,
+                                  out=np.zeros(len(lens)),
+                                  where=npairs > 0), 6)
+        bucket = np.where(bits < head_bits, "head",
+                          np.where(bits >= tail_bits, "tail", "middle"))
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_bigrams": pa.array(npairs.astype(np.int64), pa.int64()),
+            "bits": pa.array(bits, pa.float64()),
+            "bucket": pa.array(bucket.astype(object), pa.string())})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_perplexity(sf_dir: str, vocab_k: int = LM_VOCAB_K) -> pa.Table:
+    """Driver-side collected form of :func:`lm_perplexity_ds`."""
+    df = (lm_perplexity_ds(sf_dir, vocab_k).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)

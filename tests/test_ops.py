@@ -414,3 +414,32 @@ def test_boilerplate_scrub_planted_corpus(ray_session, tmp_path):
     assert got.loc[5, ["n_chunks", "n_removed"]].tolist() == [1, 1]
     assert got.loc[6, "text_clean"] == "x the quick fox a b"
     assert got.loc[6, ["n_chunks", "n_removed"]].tolist() == [2, 0]
+
+
+def test_lm_perplexity_hand_computed(ray_session, tmp_path):
+    """Pin the Laplace-smoothed bigram math on a 2-doc corpus, both
+    uncapped and with vocab_k=1 (forcing <unk> mapping): bits must
+    equal the hand-computed -log2((c(u,v)+1)/(c(u)+V)) means."""
+    import math
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from miru_ray.pipelines.textstats import lm_perplexity
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "a a"]})
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq_.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                    src / "documents.parquet")
+    # uncapped: vocab {a:4, b:2}, V=3; cuv (a,b):2 (b,a):1 (a,a):1
+    got = lm_perplexity(str(src)).to_pandas().set_index("doc_id")
+    d1 = (2 * -math.log2((2 + 1) / (4 + 3))
+          + -math.log2((1 + 1) / (2 + 3))) / 3
+    d2 = -math.log2((1 + 1) / (4 + 3))
+    assert got.loc[1, "bits"] == round(d1, 6)
+    assert got.loc[2, "bits"] == round(d2, 6)
+    assert got.loc[1, "n_bigrams"] == 3 and got.loc[2, "n_bigrams"] == 1
+    # vocab_k=1: only 'a' survives, 'b' -> <unk>; V=2, c(a)=4 c(unk)=2
+    # d1 pairs (a,u)(u,a)(a,u): cuv (a,u)=2,(u,a)=1 -> every pair = 1 bit
+    got1 = lm_perplexity(str(src), vocab_k=1).to_pandas().set_index("doc_id")
+    assert got1.loc[1, "bits"] == 1.0
+    assert got1.loc[2, "bits"] == round(-math.log2((1 + 1) / (4 + 2)), 6)
