@@ -126,6 +126,21 @@ def main() -> None:
                                 "text", text)
 
     curated = curated.map_batches(redact, batch_format="pyarrow")
+
+    # --- stage N+1: perplexity filter — train the capped bigram LM once
+    # (model is O(K^2) regardless of corpus size, broadcast via ray.put),
+    # drop the worst-perplexity TAIL bucket of the survivors. Same
+    # kernel as pipelines.textstats.lm_perplexity.
+    from miru_ray.pipelines.textstats import (LM_TAIL_BITS, _lm_model,
+                                              lm_score_texts)
+    lm_ref = ray.put(_lm_model(sf_dir, vocab_k=4096))
+
+    def ppl_filter(batch: pa.Table) -> pa.Table:
+        _n, bits = lm_score_texts(batch["text"].to_pylist(),
+                                  ray.get(lm_ref))
+        return batch.filter(pa.array(bits < LM_TAIL_BITS, pa.bool_()))
+
+    curated = curated.map_batches(ppl_filter, batch_format="pyarrow")
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
     curated.write_parquet(out_dir)

@@ -25,7 +25,7 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "decontaminate", "decontaminate_ds", "pii_scrub", "pii_scrub_ds",
            "source_cap", "source_cap_ds",
            "boilerplate_scrub", "boilerplate_scrub_ds",
-           "lm_perplexity", "lm_perplexity_ds"]
+           "lm_perplexity", "lm_perplexity_ds", "lm_score_texts"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -991,6 +991,49 @@ def _lm_model(sf_dir: str, vocab_k: int):
     return vtoks, cu, bkeys[order], bcnts[order], V
 
 
+def lm_score_texts(texts: list[str],
+                   model: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Score ``texts`` with a trained model tuple from :func:`_lm_model`
+    → (n_bigrams int64, bits float64 rounded 6 dp) arrays. The pure
+    scoring kernel, shared by lm_perplexity_ds and pipeline compositions
+    that filter on the bits mid-stream (examples/training_data_pipeline)."""
+    vt, cu_, bk, bc, V = model
+    toks = [t.split(" ") for t in texts]
+    lens = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = np.asarray([w for x in toks for w in x], dtype=object)
+    if len(flat):
+        pos = np.searchsorted(vt, flat)
+        np.minimum(pos, len(vt) - 1, out=pos)
+        ids = np.where(vt[pos] == flat, pos, len(vt)).astype(np.int64)
+    else:
+        ids = np.empty(0, np.int64)
+    ends = np.cumsum(lens)
+    valid = np.ones(len(ids), bool)
+    if len(ids):
+        valid[ends - 1] = False
+    keys = ids[:-1] * V + ids[1:]
+    pv = valid[:-1]
+    cuv = np.zeros(len(keys), np.int64)
+    if len(bk) and len(keys):
+        p = np.searchsorted(bk, keys)
+        np.minimum(p, len(bk) - 1, out=p)
+        hit = bk[p] == keys
+        cuv[hit] = bc[p[hit]]
+    bits_pair = -np.log2((cuv + 1.0) / (cu_[ids[:-1]] + float(V)))
+    # per-doc mean over that doc's pairs (segment sum via bincount);
+    # a pair belongs to the doc of its LEFT position
+    doc_of_pos = np.repeat(np.arange(len(lens)), lens)
+    dop = doc_of_pos[:-1] if len(ids) else np.empty(0, np.int64)
+    npairs = np.bincount(dop[pv], minlength=len(lens)).astype(np.int64) \
+        if len(keys) else np.zeros(len(lens), np.int64)
+    sums = np.bincount(dop[pv], weights=bits_pair[pv],
+                       minlength=len(lens)) if len(keys) else \
+        np.zeros(len(lens))
+    bits = np.round(np.divide(sums, npairs, out=np.zeros(len(lens)),
+                              where=npairs > 0), 6)
+    return npairs, bits
+
+
 def lm_perplexity_ds(sf_dir: str, vocab_k: int = LM_VOCAB_K,
                      head_bits: float = LM_HEAD_BITS,
                      tail_bits: float = LM_TAIL_BITS):
@@ -1016,45 +1059,12 @@ def lm_perplexity_ds(sf_dir: str, vocab_k: int = LM_VOCAB_K,
     import ray
 
     vtoks, cu, bkeys, bcnts, V = _lm_model(sf_dir, vocab_k)
-    mref = ray.put((vtoks, cu, bkeys, bcnts))
+    mref = ray.put((vtoks, cu, bkeys, bcnts, V))
 
     def score(batch: pa.Table) -> pa.Table:
-        vt, cu_, bk, bc = ray.get(mref)
         dids = batch["doc_id"].to_numpy()
-        toks = [t.split(" ") for t in batch["text"].to_pylist()]
-        lens = np.array([len(x) for x in toks], dtype=np.int64)
-        flat = np.asarray([w for x in toks for w in x], dtype=object)
-        if len(flat):
-            pos = np.searchsorted(vt, flat)
-            np.minimum(pos, len(vt) - 1, out=pos)
-            ids = np.where(vt[pos] == flat, pos, len(vt)).astype(np.int64)
-        else:
-            ids = np.empty(0, np.int64)
-        ends = np.cumsum(lens)
-        valid = np.ones(len(ids), bool)
-        if len(ids):
-            valid[ends - 1] = False
-        keys = ids[:-1] * V + ids[1:]
-        pv = valid[:-1]
-        cuv = np.zeros(len(keys), np.int64)
-        if len(bk) and len(keys):
-            p = np.searchsorted(bk, keys)
-            np.minimum(p, len(bk) - 1, out=p)
-            hit = bk[p] == keys
-            cuv[hit] = bc[p[hit]]
-        bits_pair = -np.log2((cuv + 1.0) / (cu_[ids[:-1]] + float(V)))
-        # per-doc mean over that doc's pairs (segment sum via bincount);
-        # a pair belongs to the doc of its LEFT position
-        doc_of_pos = np.repeat(np.arange(len(lens)), lens)
-        dop = doc_of_pos[:-1] if len(ids) else np.empty(0, np.int64)
-        npairs = np.bincount(dop[pv], minlength=len(lens)).astype(np.int64) \
-            if len(keys) else np.zeros(len(lens), np.int64)
-        sums = np.bincount(dop[pv], weights=bits_pair[pv],
-                           minlength=len(lens)) if len(keys) else \
-            np.zeros(len(lens))
-        bits = np.round(np.divide(sums, npairs,
-                                  out=np.zeros(len(lens)),
-                                  where=npairs > 0), 6)
+        npairs, bits = lm_score_texts(batch["text"].to_pylist(),
+                                      ray.get(mref))
         bucket = np.where(bits < head_bits, "head",
                           np.where(bits >= tail_bits, "tail", "middle"))
         return pa.table({
