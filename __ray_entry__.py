@@ -121,9 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "simhash64": dedup.simhash64,
-        # the sub-quadratic EXACT tier: PPJoin-style prefix filtering is
-        # lossless at J >= t, so this shares ngram_jaccard_pairs' oracle
-        "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
         # near-dup CLUSTER RESOLUTION: connected components over the
         # exact prefix-filtered pair graph (local pointer-jumping tier +
         # distributed label-propagation tier, pytest-pinned equal);
@@ -167,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast once via ray.put, one stateless scoring pass;
         # head/middle/tail on frozen absolute cutoffs
         "lm_perplexity": textstats.lm_perplexity,
+        # corpus-RELATIVE perplexity terciles: exact distributed
+        # ntile via value-binned prefix-sum ranking (no driver sort)
+        "perplexity_ntile": textstats.perplexity_ntile,
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "embedding_near_dups": ann.embedding_near_dups,
@@ -233,7 +233,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   doc_fingerprints: rotated out in r5 to promote
         #     lm_perplexity — it rides the one md5 kernel the
         #     still-checked dedup_exact also exercises
+        #   ngram_jaccard_prefix: rotated out in r5 to promote
+        #     perplexity_ntile — the still-checked dedup_clusters /
+        #     dedup_keep_one derive from the SAME prefix-filtered pair
+        #     graph, so the machinery stays driver-exercised
         "doc_fingerprints": textstats.doc_fingerprints,
+        # sub-quadratic EXACT Jaccard tier (PPJoin prefix filtering is
+        # lossless at J >= t; shares ngram_jaccard_pairs' oracle)
+        "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
         "props_k_stats": lambda sf: __import__(
             "miru_ray.pipelines.events", fromlist=["props_k_stats"]
         ).props_k_stats(sf),
@@ -445,6 +452,48 @@ ORDER BY d.doc_id
 """
 
 
+def _lm_bits_sql() -> str:
+    """Per-doc (doc_id, n_bigrams, bits) from the capped bigram LM,
+    retrained entirely in SQL — the shared body of the lm_perplexity
+    and perplexity_ntile oracles. Vocab cap interpolates from the
+    engine's LM_VOCAB_K so the two model definitions cannot drift."""
+    from miru_ray.pipelines.textstats import LM_VOCAB_K
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT w.doc_id, t.i, w.toks[t.i + 1] AS tok
+        FROM w, UNNEST(range(len(w.toks))) AS t(i)),
+uni AS (SELECT tok, count(*)::BIGINT AS cnt FROM pos GROUP BY tok),
+vocab AS (SELECT tok, cnt FROM (
+    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+    FROM uni) WHERE rn <= {LM_VOCAB_K}),
+consts AS (SELECT (SELECT count(*) FROM vocab) + 1 AS V,
+                  (SELECT sum(cnt) FROM uni) AS total,
+                  (SELECT sum(cnt) FROM vocab) AS vtotal),
+cu AS (SELECT tok, cnt FROM vocab
+       UNION ALL
+       SELECT '<unk>', total - vtotal FROM consts),
+mapped AS (SELECT p.doc_id, p.i, coalesce(v.tok, '<unk>') AS m
+           FROM pos p LEFT JOIN vocab v ON v.tok = p.tok),
+pairs AS (SELECT a.doc_id, a.m AS u, b.m AS v
+          FROM mapped a JOIN mapped b
+            ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+cuv AS (SELECT u, v, count(*)::BIGINT AS cnt FROM pairs GROUP BY u, v),
+scored AS (SELECT p.doc_id,
+                  -log2((cuv.cnt + 1.0) / (cu.cnt + consts.V)) AS b
+           FROM pairs p
+           JOIN cuv ON cuv.u = p.u AND cuv.v = p.v
+           JOIN cu ON cu.tok = p.u
+           CROSS JOIN consts),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(b), 6) AS bits
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.bits, 0.0) AS bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _pii_scrub_sql() -> str:
     """PII scrub oracle, derived from the engine's own PII_PATTERNS so
     the patterns/order/placeholders have ONE definition. Both engines
@@ -592,7 +641,6 @@ def oracle_sql() -> dict[str, str]:
     from miru_ray.pipelines.textstats import _BP_MIN_DF as _BP_K
     from miru_ray.pipelines.textstats import LM_HEAD_BITS as _LM_H
     from miru_ray.pipelines.textstats import LM_TAIL_BITS as _LM_T
-    from miru_ray.pipelines.textstats import LM_VOCAB_K as _LM_K
     from miru_ray.pipelines.pack import mixture_weights_sql_values
     _mix_values = mixture_weights_sql_values()
     return {
@@ -1287,41 +1335,20 @@ SELECT doc_id, source FROM (
         # doc; vocab cap / bucket cutoffs interpolate from the engine's
         # constants. bits rounds to 6 dp AFTER the mean (both sides).
         "lm_perplexity": f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-pos AS (SELECT w.doc_id, t.i, w.toks[t.i + 1] AS tok
-        FROM w, UNNEST(range(len(w.toks))) AS t(i)),
-uni AS (SELECT tok, count(*)::BIGINT AS cnt FROM pos GROUP BY tok),
-vocab AS (SELECT tok, cnt FROM (
-    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
-    FROM uni) WHERE rn <= {_LM_K}),
-consts AS (SELECT (SELECT count(*) FROM vocab) + 1 AS V,
-                  (SELECT sum(cnt) FROM uni) AS total,
-                  (SELECT sum(cnt) FROM vocab) AS vtotal),
-cu AS (SELECT tok, cnt FROM vocab
-       UNION ALL
-       SELECT '<unk>', total - vtotal FROM consts),
-mapped AS (SELECT p.doc_id, p.i, coalesce(v.tok, '<unk>') AS m
-           FROM pos p LEFT JOIN vocab v ON v.tok = p.tok),
-pairs AS (SELECT a.doc_id, a.m AS u, b.m AS v
-          FROM mapped a JOIN mapped b
-            ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-cuv AS (SELECT u, v, count(*)::BIGINT AS cnt FROM pairs GROUP BY u, v),
-scored AS (SELECT p.doc_id,
-                  -log2((cuv.cnt + 1.0) / (cu.cnt + consts.V)) AS b
-           FROM pairs p
-           JOIN cuv ON cuv.u = p.u AND cuv.v = p.v
-           JOIN cu ON cu.tok = p.u
-           CROSS JOIN consts),
-agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-               round(avg(b), 6) AS bits
-        FROM scored GROUP BY doc_id)
-SELECT d.doc_id,
-       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
-       coalesce(a.bits, 0.0) AS bits,
-       CASE WHEN coalesce(a.bits, 0.0) < {_LM_H} THEN 'head'
-            WHEN coalesce(a.bits, 0.0) >= {_LM_T} THEN 'tail'
+WITH lm AS ({_lm_bits_sql()})
+SELECT doc_id, n_bigrams, bits,
+       CASE WHEN bits < {_LM_H} THEN 'head'
+            WHEN bits >= {_LM_T} THEN 'tail'
             ELSE 'middle' END AS bucket
-FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+FROM lm ORDER BY doc_id
+""",
+        # corpus-RELATIVE perplexity terciles — same retrained model,
+        # exact SQL-ntile semantics (ORDER BY bits, doc_id)
+        "perplexity_ntile": f"""
+WITH lm AS ({_lm_bits_sql()})
+SELECT doc_id, bits,
+       ntile(3) OVER (ORDER BY bits, doc_id)::BIGINT AS tile
+FROM lm ORDER BY doc_id
 """,
         # chunk identity on the engine side is the 64-bit string hash;
         # the oracle compares TRUE chunk strings — exact modulo the

@@ -25,7 +25,8 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "decontaminate", "decontaminate_ds", "pii_scrub", "pii_scrub_ds",
            "source_cap", "source_cap_ds",
            "boilerplate_scrub", "boilerplate_scrub_ds",
-           "lm_perplexity", "lm_perplexity_ds", "lm_score_texts"]
+           "lm_perplexity", "lm_perplexity_ds", "lm_score_texts",
+           "exact_global_ntile", "perplexity_ntile", "perplexity_ntile_ds"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -1082,3 +1083,80 @@ def lm_perplexity(sf_dir: str, vocab_k: int = LM_VOCAB_K) -> pa.Table:
     df = (lm_perplexity_ds(sf_dir, vocab_k).to_pandas()
           .sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ------------------------------------------- exact global ntile ranking
+
+_NTILE_BINS = 4096
+
+
+def exact_global_ntile(ds, col: str, n: int, id_col: str = "doc_id",
+                       bins: int = _NTILE_BINS):
+    """Exact distributed ``ntile(n) OVER (ORDER BY col, id_col)`` —
+    corpus-RELATIVE bucketing (the true CCNet perplexity-tercile shape,
+    where cutoffs are data-dependent quantiles, not frozen constants)
+    without ever collecting or globally sorting the corpus on the
+    driver.
+
+    The docID-allocation prefix-sum pattern applied to VALUE ranges:
+    (1) each row gets a deterministic value bin (uniform in
+    [min(col), max(col)], so bin order == value order and ties share a
+    bin); (2) per-bin counts reduce to a ≤``bins``-row driver table
+    whose exclusive prefix sum gives every bin its global starting
+    rank; (3) one keyed exchange groups rows by bin and each group
+    sorts its own slice by (col, id_col) and adds the local cumsum —
+    every row gets its exact 0-based global rank, then the exact
+    SQL-ntile bucket (first N%n buckets one larger). Only
+    (id, value, bin) rows move; driver state is O(bins). Skewed value
+    distributions degrade gracefully: a hot bin becomes one larger
+    sort group, never a driver problem."""
+    sub = ds.select_columns([id_col, col]).materialize()
+    total = sub.count()
+    if total == 0:
+        return sub
+    mn, mx = sub.min(col), sub.max(col)
+    width = (mx - mn) / bins if mx > mn else 1.0
+
+    def bin_of(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy()
+        b = np.clip(((v - mn) / width).astype(np.int64), 0, bins - 1)
+        return pa.table({id_col: batch[id_col], col: batch[col],
+                         "_bin": pa.array(b, pa.int64())})
+
+    binned = sub.map_batches(bin_of, batch_format="pyarrow")
+    cnt = (binned.groupby("_bin").count().to_pandas()
+           .sort_values("_bin").reset_index(drop=True))
+    csum = cnt["count()"].to_numpy().cumsum()
+    base = dict(zip(cnt["_bin"].astype(int),
+                    np.r_[0, csum[:-1]].astype(np.int64)))
+    size, rem = total // n, total % n
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([col, id_col], kind="stable")
+        k = base[int(g["_bin"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        head = k < rem * (size + 1)
+        tile = np.where(head, k // max(size + 1, 1),
+                        rem + (k - rem * (size + 1)) // max(size, 1))
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             col: g[col].to_numpy(),
+                             "tile": (tile + 1).astype(np.int64)})
+
+    return binned.groupby("_bin").map_groups(rank, batch_format="pandas")
+
+
+def perplexity_ntile_ds(sf_dir: str, n: int = 3,
+                        vocab_k: int = LM_VOCAB_K):
+    """Lazy Dataset of (doc_id, bits, tile) — corpus-relative perplexity
+    terciles: the :func:`lm_perplexity_ds` bits ranked with
+    :func:`exact_global_ntile` (exact SQL-ntile semantics, value-binned
+    prefix-sum ranking, no driver-side sort)."""
+    return exact_global_ntile(lm_perplexity_ds(sf_dir, vocab_k),
+                              "bits", n)
+
+
+def perplexity_ntile(sf_dir: str, n: int = 3) -> pa.Table:
+    """Driver-side collected form of :func:`perplexity_ntile_ds`."""
+    df = (perplexity_ntile_ds(sf_dir, n).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df[["doc_id", "bits", "tile"]],
+                                preserve_index=False)

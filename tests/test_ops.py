@@ -443,3 +443,37 @@ def test_lm_perplexity_hand_computed(ray_session, tmp_path):
     got1 = lm_perplexity(str(src), vocab_k=1).to_pandas().set_index("doc_id")
     assert got1.loc[1, "bits"] == 1.0
     assert got1.loc[2, "bits"] == round(-math.log2((1 + 1) / (4 + 2)), 6)
+
+
+def test_exact_global_ntile_ties_and_remainder(ray_session):
+    """exact_global_ntile must equal SQL ntile semantics (first N%n
+    buckets one larger) on a skewed, tie-heavy distribution that spans
+    many value bins — including all-equal values collapsing into a
+    single bin."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+    from miru_ray.pipelines.textstats import exact_global_ntile
+    rng_vals = np.r_[np.zeros(40), np.ones(3) * 7.5,
+                     np.linspace(0.0, 100.0, 57)]          # N=100, ties
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64)[::-1],
+                       "v": rng_vals})
+    got = (exact_global_ntile(ray.data.from_pandas(df), "v", 7)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        SELECT doc_id, v, ntile(7) OVER (ORDER BY v, doc_id)::BIGINT AS tile
+        FROM t ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # degenerate: every value identical -> one bin holds everything
+    df2 = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                        "v": np.full(10, 3.25)})
+    got2 = (exact_global_ntile(ray.data.from_pandas(df2), "v", 3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con.register("t2", df2)
+    want2 = con.sql("""
+        SELECT doc_id, v, ntile(3) OVER (ORDER BY v, doc_id)::BIGINT AS tile
+        FROM t2 ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
