@@ -924,12 +924,27 @@ LM_TAIL_BITS = 4.94     # thresholds, the production CCNet shape where
 _LM_UNK = "<unk>"
 
 
+_LM_CACHE: dict[tuple, tuple[tuple, tuple]] = {}
+
+
 def _lm_model(sf_dir: str, vocab_k: int):
     """Train the capped bigram LM: (sorted_vocab, cu, bigram_keys,
     bigram_cnts, V). Two keyed exchanges over token/bigram COUNT rows
     (per-batch np.unique pre-combine), never over documents; the only
     driver-side tables are the top-K vocab and the ≤(K+1)^2 bigram
-    count table — both bounded by the cap, not the corpus."""
+    count table — both bounded by the cap, not the corpus. Memoized
+    per (source, vocab_k) with stat validation (LRU-bounded): the two
+    LM entries and pipeline compositions in one sweep train ONCE."""
+    import os
+
+    from miru_ray.state.layout import stat_validated_memo
+    src = os.path.join(sf_dir, "documents.parquet")
+    return stat_validated_memo(
+        _LM_CACHE, (os.path.abspath(src), vocab_k), src,
+        lambda: _lm_train(sf_dir, vocab_k), max_entries=2)
+
+
+def _lm_train(sf_dir: str, vocab_k: int):
     import ray
 
     ds = read_table(sf_dir, "documents", columns=["text"])
