@@ -121,11 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "simhash64": dedup.simhash64,
-        # near-dup CLUSTER RESOLUTION: connected components over the
-        # exact prefix-filtered pair graph (local pointer-jumping tier +
-        # distributed label-propagation tier, pytest-pinned equal);
-        # oracle = recursive-CTE transitive closure over the same pairs
-        "dedup_clusters": dedup.dedup_clusters,
         # keep-one-per-cluster corpus dedup: bucketed anti-join of the
         # lazily-derived cluster losers against the doc_id scan
         "dedup_keep_one": dedup.dedup_keep_one,
@@ -159,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-bucket df + removal coords in one hash-keyed exchange,
         # rebuild in a doc_id-keyed exchange — chunk text never shuffles
         "boilerplate_scrub": textstats.boilerplate_scrub,
+        # ExactSubstr dedup (Lee et al. 2022): every duplicated
+        # span-token window loses all but its lowest-(doc_id, start)
+        # occurrence; text rebuilt from surviving tokens — the
+        # boilerplate_scrub exchange plan at window granularity
+        "exact_substring_scrub": textstats.exact_substring_scrub,
         # CCNet-style quality scoring: capped bigram LM (top-K vocab +
         # <unk>) trained on the corpus in two count exchanges, model
         # broadcast once via ray.put, one stateless scoring pass;
@@ -234,10 +234,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     lm_perplexity — it rides the one md5 kernel the
         #     still-checked dedup_exact also exercises
         #   ngram_jaccard_prefix: rotated out in r5 to promote
-        #     perplexity_ntile — the still-checked dedup_clusters /
-        #     dedup_keep_one derive from the SAME prefix-filtered pair
-        #     graph, so the machinery stays driver-exercised
+        #     perplexity_ntile — the still-checked dedup_keep_one
+        #     derives from the SAME prefix-filtered pair graph, so the
+        #     machinery stays driver-exercised
+        #   dedup_clusters: rotated out in r5 to promote
+        #     exact_substring_scrub — the still-checked dedup_keep_one
+        #     consumes the cluster labels, so both CC tiers stay
+        #     driver-exercised (and the tiers are pytest-pinned equal)
         "doc_fingerprints": textstats.doc_fingerprints,
+        # near-dup CLUSTER RESOLUTION: connected components over the
+        # exact prefix-filtered pair graph (local pointer-jumping tier +
+        # distributed label-propagation tier, pytest-pinned equal);
+        # oracle = recursive-CTE transitive closure over the same pairs
+        "dedup_clusters": dedup.dedup_clusters,
         # sub-quadratic EXACT Jaccard tier (PPJoin prefix filtering is
         # lossless at J >= t; shares ngram_jaccard_pairs' oracle)
         "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
@@ -639,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
     from miru_ray.pipelines.pack import PACK_SEQ_LEN as _PACK_L
     from miru_ray.pipelines.textstats import _BP_CHUNK_WORDS as _BP_W
     from miru_ray.pipelines.textstats import _BP_MIN_DF as _BP_K
+    from miru_ray.pipelines.textstats import _ESS_SPAN as _ESS_L
     from miru_ray.pipelines.textstats import LM_HEAD_BITS as _LM_H
     from miru_ray.pipelines.textstats import LM_TAIL_BITS as _LM_T
     from miru_ray.pipelines.pack import mixture_weights_sql_values
@@ -1349,6 +1359,40 @@ WITH lm AS ({_lm_bits_sql()})
 SELECT doc_id, bits,
        ntile(3) OVER (ORDER BY bits, doc_id)::BIGINT AS tile
 FROM lm ORDER BY doc_id
+""",
+        # ExactSubstr scrub: window identity on the engine side is the
+        # 64-bit rolling fold; the oracle compares TRUE window strings
+        # (the shared 2^-64 collision caveat). Keep-one = the
+        # (doc_id, start)-minimum occurrence per duplicated window;
+        # token removed iff covered by any removed occurrence.
+        "exact_substring_scrub": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+                  len(string_split(text, ' ')) AS nw
+           FROM documents),
+wins AS (SELECT w.doc_id, t.wi,
+                array_to_string(w.words[t.wi + 1 : t.wi + {_ESS_L}], ' ')
+                    AS win
+         FROM w, UNNEST(range(w.nw - {_ESS_L} + 1)) AS t(wi)),
+occ AS (SELECT doc_id, wi,
+               count(*) OVER (PARTITION BY win) AS cnt,
+               row_number() OVER (PARTITION BY win
+                                  ORDER BY doc_id, wi) AS rn
+        FROM wins),
+rem AS (SELECT doc_id, wi FROM occ WHERE cnt >= 2 AND rn > 1),
+pos AS (SELECT w.doc_id, t.i, w.words[t.i + 1] AS tok
+        FROM w, UNNEST(range(w.nw)) AS t(i)),
+kept AS (SELECT p.doc_id, p.i, p.tok,
+                NOT EXISTS (SELECT 1 FROM rem r
+                            WHERE r.doc_id = p.doc_id
+                              AND r.wi BETWEEN p.i - {_ESS_L} + 1 AND p.i)
+                    AS keep
+         FROM pos p)
+SELECT doc_id,
+       coalesce(array_to_string(list(tok ORDER BY i)
+                                FILTER (WHERE keep), ' '), '') AS text_clean,
+       count(*)::BIGINT AS n_tokens,
+       sum((NOT keep)::INT)::BIGINT AS n_removed
+FROM kept GROUP BY doc_id ORDER BY doc_id
 """,
         # chunk identity on the engine side is the 64-bit string hash;
         # the oracle compares TRUE chunk strings — exact modulo the

@@ -26,7 +26,8 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "source_cap", "source_cap_ds",
            "boilerplate_scrub", "boilerplate_scrub_ds",
            "lm_perplexity", "lm_perplexity_ds", "lm_score_texts",
-           "exact_global_ntile", "perplexity_ntile", "perplexity_ntile_ds"]
+           "exact_global_ntile", "perplexity_ntile", "perplexity_ntile_ds",
+           "exact_substring_scrub", "exact_substring_scrub_ds"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -1175,3 +1176,146 @@ def perplexity_ntile(sf_dir: str, n: int = 3) -> pa.Table:
           .sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(df[["doc_id", "bits", "tile"]],
                                 preserve_index=False)
+
+
+# ----------------------------------------- exact-substring (window) scrub
+
+_ESS_SPAN = 5          # window length in whitespace tokens (Lee et al.
+                       # 2022 use 50 BPE tokens; the synthetic corpus is
+                       # short-doc word soup, so the default matches the
+                       # dup_span_frac signal's window)
+
+
+def exact_substring_scrub_ds(sf_dir: str, span: int = _ESS_SPAN):
+    """Lazy Dataset of (doc_id, text_clean, n_tokens, n_removed) —
+    ExactSubstr deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): any ``span``-token window whose
+    exact string occurs ≥2 times in the corpus (within- OR cross-doc)
+    is a duplicate; the lowest-(doc_id, start) occurrence is KEPT, every
+    other occurrence's token range is removed, and each doc's text is
+    rebuilt from the surviving tokens. Overlapping duplicate windows
+    merge naturally through position coverage.
+
+    Distributed shape (2 keyed exchanges; window TEXT never shuffles —
+    the boilerplate_scrub plumbing at window granularity):
+      1. rolling-fold window hashes (24 B/window rows) bucket on the
+         hash; a window's occurrences all land in one bucket, so each
+         bucket picks the kept occurrence (min (doc_id, start)) and
+         emits the other occurrences' (doc_id, start) removal coords;
+      2. coords meet the doc text in a union-side-tag exchange bucketed
+         on doc_id; each bucket rebuilds its docs via a coverage
+         difference-array (+1 at start, -1 at start+span, cumsum>0 =
+         token removed). Driver state: none. Window identity is the
+         64-bit polynomial fold (the shared 2^-64 collision caveat; the
+         SQL oracle compares true window strings)."""
+    from miru_ray.functions.hashing import hash_strings
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    L = span
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dids = batch["doc_id"].to_numpy()
+        toks = [t.split(" ") for t in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.asarray([w for x in toks for w in x], dtype=object)
+        empty = pa.table({"_bkt": pa.array([], pa.int64()),
+                          "wh": pa.array([], pa.uint64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "wi": pa.array([], pa.int64())})
+        total = len(flat)
+        if total < L:
+            return empty
+        th = hash_strings(flat)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        s = th[: total - L + 1].copy()
+        for j in range(1, L):
+            s = s * _SPAN_POLY + th[j: total - L + 1 + j]
+        valid = doc_of[: total - L + 1] == doc_of[L - 1:]
+        if not valid.any():
+            return empty
+        starts = np.cumsum(lens) - lens
+        gpos = np.arange(total - L + 1, dtype=np.int64)[valid]
+        d = doc_of[: total - L + 1][valid]
+        return pa.table({
+            "_bkt": pa.array((s[valid] % np.uint64(_SPAN_BUCKETS))
+                             .astype(np.int64)),
+            "wh": pa.array(s[valid], pa.uint64()),
+            "doc_id": pa.array(dids[d], pa.int64()),
+            "wi": pa.array(gpos - starts[d], pa.int64())})
+
+    def removals(g: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket → removal coords: per hash with ≥2
+        occurrences, every occurrence EXCEPT the (doc_id, wi)-minimum."""
+        h = g["wh"].to_numpy(dtype=np.uint64)
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        w = g["wi"].to_numpy(dtype=np.int64)
+        order = np.lexsort((w, d, h))
+        h, d, w = h[order], d[order], w[order]
+        first = np.concatenate([[True], h[1:] != h[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        dup = np.repeat(counts >= 2, counts)
+        drop = dup & ~first                    # keep the group minimum
+        return pd.DataFrame({"doc_id": d[drop], "wi": w[drop]})
+
+    rem = (ds.map_batches(window_rows, batch_format="pyarrow",
+                          batch_size=1024)
+             .groupby("_bkt").map_groups(removals, batch_format="pandas"))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": t["text"],
+                         "wi": pa.array(np.full(len(ids), -1, np.int64)),
+                         "_bkt": pa.array(ids % _SPAN_BUCKETS, pa.int64())})
+
+    def tag_rem(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array([""] * len(ids), pa.string()),
+                         "wi": t["wi"].cast(pa.int64()),
+                         "_bkt": pa.array(ids % _SPAN_BUCKETS, pa.int64())})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["wi"] < 0]
+        cut: dict[int, list[int]] = {}
+        for did, wi in zip(g.loc[g["wi"] >= 0, "doc_id"],
+                           g.loc[g["wi"] >= 0, "wi"]):
+            cut.setdefault(int(did), []).append(int(wi))
+        ids, cleans, n_toks, n_rm = [], [], [], []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            words = text.split(" ")
+            nw = len(words)
+            gone = cut.get(int(did))
+            if gone:
+                delta = np.zeros(nw + 1, np.int64)
+                ws = np.asarray(gone, dtype=np.int64)
+                np.add.at(delta, ws, 1)
+                np.add.at(delta, np.minimum(ws + L, nw), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                kept = [w for w, c in zip(words, covered) if not c]
+                nrm = int(covered.sum())
+            else:
+                kept, nrm = words, 0
+            ids.append(int(did))
+            cleans.append(" ".join(kept))
+            n_toks.append(nw)
+            n_rm.append(nrm)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "text_clean": cleans,
+                             "n_tokens": np.asarray(n_toks, np.int64),
+                             "n_removed": np.asarray(n_rm, np.int64)})
+
+    tagged = (ds.map_batches(tag_docs, batch_format="pyarrow")
+                .union(rem.map_batches(tag_rem, batch_format="pyarrow")))
+    return tagged.groupby("_bkt").map_groups(rebuild, batch_format="pandas")
+
+
+def exact_substring_scrub(sf_dir: str, span: int = _ESS_SPAN) -> pa.Table:
+    """Driver-side collected form of :func:`exact_substring_scrub_ds`."""
+    got = (exact_substring_scrub_ds(sf_dir, span).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(
+        got[["doc_id", "text_clean", "n_tokens", "n_removed"]],
+        preserve_index=False)

@@ -477,3 +477,40 @@ def test_exact_global_ntile_ties_and_remainder(ray_session):
         SELECT doc_id, v, ntile(3) OVER (ORDER BY v, doc_id)::BIGINT AS tile
         FROM t2 ORDER BY doc_id""").df()
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_exact_substring_scrub_planted(ray_session, tmp_path):
+    """ExactSubstr semantics: the lowest-(doc_id, start) occurrence of
+    a duplicated window is KEPT, later ones are cut; overlapping
+    duplicate windows merge through coverage; a WITHIN-doc repeat also
+    counts; short docs pass through untouched."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from miru_ray.pipelines.textstats import exact_substring_scrub
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "p q r s t u1 u2",            # first occurrence -> kept
+            "x1 p q r s t y1 y2",         # later occurrence -> cut
+            "a b c d e a b c d e",        # within-doc repeat: 2nd cut
+            "tiny doc",                   # < span tokens: untouched
+        ],
+    })
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq_.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                    src / "documents.parquet")
+    got = exact_substring_scrub(str(src), span=5).to_pandas() \
+        .set_index("doc_id")
+    assert got.loc[1, "text_clean"] == "p q r s t u1 u2"
+    assert got.loc[1, "n_removed"] == 0
+    assert got.loc[2, "text_clean"] == "x1 y1 y2"
+    assert got.loc[2, "n_removed"] == 5
+    # doc 3: windows (a b c d e) at 0 and 5 duplicate; also the wrap
+    # windows (b c d e a) at 1/ (c d e a b) at 2 ... each repeat once?
+    # no — they occur once each; only the exact repeat at 5 is cut
+    assert got.loc[3, "text_clean"] == "a b c d e"
+    assert got.loc[3, "n_removed"] == 5
+    assert got.loc[4, "text_clean"] == "tiny doc"
+    assert got.loc[4, ["n_tokens", "n_removed"]].tolist() == [2, 0]
