@@ -314,6 +314,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/ (error bound, recall, or precision/recall).
         "value_quantiles_sketch": events.value_quantiles_sketch,
         "distinct_count_hll": events.distinct_count_hll,
+        # BPE tokenizer: training runs on the bounded distinct-word
+        # count table (one exchange), segmentation broadcasts the merge
+        # ranks; rows-only — BPE is not SQL-expressible; the oracle is
+        # the independent sequential reference in tests/test_ops.py
+        "bpe_token_counts": lambda sf: __import__(
+            "miru_ray.pipelines.bpe", fromlist=["bpe_token_counts"]
+        ).bpe_token_counts(sf),
         "minhash_near_dups": dedup.minhash_near_dups,
         # sub-quadratic clusters default: CC over the LSH pair graph —
         # inherits minhash's probabilistic-recall contract (rows-only);

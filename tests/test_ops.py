@@ -514,3 +514,69 @@ def test_exact_substring_scrub_planted(ray_session, tmp_path):
     assert got.loc[3, "n_removed"] == 5
     assert got.loc[4, "text_clean"] == "tiny doc"
     assert got.loc[4, ["n_tokens", "n_removed"]].tolist() == [2, 0]
+
+
+def test_bpe_train_and_counts_vs_local_reference(ray_session, tmp_path):
+    """Distributed BPE (word-count exchange + broadcast segmentation)
+    must equal a local sequential reference on the Sennrich-style toy
+    corpus AND on sf0.001: same merge table, same per-doc token counts."""
+    import collections
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from miru_ray.pipelines.bpe import (bpe_segment_word, bpe_token_counts,
+                                        bpe_train)
+
+    def ref_merges(texts, n):
+        wc = collections.Counter(w for t in texts
+                                 for w in t.split(" ") if w)
+        seqs = {w: list(w) for w in wc}
+        out = []
+        for _ in range(n):
+            pc = collections.Counter()
+            for w, c in wc.items():
+                s = seqs[w]
+                for p in zip(s, s[1:]):
+                    pc[p] += c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            (a, b), _ = best
+            out.append((a, b))
+            for w in seqs:
+                s, i = seqs[w], 0
+                while i < len(s) - 1:
+                    if s[i] == a and s[i + 1] == b:
+                        s[i: i + 2] = [a + b]
+                    else:
+                        i += 1
+        return out
+
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+             + ["low lower newest widest banana"])
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src = tmp_path / "sf"
+    src.mkdir()
+    pq_.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                    src / "documents.parquet")
+    got = bpe_train(str(src), n_merges=12)
+    want = ref_merges(texts, 12)
+    assert list(zip(got["left"].to_pylist(),
+                    got["right"].to_pylist())) == want
+    rank = {p: i for i, p in enumerate(want)}
+    counts = bpe_token_counts(str(src), n_merges=12).to_pandas()
+    for _, row in counts.iterrows():
+        words = [w for w in texts[int(row.doc_id)].split(" ") if w]
+        assert row.n_words == len(words)
+        assert row.n_bpe_tokens == sum(bpe_segment_word(w, rank)
+                                       for w in words)
+    # and on the real fixture corpus
+    sfd = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq2
+    texts2 = pq2.read_table(sfd + "/documents.parquet",
+                            columns=["text"])["text"].to_pylist()
+    got2 = bpe_train(sfd, n_merges=30)
+    assert list(zip(got2["left"].to_pylist(),
+                    got2["right"].to_pylist())) == ref_merges(texts2, 30)
