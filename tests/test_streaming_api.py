@@ -48,6 +48,14 @@ def _ds_factories():
                           textstats.decontaminate),
         "mixture_sample": (pack.mixture_sample_ds, pack.mixture_sample),
         "pack_sequences": (pack.pack_sequences_ds, pack.pack_sequences),
+        "boilerplate_scrub": (textstats.boilerplate_scrub_ds,
+                              textstats.boilerplate_scrub),
+        "exact_substring_scrub": (textstats.exact_substring_scrub_ds,
+                                  textstats.exact_substring_scrub),
+        "lm_perplexity": (textstats.lm_perplexity_ds,
+                          textstats.lm_perplexity),
+        "perplexity_ntile": (textstats.perplexity_ntile_ds,
+                             textstats.perplexity_ntile),
     }
 
 
