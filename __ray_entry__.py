@@ -307,6 +307,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the still-checked doc_fingerprints; r2–r4 hash-exact
         "token_counts": textstats.token_counts,
         "sample_hash": textstats.sample_hash,
+        # content-keyed train/val/test split (md5-prefix cuts like
+        # sample_hash): zero-shuffle, resume/engine-invariant,
+        # exact-dup texts land in one split by construction
+        "corpus_split": textstats.corpus_split,
         # ------------------------------------------------------------------
         # rows-only entries LAST: the driver checks entries in dict order
         # with a cap, so every oracle-bearing entry above must precede
@@ -656,6 +660,8 @@ def oracle_sql() -> dict[str, str]:
     from miru_ray.pipelines.textstats import _BP_CHUNK_WORDS as _BP_W
     from miru_ray.pipelines.textstats import _BP_MIN_DF as _BP_K
     from miru_ray.pipelines.textstats import _ESS_SPAN as _ESS_L
+    from miru_ray.pipelines.textstats import SPLIT_TEST_CUT as _SPLIT_T
+    from miru_ray.pipelines.textstats import SPLIT_VAL_CUT as _SPLIT_V
     from miru_ray.pipelines.textstats import LM_HEAD_BITS as _LM_H
     from miru_ray.pipelines.textstats import LM_TAIL_BITS as _LM_T
     from miru_ray.pipelines.pack import mixture_weights_sql_values
@@ -812,6 +818,14 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
         "sample_hash": """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
 WHERE substr(md5(text), 1, 2) < '1a'
+""",
+        # cuts interpolate from the engine's SPLIT_*_CUT constants
+        "corpus_split": f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(text), 1, 2) < '{_SPLIT_V}' THEN 'val'
+            WHEN substr(md5(text), 1, 2) < '{_SPLIT_T}' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
 """,
         "ann_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

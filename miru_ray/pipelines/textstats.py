@@ -27,7 +27,8 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "boilerplate_scrub", "boilerplate_scrub_ds",
            "lm_perplexity", "lm_perplexity_ds", "lm_score_texts",
            "exact_global_ntile", "perplexity_ntile", "perplexity_ntile_ds",
-           "exact_substring_scrub", "exact_substring_scrub_ds"]
+           "exact_substring_scrub", "exact_substring_scrub_ds",
+           "corpus_split", "corpus_split_ds"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -1319,3 +1320,43 @@ def exact_substring_scrub(sf_dir: str, span: int = _ESS_SPAN) -> pa.Table:
     return pa.Table.from_pandas(
         got[["doc_id", "text_clean", "n_tokens", "n_removed"]],
         preserve_index=False)
+
+
+# ---------------------------------------------- train/val/test split
+
+SPLIT_VAL_CUT = "0d"    # md5(text) hex-prefix cuts: [00,0d) val ≈5.1%,
+SPLIT_TEST_CUT = "1a"   # [0d,1a) test ≈5.1%, rest train — content-keyed
+                        # like sample_hash/mixture_sample, so membership
+                        # is invariant to partitioning/ordering/engine
+                        # and a resumed run keeps identical splits
+
+
+def corpus_split_ds(sf_dir: str, val_cut: str = SPLIT_VAL_CUT,
+                    test_cut: str = SPLIT_TEST_CUT):
+    """Lazy Dataset of (doc_id, split ∈ {train,val,test}) — the
+    held-out-split assignment every training pipeline needs, done the
+    only way that survives 100 TB: CONTENT-KEYED (md5-prefix cuts), so
+    it is a stateless zero-shuffle map_batches, needs no global count
+    or coordination, and two engines (or a killed-and-resumed run)
+    assign every document identically. Deterministic-by-content also
+    means exact-duplicate texts land in the SAME split — leakage-safe
+    by construction (a near-dup pass handles the rest)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        pre = np.asarray([hashlib.md5(t.encode("utf-8")).hexdigest()[:2]
+                          for t in batch["text"].to_pylist()], dtype=object)
+        split = np.where(pre < val_cut, "val",
+                         np.where(pre < test_cut, "test", "train"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def corpus_split(sf_dir: str) -> pa.Table:
+    """Driver-side collected form of :func:`corpus_split_ds`."""
+    df = (corpus_split_ds(sf_dir).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
