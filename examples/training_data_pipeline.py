@@ -141,9 +141,24 @@ def main() -> None:
         return batch.filter(pa.array(bits < LM_TAIL_BITS, pa.bool_()))
 
     curated = curated.map_batches(ppl_filter, batch_format="pyarrow")
+
+    # --- stage N+2: content-keyed train/val/test assignment, written
+    # as split-partitioned parquet (one directory per split — the
+    # resumable-output layout; same md5-prefix cuts as corpus_split) ---
+    from miru_ray.pipelines.textstats import SPLIT_TEST_CUT, SPLIT_VAL_CUT
+
+    def assign_split(batch: pa.Table) -> pa.Table:
+        pre = np.asarray([hashlib.md5(t.encode()).hexdigest()[:2]
+                          for t in batch["text"].to_pylist()], dtype=object)
+        split = np.where(pre < SPLIT_VAL_CUT, "val",
+                         np.where(pre < SPLIT_TEST_CUT, "test", "train"))
+        return batch.append_column(
+            "split", pa.array(split.astype(object), pa.string()))
+
+    curated = curated.map_batches(assign_split, batch_format="pyarrow")
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
-    curated.write_parquet(out_dir)
+    curated.write_parquet(out_dir, partition_cols=["split"])
 
     import pyarrow.parquet as pq
     out = pq.read_table(out_dir)
