@@ -333,6 +333,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_near_dups_lsh": ann.embedding_near_dups_lsh,
+        # distributed spherical k-means (order-invariant quantized-int
+        # Lloyd reduction) + SemDeDup (Abbas et al. 2023): iterative —
+        # not SQL-expressible; the oracle is the exact single-node numpy
+        # replay in tests/test_cluster.py (bit-identical centroids)
+        "semantic_clusters": lambda sf: __import__(
+            "miru_ray.pipelines.cluster", fromlist=["semantic_clusters"]
+        ).semantic_clusters(sf),
+        "semdedup": lambda sf: __import__(
+            "miru_ray.pipelines.cluster", fromlist=["semdedup"]
+        ).semdedup(sf),
         # --- multimodal (binary media; real PNG/GIF/WAV codec lanes +
         #     fake-format lanes; jpeg/mp4/mp3 stay explicit stub seams) ---
         "image_features": lambda sf: multimodal.image_features_pipeline(200),

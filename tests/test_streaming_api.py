@@ -24,8 +24,11 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(SF),
 
 
 def _ds_factories():
-    from miru_ray.pipelines import ann, dedup, joins, pack, textstats
+    from miru_ray.pipelines import ann, cluster, dedup, joins, pack, textstats
     return {
+        "semantic_clusters": (cluster.semantic_clusters_ds,
+                              cluster.semantic_clusters),
+        "semdedup": (cluster.semdedup_ds, cluster.semdedup),
         "asof_join": (joins.asof_join_ds, joins.asof_join),
         "interval_join": (joins.interval_join_ds, joins.interval_join),
         "window_sliding": (joins.window_sliding_ds, joins.window_sliding),
