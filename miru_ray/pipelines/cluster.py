@@ -25,9 +25,11 @@ Scale / determinism design
   (vec_id, embedding) read is ``materialize()``-pinned in the object
   store, and every Lloyd pass iterates those blocks (Ray spills them
   to disk past memory — the streaming-friendly way to loop a Dataset).
-- **Init is the IVF recipe** (``ann._ivf_centroids``): seeded choice
-  over a bounded ``vec_id`` prefix — O(1) in corpus size via parquet
-  predicate pushdown, bit-stable across runs.
+- **Init is deterministic farthest-point** (greedy max-min cosine,
+  rng-free) over a bounded ``vec_id`` prefix — O(1) in corpus size via
+  parquet predicate pushdown, bit-stable across runs, and covers every
+  dense region a random draw can double-book or miss (the k-means++
+  property).
 - **Assignment is a pure function** of (embedding, centroids): one
   embarrassingly-parallel ``map_batches``, no exchange; ties break to
   the lowest cluster id (``argmax`` takes the first maximum).
@@ -78,18 +80,30 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
-    """Seeded init over a bounded vec_id prefix (the IVF trainer recipe,
-    ann._ivf_centroids): one pushdown read, no corpus scan."""
+    """Deterministic farthest-point init over a bounded vec_id prefix
+    (one pushdown read, no corpus scan — the IVF trainer's sample
+    bound). Greedy max-min: start at the lowest vec_id, then repeatedly
+    take the sample point with the smallest max-cosine to the chosen
+    set (ties → lowest vec_id). Unlike a seeded random choice this
+    cannot double-book one dense region while missing another — the
+    k-means++ coverage property, made rng-free so the recipe is trivial
+    for the single-node oracle to replay."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"],
                       filters=pads.field("vec_id") < _TRAIN_ROWS)
-    _ids, mat = _embedding_matrix(t)
-    x = _normalize(mat)
+    ids, mat = _embedding_matrix(t)
+    order = np.argsort(ids, kind="stable")   # file order is not a contract
+    x = _normalize(mat)[order]
     k = min(k, len(x))
-    rng = np.random.default_rng(11)
-    return x[np.sort(rng.choice(len(x), size=k, replace=False))].copy()
+    chosen = [0]
+    best = x @ x[0]                          # max cos to the chosen set
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))           # farthest point, first tie
+        chosen.append(nxt)
+        np.maximum(best, x @ x[nxt], out=best)
+    return x[chosen].copy()
 
 
 def _partial_fn(cent_ref, k: int, dim: int):

@@ -43,10 +43,16 @@ def _oracle_kmeans(sf_dir: str, k: int, iters: int) -> np.ndarray:
     accumulation (int sums are order-free, so one flat pass suffices)."""
     ids, mat = _load(sf_dir)
     x = _oracle_normalize(mat)
-    train = x[ids < cluster._TRAIN_ROWS]
+    train = x[ids < cluster._TRAIN_ROWS]   # _load already vec_id-sorts
     kk = min(k, len(train))
-    rng = np.random.default_rng(11)
-    cent = train[np.sort(rng.choice(len(train), size=kk, replace=False))].copy()
+    # deterministic farthest-point init (greedy max-min cosine)
+    chosen = [0]
+    best = train @ train[0]
+    for _ in range(1, kk):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        np.maximum(best, train @ train[nxt], out=best)
+    cent = train[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
         q = np.rint(x * cluster._QSCALE).astype(np.int64)
