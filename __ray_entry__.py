@@ -82,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_sum": events.metrics_sum,
         "aggregate_counts": events.aggregate_counts,
         "trending": events.trending,
-        "user_sessions": events.user_sessions,
         "paired_latest": events.paired_latest,
         # paired-value bloom sidecar (BloomIndex.java mightContain:
         # bloom prefilter over the sidecar, exact verify of survivors
@@ -116,8 +115,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "miru_ray.pipelines.intake", fromlist=["anomaly_bits_sum"]
         ).anomaly_bits_sum(sf),
         "customer_revenue": joins.customer_revenue,
-        # --- relational / generic operators ---
-        "pricing_summary": relational.pricing_summary,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "simhash64": dedup.simhash64,
@@ -167,6 +164,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-RELATIVE perplexity terciles: exact distributed
         # ntile via value-binned prefix-sum ranking (no driver sort)
         "perplexity_ntile": textstats.perplexity_ntile,
+        # DSIR importance resampling (Xie et al. 2023): hashed-token
+        # importance log-weights vs the content-keyed val slice as the
+        # target distribution (model = two DSIR_K int arrays trained in
+        # one pass, broadcast once); the sample keeps the top tercile
+        # by exact distributed ntile (corpus-relative, non-degenerate
+        # for any target). Rotated INTO the driver window (r4 verdict
+        # #8 policy: newest exact entries get the independent check;
+        # user_sessions / pricing_summary moved past the cap, still
+        # pytest-verified every run)
+        "dsir_weights": textstats.dsir_weights,
+        "dsir_sample": textstats.dsir_sample,
         # --- similarity search ---
         "ann_topk": ann.ann_topk_bruteforce,
         "embedding_near_dups": ann.embedding_near_dups,
@@ -250,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sub-quadratic EXACT Jaccard tier (PPJoin prefix filtering is
         # lossless at J >= t; shares ngram_jaccard_pairs' oracle)
         "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
+        "user_sessions": events.user_sessions,
+        "pricing_summary": relational.pricing_summary,
         "props_k_stats": lambda sf: __import__(
             "miru_ray.pipelines.events", fromlist=["props_k_stats"]
         ).props_k_stats(sf),
@@ -524,6 +534,41 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _dsir_weights_sql() -> str:
+    """The DSIR importance-weight oracle, retrained entirely in SQL:
+    same string_split(' ') tokens as the LM family, same md5-hex-prefix
+    feature buckets as the engine (substr(md5(tok),1,H)), same
+    content-keyed val-slice target as corpus_split, same Laplace
+    log2-ratio formula. Constants interpolate from the engine's
+    definitions so the two models cannot drift."""
+    from miru_ray.pipelines.textstats import (DSIR_BUCKET_HEX, DSIR_K,
+                                              SPLIT_VAL_CUT)
+    return f"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+pos AS (SELECT w.doc_id, t.tok FROM w, UNNEST(w.toks) AS t(tok)),
+b AS (SELECT doc_id, substr(md5(tok), 1, {DSIR_BUCKET_HEX}) AS bkt
+      FROM pos),
+tgtdocs AS (SELECT doc_id FROM documents
+            WHERE substr(md5(text), 1, 2) < '{SPLIT_VAL_CUT}'),
+raw AS (SELECT bkt, count(*)::BIGINT AS c FROM b GROUP BY bkt),
+tgt AS (SELECT bkt, count(*)::BIGINT AS c FROM b
+        JOIN tgtdocs USING (doc_id) GROUP BY bkt),
+consts AS (SELECT (SELECT sum(c) FROM raw) AS rtot,
+                  (SELECT coalesce(sum(c), 0) FROM tgt) AS ttot),
+scored AS (SELECT b.doc_id,
+             log2((coalesce(tgt.c, 0) + 1.0) / (consts.ttot + {DSIR_K}))
+           - log2((raw.c + 1.0) / (consts.rtot + {DSIR_K})) AS lr
+           FROM b JOIN raw USING (bkt) LEFT JOIN tgt USING (bkt)
+           CROSS JOIN consts),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(lr), 6) AS logratio
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id AS doc_id, a.n_tokens, a.logratio
+FROM documents d JOIN agg a USING (doc_id)
+"""
+
+
 def _pii_scrub_sql() -> str:
     """PII scrub oracle, derived from the engine's own PII_PATTERNS so
     the patterns/order/placeholders have ONE definition. Both engines
@@ -672,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
     from miru_ray.pipelines.textstats import _ESS_SPAN as _ESS_L
     from miru_ray.pipelines.textstats import SPLIT_TEST_CUT as _SPLIT_T
     from miru_ray.pipelines.textstats import SPLIT_VAL_CUT as _SPLIT_V
+    from miru_ray.pipelines.textstats import DSIR_KEEP_TILES as _DSIR_T
     from miru_ray.pipelines.textstats import LM_HEAD_BITS as _LM_H
     from miru_ray.pipelines.textstats import LM_TAIL_BITS as _LM_T
     from miru_ray.pipelines.pack import mixture_weights_sql_values
@@ -1390,6 +1436,19 @@ WITH lm AS ({_lm_bits_sql()})
 SELECT doc_id, bits,
        ntile(3) OVER (ORDER BY bits, doc_id)::BIGINT AS tile
 FROM lm ORDER BY doc_id
+""",
+        "dsir_weights": f"""
+WITH dw AS ({_dsir_weights_sql()})
+SELECT doc_id, n_tokens, logratio FROM dw ORDER BY doc_id
+""",
+        # the kept sample: top tercile by importance log-ratio via the
+        # same exact-ntile contract as perplexity_ntile
+        "dsir_sample": f"""
+WITH dw AS ({_dsir_weights_sql()}),
+t AS (SELECT doc_id, logratio,
+             ntile({_DSIR_T}) OVER (ORDER BY logratio, doc_id) AS tile
+      FROM dw)
+SELECT doc_id, logratio FROM t WHERE tile = {_DSIR_T} ORDER BY doc_id
 """,
         # ExactSubstr scrub: window identity on the engine side is the
         # 64-bit rolling fold; the oracle compares TRUE window strings

@@ -28,7 +28,9 @@ __all__ = ["token_counts", "quality_scores", "doc_fingerprints", "lang_id",
            "lm_perplexity", "lm_perplexity_ds", "lm_score_texts",
            "exact_global_ntile", "perplexity_ntile", "perplexity_ntile_ds",
            "exact_substring_scrub", "exact_substring_scrub_ds",
-           "corpus_split", "corpus_split_ds"]
+           "corpus_split", "corpus_split_ds",
+           "dsir_weights", "dsir_weights_ds", "dsir_sample",
+           "dsir_sample_ds", "dsir_score_texts"]
 
 # Streaming contract (VERDICT r3 #2): each per-doc operator has a ``*_ds``
 # form returning the LAZY Dataset (one row per doc — the scale API, write
@@ -1358,5 +1360,143 @@ def corpus_split_ds(sf_dir: str, val_cut: str = SPLIT_VAL_CUT,
 def corpus_split(sf_dir: str) -> pa.Table:
     """Driver-side collected form of :func:`corpus_split_ds`."""
     df = (corpus_split_ds(sf_dir).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# --- DSIR importance resampling (Xie et al. 2023) -----------------------
+
+DSIR_BUCKET_HEX = 3     # md5(token) hex-prefix buckets: K = 16^3 = 4096
+DSIR_K = 16 ** DSIR_BUCKET_HEX
+DSIR_KEEP_TILES = 3     # dsir_sample keeps the top 1/3 by log-ratio
+
+_DSIR_CACHE: dict[tuple, tuple[tuple, tuple]] = {}
+
+
+def _dsir_buckets(tokens: np.ndarray) -> np.ndarray:
+    """md5-hex-prefix feature bucket per token (int64 in [0, DSIR_K)).
+    Hashing runs once per DISTINCT token per batch; the md5 prefix is
+    the same content key every sampling operator here uses, so the SQL
+    oracle reproduces the bucketing exactly (substr(md5(tok),1,3))."""
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    ub = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:DSIR_BUCKET_HEX], 16)
+         for t in uniq), dtype=np.int64, count=len(uniq))
+    return ub[inv]
+
+
+def _dsir_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(raw, target) bucket-count arrays (each DSIR_K int64), trained in
+    ONE corpus pass: per batch, tokens hash to buckets and fold to TWO
+    K-bounded count rows (raw = every doc, target = the content-keyed
+    val slice — the same md5(text) prefix cut as corpus_split), so the
+    exchange moves <= 2 * DSIR_K ints per batch and the driver reduces
+    int64 partials (exact in any order). Memoized per source file."""
+    from miru_ray.state.layout import stat_validated_memo
+    import os as _os
+    src = _os.path.join(sf_dir, "documents.parquet")
+
+    def build():
+        ds = read_table(sf_dir, "documents", columns=["text"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            toks = [t.split(" ") for t in texts]
+            lens = np.array([len(x) for x in toks], dtype=np.int64)
+            flat = np.asarray([w for x in toks for w in x], dtype=object)
+            b = (_dsir_buckets(flat) if len(flat)
+                 else np.empty(0, np.int64))
+            is_tgt = np.repeat(np.asarray(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()[:2]
+                 < SPLIT_VAL_CUT for t in texts]), lens)
+            raw = np.bincount(b, minlength=DSIR_K)
+            tgt = np.bincount(b[is_tgt], minlength=DSIR_K)
+            return pa.table({"raw": pa.array([raw], pa.list_(pa.int64())),
+                             "tgt": pa.array([tgt], pa.list_(pa.int64()))})
+
+        part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        raw = np.zeros(DSIR_K, dtype=np.int64)
+        tgt = np.zeros(DSIR_K, dtype=np.int64)
+        for r, t in zip(part["raw"], part["tgt"]):
+            raw += np.asarray(r, dtype=np.int64)
+            tgt += np.asarray(t, dtype=np.int64)
+        return raw, tgt
+
+    return stat_validated_memo(_DSIR_CACHE, (_os.path.abspath(src),), src,
+                               build, max_entries=2)
+
+
+def dsir_score_texts(texts: list[str], model: tuple) -> tuple[np.ndarray,
+                                                              np.ndarray]:
+    """(n_tokens, logratio) per text: mean over tokens of
+    log2((tgt[b]+1)/(tgt_tot+K)) - log2((raw[b]+1)/(raw_tot+K)) —
+    the hashed-n-gram importance log-weight of DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    with Laplace-smoothed bucket distributions. Rounded 6 dp to match
+    the SQL oracle. Empty text scores over its single '' token (the
+    same string_split(' ') convention as the LM family)."""
+    raw, tgt = model
+    rtot, ttot = int(raw.sum()), int(tgt.sum())
+    toks = [t.split(" ") for t in texts]
+    lens = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = np.asarray([w for x in toks for w in x], dtype=object)
+    b = _dsir_buckets(flat) if len(flat) else np.empty(0, np.int64)
+    lr = (np.log2((tgt[b] + 1.0) / (ttot + DSIR_K))
+          - np.log2((raw[b] + 1.0) / (rtot + DSIR_K)))
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    sums = np.bincount(doc_of, weights=lr, minlength=len(lens))
+    return lens, np.round(sums / lens, 6)
+
+
+def dsir_weights_ds(sf_dir: str):
+    """Lazy Dataset of (doc_id, n_tokens, logratio) — per-doc DSIR
+    importance log-weights against the content-keyed val slice as the
+    target distribution. Scale shape: the model is two DSIR_K int64
+    arrays trained in one pass (K-bounded partials, exact int
+    reduction) and broadcast once via ray.put; scoring is a stateless
+    map_batches. Positive logratio = doc looks more like the target
+    than like the raw corpus."""
+    import ray
+    mref = ray.put(_dsir_model(sf_dir))
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _r
+        n, lr = dsir_score_texts(batch["text"].to_pylist(), _r.get(mref))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "logratio": pa.array(lr, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights(sf_dir: str) -> pa.Table:
+    """Driver-side collected form of :func:`dsir_weights_ds`."""
+    df = (dsir_weights_ds(sf_dir).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def dsir_sample_ds(sf_dir: str, n_tiles: int = DSIR_KEEP_TILES):
+    """Lazy Dataset of (doc_id, logratio) — the docs DSIR keeps: the
+    TOP 1/``n_tiles`` of the corpus by importance log-ratio, selected
+    with the exact distributed ntile (corpus-RELATIVE, so the rule is
+    non-degenerate for any target/raw pair — an absolute >=0 cut
+    collapses when the target is a subsample of the raw corpus, since
+    smoothing then biases every weight slightly negative)."""
+    import pyarrow.compute as pc
+    tiles = exact_global_ntile(dsir_weights_ds(sf_dir), "logratio",
+                               n_tiles)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["tile"], pa.scalar(n_tiles, pa.int64()))
+        return batch.filter(keep).select(["doc_id", "logratio"])
+
+    return tiles.map_batches(f, batch_format="pyarrow")
+
+
+def dsir_sample(sf_dir: str, n_tiles: int = DSIR_KEEP_TILES) -> pa.Table:
+    """Driver-side collected form of :func:`dsir_sample_ds`."""
+    df = (dsir_sample_ds(sf_dir, n_tiles).to_pandas()
           .sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)

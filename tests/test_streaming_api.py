@@ -59,6 +59,8 @@ def _ds_factories():
                           textstats.lm_perplexity),
         "perplexity_ntile": (textstats.perplexity_ntile_ds,
                              textstats.perplexity_ntile),
+        "dsir_weights": (textstats.dsir_weights_ds, textstats.dsir_weights),
+        "dsir_sample": (textstats.dsir_sample_ds, textstats.dsir_sample),
     }
 
 
