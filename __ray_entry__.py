@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulltext_lang_analyzed": lambda sf: fulltext.fulltext_lang_analyzed(
             sf, "scan merge group", lang="de", k=20),
         "fulltext_highlight": fulltext.fulltext_highlighted,
+        # exact-phrase query WITHOUT positional postings: postings-AND
+        # candidates, stored-text gather + vectorized token-run verify
+        # (the index stores df/cf/docids/tfs only, like the reference's
+        # bitmap field indexes — phrase matching is candidate-then-verify)
+        "fulltext_phrase": fulltext.fulltext_phrase,
         "authz_search": fulltext.authz_search,
         "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
         "distinct_terms": lambda sf: fulltext.distinct_terms(sf, "b", 100),
@@ -489,6 +494,35 @@ FROM documents d
 JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN dup ON dup.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def _phrase_sql() -> str:
+    """The fulltext_phrase oracle: contiguous analyzed-token windows equal
+    to the default phrase's analyzed tokens, counted per doc (window
+    construction = _dup_span_sql's pattern). Both the phrase constant and
+    its analysis come from the engine (PHRASE_DEFAULT through the shared
+    tokenize kernel), so engine and oracle cannot drift."""
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.pipelines.fulltext import PHRASE_DEFAULT
+    terms = tokenize(PHRASE_DEFAULT)
+    span = len(terms)
+    concat = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(span))
+    phrase = " ".join(terms).replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, unnest([{concat}
+                         FOR i IN range(1, greatest(len(t) - {span} + 2, 1))]) AS s
+  FROM toks
+)
+SELECT doc_id, count(*)::BIGINT AS n_occ
+FROM sp WHERE s = '{phrase}'
+GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1235,6 +1269,9 @@ rec AS (
 SELECT event_type, n_peaks, peak_sum
 FROM rec WHERE i = L + 1
 """,
+        # exact-phrase: every doc whose analyzed token sequence contains
+        # the default phrase contiguously, with the occurrence count
+        "fulltext_phrase": _phrase_sql(),
         # snippet construction mirrors search.highlight_hits: ±40 chars
         # around the first term match, every in-window match **-wrapped.
         "fulltext_highlight": """

@@ -29,7 +29,12 @@ __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "distinct_terms", "needle_search", "fulltext_filtered",
            "fulltext_highlighted", "term_first_last", "authz_search",
            "fulltext_fielded", "fulltext_scattered",
-           "fulltext_lang_analyzed"]
+           "fulltext_lang_analyzed", "fulltext_phrase", "PHRASE_DEFAULT"]
+
+# fulltext_phrase's default query; the SQL oracle interpolates the SAME
+# constant (analyzed through the same tokenize kernel) so engine and
+# oracle cannot drift (the shared-constant rule, ADVICE r4 #5)
+PHRASE_DEFAULT = "key value"
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
@@ -216,6 +221,26 @@ def fulltext_highlighted(sf_dir: str, query: str = "window stream",
         "score": pa.array(np.round(hl["score"].to_numpy(), 6), pa.float64()),
         "snippet": hl["snippet"],
     })
+
+
+def fulltext_phrase(sf_dir: str, phrase: str = PHRASE_DEFAULT) -> pa.Table:
+    """Exact-phrase query: (doc_id, n_occ) for every doc whose analyzed
+    token sequence contains ``phrase``'s tokens contiguously, with the
+    occurrence count. The index has no positional postings (like the
+    reference's bitmap field indexes), so this is the candidate-then-
+    verify plan: postings AND over the phrase terms prefilters, the
+    stored-text gather + vectorized token-run verify confirms — see
+    :func:`miru_ray.pipelines.search.phrase_search` for the scale
+    shape. NOT top-k: a phrase match is exact, so every match returns
+    (the SQL oracle is a full GROUP BY)."""
+    from miru_ray.pipelines.search import phrase_search
+    reader = IndexReader(documents_index(sf_dir))
+    hits = phrase_search(reader, phrase)
+    out = pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "n_occ": hits["n_occ"],
+    })
+    return out.sort_by("doc_id")
 
 
 def fulltext_fielded(sf_dir: str, query: str = "sort merge source:src3",

@@ -26,7 +26,8 @@ from miru_ray.functions.postings import intersect_sorted
 from miru_ray.state.reader import IndexReader
 
 __all__ = ["search", "BatchSearcher", "score_candidates", "search_scattered",
-           "highlight_hits", "topk_pruned"]
+           "highlight_hits", "topk_pruned", "phrase_search",
+           "phrase_occurrences"]
 
 
 def score_candidates(reader: IndexReader, terms: list[str],
@@ -305,6 +306,101 @@ def search_scattered(index_dir: str, query: str, k: int = 10, *,
         "url": meta["url"],
         "warc_ts": meta["warc_ts"],
         "lang": meta["lang"],
+    })
+
+
+def phrase_occurrences(texts: pa.Array | pa.ChunkedArray,
+                       terms: list[str]) -> np.ndarray:
+    """Count CONTIGUOUS occurrences of the analyzed token sequence
+    ``terms`` in each text's analyzed token sequence — the phrase-match
+    verify kernel, fully vectorized: one ``tokenize_column`` per batch,
+    then a rolling equality over the FLAT token values with a
+    doc-boundary mask (a window is valid only when its first and last
+    token fall in the same doc), folded per doc with ``bincount``.
+    Shared by the engine and the pytest oracle so phrase identity has
+    one definition."""
+    from miru_ray.functions.tokenize import tokenize_column
+    toks = tokenize_column(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(toks)
+    offs = toks.offsets.to_numpy()
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    L = len(terms)
+    n = len(flat)
+    if n < L or L == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    m = flat[: n - L + 1] == terms[0]
+    for j in range(1, L):
+        m &= flat[j: n - L + 1 + j] == terms[j]
+    lens = np.diff(offs)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    # boundary mask: window [i, i+L) must not straddle two docs
+    same_doc = doc_of[: n - L + 1] == doc_of[L - 1:]
+    hits = m & same_doc
+    return np.bincount(doc_of[: n - L + 1][hits],
+                       minlength=n_docs).astype(np.int64)
+
+
+def phrase_search(reader: IndexReader, phrase: str,
+                  batch_size: int = 8192) -> pa.Table:
+    """Exact PHRASE match — docs whose analyzed token sequence contains
+    ``phrase``'s analyzed tokens contiguously — WITHOUT positional
+    postings. Returns (doc_id, n_occ, url) for matching docs, ordered
+    by internal docID.
+
+    Two-stage shape (the same candidate-then-verify plan the near-dup
+    verifiers and the highlighter use, since this index stores
+    (df, cf, docids, tfs) but not positions — matching the reference's
+    position-free bitmap indexes, MiruFieldIndex.java:12-43):
+
+    1. CANDIDATES from the index: a postings AND over the phrase's
+       distinct terms (a doc missing any term cannot contain the
+       phrase) — pure index arithmetic, no text touched, and the same
+       removal-mask ANDNOT every query path applies.
+    2. VERIFY on the candidates only: stored text gathered batched +
+       partition-pruned (``gather_docs``), tokenized with the ONE
+       shared analyzer kernel, occurrences counted by the vectorized
+       :func:`phrase_occurrences`. Candidate batches stream through
+       the loop — at 100 TB this stage is the BatchSearcher shape (an
+       actor pool holding the reader, candidates as a Dataset); the
+       verify cost is bounded by the AND candidate count, never the
+       corpus.
+
+    A single-term phrase degenerates to term-occurrence count (== tf).
+    """
+    from miru_ray.functions.postings import diff_sorted
+    from miru_ray.functions.tokenize import tokenize
+    terms = tokenize(phrase)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_occ": pa.array([], pa.int64()),
+                      "url": pa.array([], pa.string())})
+    if not terms:
+        return empty
+    tree = parse_query(" ".join(sorted(set(terms))), reader.schema)
+    candidates = evaluate(tree, reader, reader.domain_mask(None, None, None))
+    removed = reader.removed_ids()
+    if len(removed):
+        candidates = diff_sorted(candidates, removed)
+    if len(candidates) == 0:
+        return empty
+    ids_parts, occ_parts, url_parts = [], [], []
+    for lo in range(0, len(candidates), batch_size):
+        chunk = candidates[lo: lo + batch_size].astype(np.uint64)
+        got = reader.gather_docs(chunk, columns=["url", "text"])
+        occ = phrase_occurrences(got["text"], terms)
+        keep = occ > 0
+        if keep.any():
+            ids_parts.append(chunk[keep].astype(np.int64))
+            occ_parts.append(occ[keep])
+            url_parts.append(
+                got["url"].combine_chunks().filter(pa.array(keep)))
+    if not ids_parts:
+        return empty
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(ids_parts), pa.int64()),
+        "n_occ": pa.array(np.concatenate(occ_parts), pa.int64()),
+        "url": pa.chunked_array(url_parts, pa.string()),
     })
 
 

@@ -218,3 +218,67 @@ def test_batch_searcher_matches_driver_search(index_dir, reader):
         ref = search(reader, q["query"], k=5)
         assert mine["doc_id"].tolist() == ref["doc_id"].to_pylist()
         assert np.array_equal(mine["score"].to_numpy(), ref["score"].to_numpy())
+
+
+def test_phrase_occurrences_kernel():
+    """Vectorized phrase-verify kernel: contiguity, repeats, doc-boundary
+    mask, analyzer normalization, single-term degeneration."""
+    import pyarrow as pa
+    from miru_ray.pipelines.search import phrase_occurrences
+    texts = pa.array([
+        "the key value store",       # one occurrence mid-sequence
+        "key value key value key",   # two (overlap-free repeats)
+        "value key",                 # wrong order: none
+        "key",                       # shorter than the phrase: none
+        "",                          # empty text: none
+        "Key, VALUE!",               # analyzer lowercases + strips punct
+    ])
+    assert phrase_occurrences(texts, ["key", "value"]).tolist() == \
+        [1, 2, 0, 0, 0, 1]
+    # the flat-token rolling compare must NOT match across a doc
+    # boundary: doc0 ends with 'key', doc1 starts with 'value'
+    assert phrase_occurrences(pa.array(["alpha key", "value beta"]),
+                              ["key", "value"]).tolist() == [0, 0]
+    # single-term phrase degenerates to term frequency
+    assert phrase_occurrences(pa.array(["a b a a"]), ["a"]).tolist() == [3]
+    # 3-token phrase
+    assert phrase_occurrences(pa.array(["x a b c y a b", "a b c"]),
+                              ["a", "b", "c"]).tolist() == [1, 1]
+
+
+def test_phrase_search_matches_bruteforce(index_dir, ray_session):
+    """phrase_search (postings-AND candidates + stored-text verify) must
+    equal per-doc brute-force token-subsequence counting over the WHOLE
+    index, for phrases with and without matches."""
+    import shutil
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import phrase_search
+    from miru_ray.sources.fixtures import pages_table
+    from miru_ray.state.reader import IndexReader
+    d = index_dir + "_stored"
+    if not os.path.exists(d):
+        build_index(pages_table(300), d,
+                    BuildConfig(num_parts=2, num_shards=2, store_text=True))
+    reader = IndexReader(d)
+    all_ids = np.arange(reader.n_docs, dtype=np.uint64)
+    texts = reader.gather_docs(all_ids, columns=["text"])["text"].to_pylist()
+    # guaranteed-hit phrase: the first two tokens of a real doc
+    t0 = tokenize(texts[0])
+    phrases = [" ".join(t0[:2]), " ".join(t0[:3]), "needle7",
+               "zzz_not_a_term needle7", ""]
+    saw_match = False
+    for phrase in phrases:
+        terms = tokenize(phrase)
+        exp = {}
+        for did, tx in zip(all_ids, texts):
+            tok = tokenize(tx or "")
+            n = sum(1 for i in range(len(tok) - len(terms) + 1)
+                    if tok[i:i + len(terms)] == terms) if terms else 0
+            if n:
+                exp[int(did)] = n
+        got = phrase_search(reader, phrase)
+        gd = dict(zip(got["doc_id"].to_pylist(), got["n_occ"].to_pylist()))
+        assert gd == exp, phrase
+        saw_match = saw_match or bool(exp)
+    assert saw_match  # at least one phrase actually exercised the verify
