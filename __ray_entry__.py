@@ -193,13 +193,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catwalk_model_gaps": reco.catwalk_model_gaps,
         "strut_scores_strategy": lambda sf: reco.strut_scores_strategy(
             sf, strategy="max", k=50),
-        # version-checked in-place REPAIR/REMOVE of a built index
-        # (MiruIndexer.java:125-173): corrupted corpus → repair feed
-        # applied partition-scoped → BM25 over the corrected corpus; the
-        # rebuilt index hash-equals a clean build (tests/test_repair.py)
-        "repair_replay": lambda sf: __import__(
-            "miru_ray.pipelines.repair", fromlist=["repair_replay"]
-        ).repair_replay(sf),
         # ------------------------------------------------------------------
         # Exact entries past the driver's 50-entry cap: every entry here
         # is ALSO value-compared vs DuckDB at sf0.01 on each pytest run
@@ -224,6 +217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     checked entries; unchanged since its r2 hash-exact pass
         #   term_first_last: r3 hash-exact, unchanged; demoted past the
         #     cap to fit repair_replay into the driver-checked window
+        #   repair_replay: r4 hash-exact; rotated out in r5 to promote
+        #     fulltext_phrase — the repair path stays pinned every run
+        #     by tests/test_repair.py (rebuilt index hash-equals a
+        #     clean build)
         #   fulltext_numrange / fulltext_composite: r2–r4 hash-exact
         #     parser variants of the still-checked fulltext_fielded;
         #     rotated out in r5 to promote dedup_clusters/keep_one and
@@ -254,6 +251,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     exact_substring_scrub — the still-checked dedup_keep_one
         #     consumes the cluster labels, so both CC tiers stay
         #     driver-exercised (and the tiers are pytest-pinned equal)
+        # version-checked in-place REPAIR/REMOVE of a built index
+        # (MiruIndexer.java:125-173): corrupted corpus → repair feed
+        # applied partition-scoped → BM25 over the corrected corpus; the
+        # rebuilt index hash-equals a clean build (tests/test_repair.py)
+        "repair_replay": lambda sf: __import__(
+            "miru_ray.pipelines.repair", fromlist=["repair_replay"]
+        ).repair_replay(sf),
         "doc_fingerprints": textstats.doc_fingerprints,
         # near-dup CLUSTER RESOLUTION: connected components over the
         # exact prefix-filtered pair graph (local pointer-jumping tier +
