@@ -258,6 +258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repair_replay": lambda sf: __import__(
             "miru_ray.pipelines.repair", fromlist=["repair_replay"]
         ).repair_replay(sf),
+        # ordered proximity ("a b"~slop): exact position-pair counts on
+        # the same candidate-then-verify plan as the IN-window
+        # fulltext_phrase (which keeps the shared machinery
+        # driver-checked); slop 0 degenerates to the bigram phrase
+        "fulltext_near": fulltext.fulltext_near,
         "doc_fingerprints": textstats.doc_fingerprints,
         # near-dup CLUSTER RESOLUTION: connected components over the
         # exact prefix-filtered pair graph (local pointer-jumping tier +
@@ -527,6 +532,33 @@ sp AS (
 SELECT doc_id, count(*)::BIGINT AS n_occ
 FROM sp WHERE s = '{phrase}'
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _near_sql() -> str:
+    """The fulltext_near oracle: exact ordered position-pair counts —
+    (i, j) with token[i] = a, token[j] = b, 0 < j - i <= slop + 1 —
+    from per-term position lists built with the list-comprehension
+    pattern. Terms/slop interpolate from the engine's own
+    NEAR_A/NEAR_B/NEAR_SLOP constants."""
+    from miru_ray.pipelines.fulltext import NEAR_A, NEAR_B, NEAR_SLOP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+  FROM documents
+),
+p1 AS (SELECT doc_id,
+              unnest([i FOR i IN range(1, len(t) + 1)
+                      IF t[i] = '{NEAR_A}']) AS i
+       FROM toks),
+p2 AS (SELECT doc_id,
+              unnest([j FOR j IN range(1, len(t) + 1)
+                      IF t[j] = '{NEAR_B}']) AS j
+       FROM toks)
+SELECT p1.doc_id AS doc_id, count(*)::BIGINT AS n_pairs
+FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+WHERE p2.j > p1.i AND p2.j - p1.i <= {NEAR_SLOP} + 1
+GROUP BY p1.doc_id ORDER BY p1.doc_id
 """
 
 
@@ -1276,6 +1308,9 @@ FROM rec WHERE i = L + 1
         # exact-phrase: every doc whose analyzed token sequence contains
         # the default phrase contiguously, with the occurrence count
         "fulltext_phrase": _phrase_sql(),
+        # ordered proximity: exact (i, j) position-pair counts within
+        # the slop window
+        "fulltext_near": _near_sql(),
         # snippet construction mirrors search.highlight_hits: ±40 chars
         # around the first term match, every in-window match **-wrapped.
         "fulltext_highlight": """

@@ -29,12 +29,16 @@ __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "distinct_terms", "needle_search", "fulltext_filtered",
            "fulltext_highlighted", "term_first_last", "authz_search",
            "fulltext_fielded", "fulltext_scattered",
-           "fulltext_lang_analyzed", "fulltext_phrase", "PHRASE_DEFAULT"]
+           "fulltext_lang_analyzed", "fulltext_phrase", "PHRASE_DEFAULT",
+           "fulltext_near", "NEAR_A", "NEAR_B", "NEAR_SLOP"]
 
 # fulltext_phrase's default query; the SQL oracle interpolates the SAME
 # constant (analyzed through the same tokenize kernel) so engine and
 # oracle cannot drift (the shared-constant rule, ADVICE r4 #5)
 PHRASE_DEFAULT = "key value"
+
+# fulltext_near's defaults, shared with its oracle the same way
+NEAR_A, NEAR_B, NEAR_SLOP = "scan", "merge", 3
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
@@ -239,6 +243,23 @@ def fulltext_phrase(sf_dir: str, phrase: str = PHRASE_DEFAULT) -> pa.Table:
     out = pa.table({
         "doc_id": orig_doc_ids(hits["url"]),
         "n_occ": hits["n_occ"],
+    })
+    return out.sort_by("doc_id")
+
+
+def fulltext_near(sf_dir: str, term_a: str = NEAR_A, term_b: str = NEAR_B,
+                  slop: int = NEAR_SLOP) -> pa.Table:
+    """Ordered proximity query ("a b"~slop): (doc_id, n_pairs) for docs
+    where ``term_b`` follows ``term_a`` within ``slop`` intervening
+    tokens, with the exact position-pair count — the positional-query
+    sibling of :func:`fulltext_phrase` (slop 0 degenerates to the
+    bigram phrase), on the same candidate-then-verify plan."""
+    from miru_ray.pipelines.search import near_search
+    reader = IndexReader(documents_index(sf_dir))
+    hits = near_search(reader, term_a, term_b, slop)
+    out = pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "n_pairs": hits["n_pairs"],
     })
     return out.sort_by("doc_id")
 

@@ -27,7 +27,7 @@ from miru_ray.state.reader import IndexReader
 
 __all__ = ["search", "BatchSearcher", "score_candidates", "search_scattered",
            "highlight_hits", "topk_pruned", "phrase_search",
-           "phrase_occurrences"]
+           "phrase_occurrences", "near_search", "near_pair_counts"]
 
 
 def score_candidates(reader: IndexReader, terms: list[str],
@@ -340,6 +340,85 @@ def phrase_occurrences(texts: pa.Array | pa.ChunkedArray,
     hits = m & same_doc
     return np.bincount(doc_of[: n - L + 1][hits],
                        minlength=n_docs).astype(np.int64)
+
+
+def near_pair_counts(texts: pa.Array | pa.ChunkedArray, term_a: str,
+                     term_b: str, slop: int) -> np.ndarray:
+    """Ordered-proximity verify kernel: per text, the number of analyzed
+    token position pairs (i, j) with token[i] == term_a,
+    token[j] == term_b and 0 < j - i <= slop + 1, both positions inside
+    the same doc (slop = extra tokens allowed between the two; slop 0 =
+    adjacent = the bigram phrase). Vectorized like
+    :func:`phrase_occurrences`: one tokenize_column, position arrays on
+    the flat values, a searchsorted window count per a-position clamped
+    to the doc's end."""
+    from miru_ray.functions.tokenize import tokenize_column
+    toks = tokenize_column(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(toks)
+    offs = toks.offsets.to_numpy()
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    pa_idx = np.nonzero(flat == term_a)[0]
+    pb_idx = np.nonzero(flat == term_b)[0]
+    if len(pa_idx) == 0 or len(pb_idx) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    # inclusive window end per a-position: min(i + slop + 1, last index
+    # of i's doc) — the clamp is what keeps pairs from straddling docs
+    doc_a = doc_of[pa_idx]
+    hi = np.minimum(pa_idx + slop + 1, offs[1:][doc_a] - 1)
+    n_pairs = (np.searchsorted(pb_idx, hi, side="right")
+               - np.searchsorted(pb_idx, pa_idx, side="right"))
+    return np.bincount(doc_a, weights=n_pairs,
+                       minlength=n_docs).astype(np.int64)
+
+
+def near_search(reader: IndexReader, term_a: str, term_b: str,
+                slop: int = 3, batch_size: int = 8192) -> pa.Table:
+    """Ordered PROXIMITY query (Lucene's "a b"~slop, directional): docs
+    where ``term_b`` follows ``term_a`` within ``slop`` intervening
+    tokens, with the exact pair count. Same candidate-then-verify plan
+    as :func:`phrase_search` (the index has no positional postings):
+    postings AND of the two terms prefilters, the stored-text gather +
+    :func:`near_pair_counts` verifies. Returns (doc_id, n_pairs, url)
+    ordered by internal docID."""
+    from miru_ray.functions.postings import diff_sorted
+    from miru_ray.functions.tokenize import tokenize
+    ta = tokenize(term_a)
+    tb = tokenize(term_b)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "url": pa.array([], pa.string())})
+    if len(ta) != 1 or len(tb) != 1:
+        return empty
+    term_a, term_b = ta[0], tb[0]
+    tree = parse_query(" ".join(sorted({term_a, term_b})), reader.schema)
+    candidates = evaluate(tree, reader, reader.domain_mask(None, None, None))
+    removed = reader.removed_ids()
+    if len(removed):
+        candidates = diff_sorted(candidates, removed)
+    if len(candidates) == 0:
+        return empty
+    ids_parts, cnt_parts, url_parts = [], [], []
+    for lo in range(0, len(candidates), batch_size):
+        chunk = candidates[lo: lo + batch_size].astype(np.uint64)
+        got = reader.gather_docs(chunk, columns=["url", "text"])
+        cnt = near_pair_counts(got["text"], term_a, term_b, slop)
+        keep = cnt > 0
+        if keep.any():
+            ids_parts.append(chunk[keep].astype(np.int64))
+            cnt_parts.append(cnt[keep])
+            url_parts.append(
+                got["url"].combine_chunks().filter(pa.array(keep)))
+    if not ids_parts:
+        return empty
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(ids_parts), pa.int64()),
+        "n_pairs": pa.array(np.concatenate(cnt_parts), pa.int64()),
+        "url": pa.chunked_array(url_parts, pa.string()),
+    })
 
 
 def phrase_search(reader: IndexReader, phrase: str,

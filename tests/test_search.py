@@ -282,3 +282,65 @@ def test_phrase_search_matches_bruteforce(index_dir, ray_session):
         assert gd == exp, phrase
         saw_match = saw_match or bool(exp)
     assert saw_match  # at least one phrase actually exercised the verify
+
+
+def test_near_pair_counts_kernel():
+    """Proximity verify kernel: window clamp at doc end, ordering,
+    slop-0 == bigram phrase, a == b self-pairs."""
+    import pyarrow as pa
+    from miru_ray.pipelines.search import (near_pair_counts,
+                                           phrase_occurrences)
+    texts = pa.array([
+        "scan x y merge",        # gap 2: pair iff slop >= 2
+        "scan merge",            # adjacent
+        "merge scan",            # wrong order: none
+        "scan x scan merge",     # two a-positions, gaps 2 and 0
+        "",                      #
+    ])
+    assert near_pair_counts(texts, "scan", "merge", 0).tolist() == \
+        [0, 1, 0, 1, 0]
+    assert near_pair_counts(texts, "scan", "merge", 2).tolist() == \
+        [1, 1, 0, 2, 0]
+    # doc-boundary clamp: 'scan' at the end of doc0 must not pair with
+    # doc1's leading 'merge' whatever the slop
+    b = pa.array(["x scan", "merge y"])
+    assert near_pair_counts(b, "scan", "merge", 50).tolist() == [0, 0]
+    # a == b: ordered self-pairs within the window
+    assert near_pair_counts(pa.array(["a a a"]), "a", "a", 0).tolist() == [2]
+    assert near_pair_counts(pa.array(["a a a"]), "a", "a", 5).tolist() == [3]
+    # slop 0 must agree with the bigram phrase kernel on real-ish text
+    t = pa.array(["k v k v", "v k", "k x v", "k v"])
+    assert near_pair_counts(t, "k", "v", 0).tolist() == \
+        phrase_occurrences(t, ["k", "v"]).tolist()
+
+
+def test_near_search_matches_bruteforce(index_dir, ray_session):
+    """near_search == per-doc brute-force position-pair counting over
+    the whole stored-text index."""
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import near_search
+    from miru_ray.sources.fixtures import pages_table
+    from miru_ray.state.reader import IndexReader
+    d = index_dir + "_stored"
+    if not os.path.exists(d):
+        build_index(pages_table(300), d,
+                    BuildConfig(num_parts=2, num_shards=2, store_text=True))
+    reader = IndexReader(d)
+    all_ids = np.arange(reader.n_docs, dtype=np.uint64)
+    texts = reader.gather_docs(all_ids, columns=["text"])["text"].to_pylist()
+    t0 = tokenize(texts[0])
+    a, b = t0[0], t0[2]   # a real ordered-within-slop pair in doc 0
+    for slop in (0, 1, 3):
+        exp = {}
+        for did, tx in zip(all_ids, texts):
+            tok = tokenize(tx or "")
+            n = sum(1 for i, x in enumerate(tok) if x == a
+                    for j in range(i + 1, min(i + slop + 2, len(tok)))
+                    if tok[j] == b)
+            if n:
+                exp[int(did)] = n
+        got = near_search(reader, a, b, slop)
+        gd = dict(zip(got["doc_id"].to_pylist(), got["n_pairs"].to_pylist()))
+        assert gd == exp, (a, b, slop)
+    assert near_search(reader, a, b, 3).num_rows > 0
