@@ -27,7 +27,8 @@ from miru_ray.state.reader import IndexReader
 
 __all__ = ["search", "BatchSearcher", "score_candidates", "search_scattered",
            "highlight_hits", "topk_pruned", "phrase_search",
-           "phrase_occurrences", "near_search", "near_pair_counts"]
+           "phrase_occurrences", "near_search", "near_pair_counts",
+           "phrase_search_scattered", "near_search_scattered"]
 
 
 def score_candidates(reader: IndexReader, terms: list[str],
@@ -441,10 +442,11 @@ def phrase_search(reader: IndexReader, phrase: str,
        partition-pruned (``gather_docs``), tokenized with the ONE
        shared analyzer kernel, occurrences counted by the vectorized
        :func:`phrase_occurrences`. Candidate batches stream through
-       the loop — at 100 TB this stage is the BatchSearcher shape (an
-       actor pool holding the reader, candidates as a Dataset); the
-       verify cost is bounded by the AND candidate count, never the
-       corpus.
+       the loop; the verify cost is bounded by the AND candidate
+       count, never the corpus. The cluster-scale form is
+       :func:`phrase_search_scattered` — candidates AND verify run
+       inside each partition's task, result-identical
+       (pytest-pinned).
 
     A single-term phrase degenerates to term-occurrence count (== tf).
     """
@@ -481,6 +483,81 @@ def phrase_search(reader: IndexReader, phrase: str,
         "n_occ": pa.array(np.concatenate(occ_parts), pa.int64()),
         "url": pa.chunked_array(url_parts, pa.string()),
     })
+
+
+def _positional_scattered(index_dir: str, cand_query: str, verify,
+                          out_col: str) -> pa.Table:
+    """Scatter core shared by the positional queries' per-partition
+    forms: one Ray task per partition ANDs its OWN postings slice,
+    gathers its OWN stored text (candidates are in the partition's
+    docID range, so the gather is partition-local by construction) and
+    runs ``verify`` there — only surviving (doc_id, count, url) rows
+    leave a partition. The 100-TB shape the driver-side loop in
+    phrase_search/near_search documents: on a cluster each task runs
+    where its partition lives, like search_scattered."""
+    import ray as _ray
+
+    reader = IndexReader(index_dir)
+
+    @_ray.remote
+    def ask(part: int):
+        from miru_ray.functions.postings import diff_sorted as _diff
+        r = IndexReader(index_dir)
+        pi = r.parts.index(part)
+        lo = np.uint64(r.bases[pi])
+        hi = np.uint64(r.bases[pi] + r.counts[pi])
+        cand = evaluate(parse_query(cand_query, r.schema), r)
+        cand = cand[(cand >= lo) & (cand < hi)]
+        removed = r.removed_ids()
+        if len(removed):
+            cand = _diff(cand, removed)
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), []
+        got = r.gather_docs(cand.astype(np.uint64), columns=["url", "text"])
+        cnt = verify(got["text"])
+        keep = cnt > 0
+        urls = got["url"].combine_chunks().filter(pa.array(keep))
+        return cand[keep].astype(np.int64), cnt[keep], urls.to_pylist()
+
+    results = _ray.get([ask.remote(p) for p in reader.parts])
+    return pa.table({
+        "doc_id": pa.array(np.concatenate([r[0] for r in results]),
+                           pa.int64()),
+        out_col: pa.array(np.concatenate([r[1] for r in results]),
+                          pa.int64()),
+        "url": pa.array([u for r in results for u in r[2]], pa.string()),
+    })
+
+
+def phrase_search_scattered(index_dir: str, phrase: str) -> pa.Table:
+    """Per-partition scatter form of :func:`phrase_search` — identical
+    result (pytest-pinned), but candidates AND verify both run inside
+    the partition task, so nothing but matches crosses the wire."""
+    from miru_ray.functions.tokenize import tokenize
+    terms = tokenize(phrase)
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_occ": pa.array([], pa.int64()),
+                         "url": pa.array([], pa.string())})
+    return _positional_scattered(
+        index_dir, " ".join(sorted(set(terms))),
+        lambda texts: phrase_occurrences(texts, terms), "n_occ")
+
+
+def near_search_scattered(index_dir: str, term_a: str, term_b: str,
+                          slop: int = 3) -> pa.Table:
+    """Per-partition scatter form of :func:`near_search` — identical
+    result (pytest-pinned), partition-local candidates + verify."""
+    from miru_ray.functions.tokenize import tokenize
+    ta, tb = tokenize(term_a), tokenize(term_b)
+    if len(ta) != 1 or len(tb) != 1:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "url": pa.array([], pa.string())})
+    a, b = ta[0], tb[0]
+    return _positional_scattered(
+        index_dir, " ".join(sorted({a, b})),
+        lambda texts: near_pair_counts(texts, a, b, slop), "n_pairs")
 
 
 def highlight_hits(reader: IndexReader, hits: pa.Table, query: str,

@@ -344,3 +344,31 @@ def test_near_search_matches_bruteforce(index_dir, ray_session):
         gd = dict(zip(got["doc_id"].to_pylist(), got["n_pairs"].to_pylist()))
         assert gd == exp, (a, b, slop)
     assert near_search(reader, a, b, 3).num_rows > 0
+
+
+def test_positional_scattered_matches_driver_forms(index_dir, ray_session):
+    """Scattered phrase/near (per-partition candidates + verify) must
+    equal the driver-side forms exactly."""
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import (near_search,
+                                           near_search_scattered,
+                                           phrase_search,
+                                           phrase_search_scattered)
+    from miru_ray.sources.fixtures import pages_table
+    from miru_ray.state.reader import IndexReader
+    d = index_dir + "_stored"
+    if not os.path.exists(d):
+        build_index(pages_table(300), d,
+                    BuildConfig(num_parts=2, num_shards=2, store_text=True))
+    reader = IndexReader(d)
+    t = reader.gather_docs(np.arange(1, dtype=np.uint64),
+                           columns=["text"])["text"].to_pylist()[0]
+    tok = tokenize(t)
+    phrase = " ".join(tok[:2])
+    a = phrase_search(reader, phrase).sort_by("doc_id")
+    b = phrase_search_scattered(d, phrase).sort_by("doc_id")
+    assert a.equals(b) and a.num_rows > 0
+    x = near_search(reader, tok[0], tok[2], 3).sort_by("doc_id")
+    y = near_search_scattered(d, tok[0], tok[2], 3).sort_by("doc_id")
+    assert x.equals(y) and x.num_rows > 0
