@@ -343,6 +343,16 @@ def phrase_occurrences(texts: pa.Array | pa.ChunkedArray,
                        minlength=n_docs).astype(np.int64)
 
 
+def _require_stored_text(reader: IndexReader, op: str) -> None:
+    """Positional queries verify against the stored-text field; fail
+    with an actionable message instead of a schema error mid-gather."""
+    if not reader.has_stored_text:
+        raise ValueError(
+            f"{op} needs an index built with store_text=True "
+            f"(this index at {reader.index_dir!r} has no stored text "
+            f"column to verify positions against)")
+
+
 def near_pair_counts(texts: pa.Array | pa.ChunkedArray, term_a: str,
                      term_b: str, slop: int) -> np.ndarray:
     """Ordered-proximity verify kernel: per text, the number of analyzed
@@ -387,6 +397,7 @@ def near_search(reader: IndexReader, term_a: str, term_b: str,
     ordered by internal docID."""
     from miru_ray.functions.postings import diff_sorted
     from miru_ray.functions.tokenize import tokenize
+    _require_stored_text(reader, "near_search")
     ta = tokenize(term_a)
     tb = tokenize(term_b)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -452,6 +463,7 @@ def phrase_search(reader: IndexReader, phrase: str,
     """
     from miru_ray.functions.postings import diff_sorted
     from miru_ray.functions.tokenize import tokenize
+    _require_stored_text(reader, "phrase_search")
     terms = tokenize(phrase)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "n_occ": pa.array([], pa.int64()),
@@ -498,6 +510,7 @@ def _positional_scattered(index_dir: str, cand_query: str, verify,
     import ray as _ray
 
     reader = IndexReader(index_dir)
+    _require_stored_text(reader, "positional scatter query")
 
     @_ray.remote
     def ask(part: int):

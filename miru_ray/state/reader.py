@@ -93,6 +93,7 @@ class IndexReader:
         self._prefix_ids_cache: dict = {}
         self._range_ids_cache: dict = {}
         self._docs_cache: dict[int, pa.Table] = {}
+        self._has_stored_text: bool | None = None
         self._doc_cols: dict[tuple[int, str], pa.ChunkedArray] = {}
         self._terms_cache: dict[int, np.ndarray] = {}
         self._domain_masks: dict = {}
@@ -246,6 +247,22 @@ class IndexReader:
     def part_of(self, doc_ids: np.ndarray) -> np.ndarray:
         """Global docID → index into self.parts."""
         return np.searchsorted(self.bases, doc_ids.astype(np.int64), side="right") - 1
+
+    @property
+    def has_stored_text(self) -> bool:
+        """Whether the index was built with ``store_text=True`` (the
+        stored-field feature the positional queries and the highlighter
+        need). meta.json predates the flag, so the check reads ONE docs
+        file's parquet schema (metadata only, no data pages)."""
+        if self._has_stored_text is None:
+            if not self.parts:
+                self._has_stored_text = False
+            else:
+                f = os.path.join(part_dir(self.index_dir, self.parts[0]),
+                                 "docs.parquet")
+                self._has_stored_text = (
+                    "text" in pq.read_schema(f).names)
+        return self._has_stored_text
 
     def docs_table(self, part: int) -> pa.Table:
         """The FULL docs.parquet of one partition (all columns, incl.

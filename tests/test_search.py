@@ -372,3 +372,14 @@ def test_positional_scattered_matches_driver_forms(index_dir, ray_session):
     x = near_search(reader, tok[0], tok[2], 3).sort_by("doc_id")
     y = near_search_scattered(d, tok[0], tok[2], 3).sort_by("doc_id")
     assert x.equals(y) and x.num_rows > 0
+
+
+def test_positional_queries_require_stored_text(reader):
+    """The session fixture index has no stored text: positional queries
+    must fail with the actionable message, not a schema error."""
+    from miru_ray.pipelines.search import near_search, phrase_search
+    assert not reader.has_stored_text
+    with pytest.raises(ValueError, match="store_text=True"):
+        phrase_search(reader, "w00001 w00002")
+    with pytest.raises(ValueError, match="store_text=True"):
+        near_search(reader, "w00001", "w00002")
