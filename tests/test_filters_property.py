@@ -46,3 +46,44 @@ def test_random_query_strings_match_oracle(reader, oracle, q):
     oid, osc = oracle.search(q, k=10)
     assert hits["doc_id"].to_pylist() == oid.tolist(), q
     assert np.array_equal(hits["score"].to_numpy(), osc), q
+
+
+# --- positional verify kernels (phrase / proximity) ---------------------
+
+_PTOK = st.sampled_from(list("abcde"))
+_PDOC = st.lists(_PTOK, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(_PDOC, min_size=1, max_size=8),
+       phrase=st.lists(_PTOK, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_phrase_occurrences_property(docs, phrase):
+    """Kernel == per-doc brute-force subsequence count for random tiny
+    corpora over a 5-token alphabet (dense repeats, empty docs, phrases
+    longer than docs)."""
+    import pyarrow as pa
+    from miru_ray.pipelines.search import phrase_occurrences
+    got = phrase_occurrences(pa.array(docs, pa.string()), phrase).tolist()
+    for d, g in zip(docs, got):
+        tok = d.split() if d else []
+        L = len(phrase)
+        exp = sum(1 for i in range(len(tok) - L + 1)
+                  if tok[i:i + L] == phrase)
+        assert g == exp, (d, phrase)
+
+
+@given(docs=st.lists(_PDOC, min_size=1, max_size=8),
+       a=_PTOK, b=_PTOK, slop=st.integers(min_value=0, max_value=6))
+@settings(max_examples=200, deadline=None)
+def test_near_pair_counts_property(docs, a, b, slop):
+    """Kernel == per-doc brute-force ordered pair count, including the
+    a == b self-pair case and windows clamped at doc ends."""
+    import pyarrow as pa
+    from miru_ray.pipelines.search import near_pair_counts
+    got = near_pair_counts(pa.array(docs, pa.string()), a, b, slop).tolist()
+    for d, g in zip(docs, got):
+        tok = d.split() if d else []
+        exp = sum(1 for i, x in enumerate(tok) if x == a
+                  for j in range(i + 1, min(i + slop + 2, len(tok)))
+                  if tok[j] == b)
+        assert g == exp, (d, a, b, slop)
