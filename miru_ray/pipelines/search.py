@@ -345,12 +345,66 @@ def phrase_occurrences(texts: pa.Array | pa.ChunkedArray,
 
 def _require_stored_text(reader: IndexReader, op: str) -> None:
     """Positional queries verify against the stored-text field; fail
-    with an actionable message instead of a schema error mid-gather."""
-    if not reader.has_stored_text:
+    with an actionable message instead of a schema error mid-gather.
+    An EMPTY index passes: every query path returns empty rows there,
+    and a zero-partition index has no docs file to prove the flag
+    either way."""
+    if reader.n_docs and not reader.has_stored_text:
         raise ValueError(
             f"{op} needs an index built with store_text=True "
             f"(this index at {reader.index_dir!r} has no stored text "
             f"column to verify positions against)")
+
+
+def _positional_candidates(reader: IndexReader,
+                           terms: list[str]) -> np.ndarray:
+    """Postings AND over the distinct analyzed terms, built as a Filter
+    tree DIRECTLY — not through parse_query, whose grammar would read
+    the analyzed token 'or' as the OR operator (and ':' / trailing '*'
+    as field/prefix syntax). Analyzed tokens are data here, never query
+    syntax. Removal mask applied like every query path."""
+    from miru_ray.functions.filters import And, Term
+    from miru_ray.functions.postings import diff_sorted
+    tree = And(tuple(Term(t) for t in sorted(set(terms))))
+    cand = evaluate(tree, reader, reader.domain_mask(None, None, None))
+    removed = reader.removed_ids()
+    if len(removed):
+        cand = diff_sorted(cand, removed)
+    return cand
+
+
+def _positional_search(reader: IndexReader, terms: list[str], verify,
+                       out_col: str, batch_size: int = 8192) -> pa.Table:
+    """Driver-side core shared by phrase_search and near_search:
+    postings-AND candidates → batched partition-pruned stored-text
+    gather → ``verify`` kernel → survivors-only assembly."""
+    _require_stored_text(reader, "positional query")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      out_col: pa.array([], pa.int64()),
+                      "url": pa.array([], pa.string())})
+    if not terms or not reader.parts:
+        return empty
+    candidates = _positional_candidates(reader, terms)
+    if len(candidates) == 0:
+        return empty
+    ids_parts, cnt_parts, url_parts = [], [], []
+    for lo in range(0, len(candidates), batch_size):
+        chunk = candidates[lo: lo + batch_size].astype(np.uint64)
+        got = reader.gather_docs(chunk, columns=["url", "text"])
+        cnt = verify(got["text"])
+        keep = cnt > 0
+        if keep.any():
+            ids_parts.append(chunk[keep].astype(np.int64))
+            cnt_parts.append(cnt[keep])
+            url_parts.append(
+                got["url"].combine_chunks().filter(pa.array(keep)))
+    if not ids_parts:
+        return empty
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(ids_parts), pa.int64()),
+        out_col: pa.array(np.concatenate(cnt_parts), pa.int64()),
+        "url": pa.chunked_array(url_parts, pa.string()),
+    })
 
 
 def near_pair_counts(texts: pa.Array | pa.ChunkedArray, term_a: str,
@@ -394,43 +448,24 @@ def near_search(reader: IndexReader, term_a: str, term_b: str,
     as :func:`phrase_search` (the index has no positional postings):
     postings AND of the two terms prefilters, the stored-text gather +
     :func:`near_pair_counts` verifies. Returns (doc_id, n_pairs, url)
-    ordered by internal docID."""
-    from miru_ray.functions.postings import diff_sorted
+    ordered by internal docID. Each term must analyze to exactly ONE
+    token (raises ValueError otherwise — a silent empty would be
+    indistinguishable from 'no matches')."""
+    a, b = _near_terms(term_a, term_b)
+    return _positional_search(
+        reader, [a, b],
+        lambda texts: near_pair_counts(texts, a, b, slop), "n_pairs")
+
+
+def _near_terms(term_a: str, term_b: str) -> tuple[str, str]:
     from miru_ray.functions.tokenize import tokenize
-    _require_stored_text(reader, "near_search")
-    ta = tokenize(term_a)
-    tb = tokenize(term_b)
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "n_pairs": pa.array([], pa.int64()),
-                      "url": pa.array([], pa.string())})
+    ta, tb = tokenize(term_a), tokenize(term_b)
     if len(ta) != 1 or len(tb) != 1:
-        return empty
-    term_a, term_b = ta[0], tb[0]
-    tree = parse_query(" ".join(sorted({term_a, term_b})), reader.schema)
-    candidates = evaluate(tree, reader, reader.domain_mask(None, None, None))
-    removed = reader.removed_ids()
-    if len(removed):
-        candidates = diff_sorted(candidates, removed)
-    if len(candidates) == 0:
-        return empty
-    ids_parts, cnt_parts, url_parts = [], [], []
-    for lo in range(0, len(candidates), batch_size):
-        chunk = candidates[lo: lo + batch_size].astype(np.uint64)
-        got = reader.gather_docs(chunk, columns=["url", "text"])
-        cnt = near_pair_counts(got["text"], term_a, term_b, slop)
-        keep = cnt > 0
-        if keep.any():
-            ids_parts.append(chunk[keep].astype(np.int64))
-            cnt_parts.append(cnt[keep])
-            url_parts.append(
-                got["url"].combine_chunks().filter(pa.array(keep)))
-    if not ids_parts:
-        return empty
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(ids_parts), pa.int64()),
-        "n_pairs": pa.array(np.concatenate(cnt_parts), pa.int64()),
-        "url": pa.chunked_array(url_parts, pa.string()),
-    })
+        raise ValueError(
+            f"near terms must each analyze to exactly one token; got "
+            f"{term_a!r} -> {ta} and {term_b!r} -> {tb} (use "
+            f"phrase_search for multi-token sequences)")
+    return ta[0], tb[0]
 
 
 def phrase_search(reader: IndexReader, phrase: str,
@@ -461,43 +496,15 @@ def phrase_search(reader: IndexReader, phrase: str,
 
     A single-term phrase degenerates to term-occurrence count (== tf).
     """
-    from miru_ray.functions.postings import diff_sorted
     from miru_ray.functions.tokenize import tokenize
-    _require_stored_text(reader, "phrase_search")
     terms = tokenize(phrase)
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "n_occ": pa.array([], pa.int64()),
-                      "url": pa.array([], pa.string())})
-    if not terms:
-        return empty
-    tree = parse_query(" ".join(sorted(set(terms))), reader.schema)
-    candidates = evaluate(tree, reader, reader.domain_mask(None, None, None))
-    removed = reader.removed_ids()
-    if len(removed):
-        candidates = diff_sorted(candidates, removed)
-    if len(candidates) == 0:
-        return empty
-    ids_parts, occ_parts, url_parts = [], [], []
-    for lo in range(0, len(candidates), batch_size):
-        chunk = candidates[lo: lo + batch_size].astype(np.uint64)
-        got = reader.gather_docs(chunk, columns=["url", "text"])
-        occ = phrase_occurrences(got["text"], terms)
-        keep = occ > 0
-        if keep.any():
-            ids_parts.append(chunk[keep].astype(np.int64))
-            occ_parts.append(occ[keep])
-            url_parts.append(
-                got["url"].combine_chunks().filter(pa.array(keep)))
-    if not ids_parts:
-        return empty
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(ids_parts), pa.int64()),
-        "n_occ": pa.array(np.concatenate(occ_parts), pa.int64()),
-        "url": pa.chunked_array(url_parts, pa.string()),
-    })
+    return _positional_search(
+        reader, terms,
+        lambda texts: phrase_occurrences(texts, terms), "n_occ",
+        batch_size=batch_size)
 
 
-def _positional_scattered(index_dir: str, cand_query: str, verify,
+def _positional_scattered(index_dir: str, terms: list[str], verify,
                           out_col: str) -> pa.Table:
     """Scatter core shared by the positional queries' per-partition
     forms: one Ray task per partition ANDs its OWN postings slice,
@@ -511,19 +518,19 @@ def _positional_scattered(index_dir: str, cand_query: str, verify,
 
     reader = IndexReader(index_dir)
     _require_stored_text(reader, "positional scatter query")
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         out_col: pa.array([], pa.int64()),
+                         "url": pa.array([], pa.string())})
 
     @_ray.remote
     def ask(part: int):
-        from miru_ray.functions.postings import diff_sorted as _diff
         r = IndexReader(index_dir)
         pi = r.parts.index(part)
         lo = np.uint64(r.bases[pi])
         hi = np.uint64(r.bases[pi] + r.counts[pi])
-        cand = evaluate(parse_query(cand_query, r.schema), r)
+        cand = _positional_candidates(r, terms)
         cand = cand[(cand >= lo) & (cand < hi)]
-        removed = r.removed_ids()
-        if len(removed):
-            cand = _diff(cand, removed)
         if len(cand) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64), []
         got = r.gather_docs(cand.astype(np.uint64), columns=["url", "text"])
@@ -548,12 +555,8 @@ def phrase_search_scattered(index_dir: str, phrase: str) -> pa.Table:
     the partition task, so nothing but matches crosses the wire."""
     from miru_ray.functions.tokenize import tokenize
     terms = tokenize(phrase)
-    if not terms:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_occ": pa.array([], pa.int64()),
-                         "url": pa.array([], pa.string())})
     return _positional_scattered(
-        index_dir, " ".join(sorted(set(terms))),
+        index_dir, terms,
         lambda texts: phrase_occurrences(texts, terms), "n_occ")
 
 
@@ -561,15 +564,9 @@ def near_search_scattered(index_dir: str, term_a: str, term_b: str,
                           slop: int = 3) -> pa.Table:
     """Per-partition scatter form of :func:`near_search` — identical
     result (pytest-pinned), partition-local candidates + verify."""
-    from miru_ray.functions.tokenize import tokenize
-    ta, tb = tokenize(term_a), tokenize(term_b)
-    if len(ta) != 1 or len(tb) != 1:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_pairs": pa.array([], pa.int64()),
-                         "url": pa.array([], pa.string())})
-    a, b = ta[0], tb[0]
+    a, b = _near_terms(term_a, term_b)
     return _positional_scattered(
-        index_dir, " ".join(sorted({a, b})),
+        index_dir, [a, b],
         lambda texts: near_pair_counts(texts, a, b, slop), "n_pairs")
 
 

@@ -1408,7 +1408,7 @@ def _dsir_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
                  else np.empty(0, np.int64))
             is_tgt = np.repeat(np.asarray(
                 [hashlib.md5(t.encode("utf-8")).hexdigest()[:2]
-                 < SPLIT_VAL_CUT for t in texts]), lens)
+                 < SPLIT_VAL_CUT for t in texts], dtype=bool), lens)
             raw = np.bincount(b, minlength=DSIR_K)
             tgt = np.bincount(b[is_tgt], minlength=DSIR_K)
             return pa.table({"raw": pa.array([raw], pa.list_(pa.int64())),

@@ -134,3 +134,18 @@ def test_empty_source_builds_and_searches(tmp_path, ray_session):
     assert hits.column_names == ["doc_id", "score", "url", "warc_ts", "lang"]
     # gather over an empty request on a NON-empty index also short-circuits
     assert r.gather_docs(np.empty(0, dtype=np.uint64)).num_rows == 0
+
+
+def test_empty_index_positional_queries(tmp_path, ray_session):
+    """Positional queries on a ZERO-row index return empty like every
+    other query path — the store_text guard must not fire there (a
+    zero-partition index has no docs file to prove the flag)."""
+    from miru_ray.pipelines.search import near_search, phrase_search
+    from miru_ray.sources.fixtures import pages_table
+    from miru_ray.state.reader import IndexReader
+    idx = str(tmp_path / "empty_idx_pos")
+    build_index(pages_table(0), idx,
+                BuildConfig(num_parts=2, num_shards=1, store_text=True))
+    r = IndexReader(idx)
+    assert phrase_search(r, "key value").num_rows == 0
+    assert near_search(r, "key", "value", 3).num_rows == 0

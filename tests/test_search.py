@@ -383,3 +383,45 @@ def test_positional_queries_require_stored_text(reader):
         phrase_search(reader, "w00001 w00002")
     with pytest.raises(ValueError, match="store_text=True"):
         near_search(reader, "w00001", "w00002")
+
+
+def test_phrase_with_grammar_tokens(index_dir, ray_session):
+    """Analyzed tokens are data, not query syntax: a phrase containing
+    (or consisting of) the token 'or' must AND-prefilter and match
+    docs containing the literal token — parse_query would have read it
+    as the OR operator (empty AND / union-inflated candidates)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import phrase_search, near_search
+    from miru_ray.state.reader import IndexReader
+    d = index_dir + "_grammar"
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        src = d + "_pages"
+        os.makedirs(src, exist_ok=True)
+        base = __import__("datetime").datetime(2024, 1, 1)
+        rows = ["to be or not to be", "be or not", "or or or",
+                "nothing here", "not or"]
+        pq.write_table(pa.table({
+            "url": [f"https://g.example/{i}" for i in range(len(rows))],
+            "warc_ts": [base.replace(minute=i) for i in range(len(rows))],
+            "text": rows,
+            "lang": ["en"] * len(rows),
+        }), os.path.join(src, "part-0.parquet"))
+        build_index(src, d, BuildConfig(num_parts=1, num_shards=1,
+                                        store_text=True))
+    r = IndexReader(d)
+    got = phrase_search(r, "or not")
+    assert got.num_rows == 2 and got["n_occ"].to_pylist() == [1, 1]
+    got = phrase_search(r, "or")          # single-token 'or' == tf
+    assert sorted(got["n_occ"].to_pylist()) == [1, 1, 1, 3]
+    got = near_search(r, "or", "or", 1)   # self-pairs, data not syntax
+    assert 3 in got["n_pairs"].to_pylist()
+
+
+def test_near_multi_token_terms_raise(reader):
+    from miru_ray.pipelines.search import near_search
+    with pytest.raises(ValueError, match="exactly one token"):
+        near_search(reader, "don't", "stop")
