@@ -79,6 +79,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (the index stores df/cf/docids/tfs only, like the reference's
         # bitmap field indexes — phrase matching is candidate-then-verify)
         "fulltext_phrase": fulltext.fulltext_phrase,
+        # quoted-phrase QUERY-LANGUAGE form: '"key value" row' — the
+        # Phrase filter node verifies contiguity inside evaluate(), so
+        # it composes under OR/NOT; phrase terms score like plain terms
+        # (Lucene PhraseQuery). Rotated IN (strut_scores_strategy out —
+        # r2-r4 hash-exact, oracle still pytest-run every sweep)
+        "fulltext_quoted": fulltext.fulltext_quoted,
         "authz_search": fulltext.authz_search,
         "term_stats": lambda sf: fulltext.term_stats_prefix(sf, "s"),
         "distinct_terms": lambda sf: fulltext.distinct_terms(sf, "b", 100),
@@ -229,8 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   ngram_jaccard_pairs: r3–r4 hash-exact; shares its oracle
         #     verbatim with the still-checked ngram_jaccard_prefix
         #   catwalk_model / strut_scores: r2–r4 hash-exact single-feature
-        #     variants of the still-checked catwalk_model_multi /
-        #     strut_scores_strategy
+        #     variants of the still-checked catwalk_model_multi
+        #   strut_scores_strategy: r2–r4 hash-exact; rotated out in r5
+        #     to promote fulltext_quoted — the strategy matrix stays
+        #     pinned by tests/test_reco_multi.py and the shared oracle
+        #     runs every sweep
         #   inbox_unread_delta / stumptown_message_terms: r2–r4
         #     hash-exact; rotated out in r5 to promote mixture_sample /
         #     pack_sequences into the checked window — the delta fold
@@ -533,6 +542,37 @@ SELECT doc_id, count(*)::BIGINT AS n_occ
 FROM sp WHERE s = '{phrase}'
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def _phrase_filter_sql(terms: list[str]) -> str:
+    """Predicate (on documents d) keeping docs whose analyzed token
+    sequence contains ``terms`` contiguously — the SQL twin of the
+    Phrase filter node, built with _dup_span_sql's window pattern."""
+    span = len(terms)
+    concat = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(span))
+    phrase = " ".join(terms).replace("'", "''")
+    return f"""d.doc_id IN (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest([{concat}
+                           FOR i IN range(1, greatest(len(t) - {span} + 2, 1))]) AS s
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+          FROM documents)
+  ) WHERE s = '{phrase}')"""
+
+
+def _quoted_sql() -> str:
+    """fulltext_quoted oracle: BM25 over the phrase terms + the bare
+    term (require_all — the engine ANDs them), restricted to docs
+    containing the phrase contiguously. All constants interpolate from
+    the engine's own QUOTED_PHRASE/QUOTED_TERM through the shared
+    tokenizer."""
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.pipelines.fulltext import QUOTED_PHRASE, QUOTED_TERM
+    ph = tokenize(QUOTED_PHRASE)
+    terms = sorted(set(ph + tokenize(QUOTED_TERM)))
+    return _bm25_sql(terms, 20, require_all=True,
+                     doc_filter=_phrase_filter_sql(ph))
 
 
 def _near_sql() -> str:
@@ -1311,6 +1351,9 @@ FROM rec WHERE i = L + 1
         # ordered proximity: exact (i, j) position-pair counts within
         # the slop window
         "fulltext_near": _near_sql(),
+        # quoted-phrase query-language form: BM25 over phrase + bare
+        # terms, candidates restricted to phrase-containing docs
+        "fulltext_quoted": _quoted_sql(),
         # snippet construction mirrors search.highlight_hits: ±40 chars
         # around the first term match, every in-window match **-wrapped.
         "fulltext_highlight": """

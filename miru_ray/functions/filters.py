@@ -31,8 +31,9 @@ from miru_ray.functions.postings import diff_sorted, intersect_sorted
 from miru_ray.functions.tokenize import tokenize
 
 __all__ = [
-    "Term", "Prefix", "TermRange", "And", "Or", "PButNotQ", "Filter",
-    "parse_query", "evaluate", "query_terms", "MAX_WILDCARD_EXPANSION",
+    "Term", "Prefix", "TermRange", "Phrase", "And", "Or", "PButNotQ",
+    "Filter", "parse_query", "evaluate", "query_terms",
+    "MAX_WILDCARD_EXPANSION",
 ]
 
 MAX_WILDCARD_EXPANSION = 100  # cap like MiruAggregateUtil.java:1154-1167
@@ -59,6 +60,17 @@ class TermRange:
 
 
 @dataclass(frozen=True)
+class Phrase:
+    """Exact contiguous token sequence (quoted-phrase query syntax,
+    LuceneBackedQueryParser's PhraseQuery). Evaluation is
+    candidate-then-verify since postings carry no positions: postings
+    AND over the distinct terms, then the provider's stored text
+    confirms contiguity via the shared phrase kernel — INSIDE the node
+    evaluation, so a Phrase composes correctly under Or/PButNotQ."""
+    terms: tuple = ()
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple = ()
 
@@ -74,7 +86,7 @@ class PButNotQ:
     children: tuple = ()
 
 
-Filter = Term | Prefix | TermRange | And | Or | PButNotQ
+Filter = Term | Prefix | TermRange | Phrase | And | Or | PButNotQ
 
 
 def parse_query(q: str, schema=None) -> Filter:
@@ -91,8 +103,26 @@ def parse_query(q: str, schema=None) -> Filter:
     that can never hit. ``tokenized`` fields normalize the value through
     the text tokenizer; keyword/composite match RAW. Combines with
     ``-``/``*``: ``-source:src3``, ``site:exa*``.
+
+    ``"quoted phrases"`` parse to :class:`Phrase` nodes (the Lucene
+    parser's PhraseQuery): the quoted text analyzes through the one
+    tokenizer and must appear CONTIGUOUSLY; ``-"..."`` excludes docs
+    containing the phrase. Phrases are MUST/MUST_NOT regardless of an
+    ``OR`` elsewhere in the query (AND-default operator).
     """
+    import re as _re
     from miru_ray.state.schema import field_ns
+    phrase_must: list[Filter] = []
+    phrase_not: list[Filter] = []
+
+    def take_phrase(m) -> str:
+        toks = tokenize(m.group(2))
+        if toks:
+            node = Term(toks[0]) if len(toks) == 1 else Phrase(tuple(toks))
+            (phrase_not if m.group(1) else phrase_must).append(node)
+        return " "
+
+    q = _re.sub(r'(-?)"([^"]*)"', take_phrase, q)
     raw = q.split()
     must: list[Filter] = []
     should: list[Filter] = []
@@ -168,8 +198,17 @@ def parse_query(q: str, schema=None) -> Filter:
         pos = Or(tuple(must + should)) if (must or should) else Or(())
     else:
         pos = And(tuple(must)) if must else And(())
-    if must_not:
-        return PButNotQ((pos, *must_not))
+    if phrase_must:
+        if isinstance(pos, And) and not pos.children:
+            # match-all base: the phrase AND stands alone (tighter than
+            # intersecting with all_ids)
+            pos = phrase_must[0] if len(phrase_must) == 1 \
+                else And(tuple(phrase_must))
+        else:
+            pos = And((pos, *phrase_must))
+    all_not = must_not + phrase_not
+    if all_not:
+        return PButNotQ((pos, *all_not))
     return pos
 
 
@@ -198,6 +237,9 @@ def query_terms(f: Filter) -> list[str]:
         if isinstance(node, Term):
             if positive and not node.term.startswith("\x00"):
                 out.add(node.term)
+        elif isinstance(node, Phrase):
+            if positive:   # phrase terms score like plain terms (Lucene)
+                out.update(node.terms)
         elif isinstance(node, (Prefix, TermRange)):
             pass  # filter-only nodes contribute no BM25 terms
         elif isinstance(node, PButNotQ):
@@ -260,6 +302,18 @@ def _eval(f: Filter, provider) -> np.ndarray:
         terms = provider.expand_range(f.lo, f.hi)
         arrs = [provider.ids(t) for t in terms]
         return _bulk_union(arrs)
+    if isinstance(f, Phrase):
+        if not f.terms:
+            return np.empty(0, dtype=np.uint64)
+        cand = _eval(And(tuple(Term(t) for t in sorted(set(f.terms)))),
+                     provider)
+        if len(cand) == 0:
+            return cand
+        if len(f.terms) == 1:
+            return cand   # single-term phrase == the term itself
+        from miru_ray.functions.tokenize import phrase_occurrences
+        texts = provider.stored_texts(cand)
+        return cand[phrase_occurrences(texts, list(f.terms)) > 0]
     if isinstance(f, And):
         if not f.children:
             return provider.all_ids()

@@ -22,7 +22,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["TOKEN_RE", "tokenize", "tokenize_column", "term_frequencies",
-           "STOPWORDS", "tokenize_lang", "tokenize_column_lang"]
+           "STOPWORDS", "tokenize_lang", "tokenize_column_lang",
+           "phrase_occurrences", "near_pair_counts"]
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 # SQL-equivalent pattern for oracle parity (DuckDB regexp_extract_all).
@@ -112,6 +113,70 @@ def tokenize_column(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
     new_offsets = kept_cum[offsets]
     new_flat = flat.filter(keep)
     return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), new_flat)
+
+
+def phrase_occurrences(texts: pa.Array | pa.ChunkedArray,
+                       terms: list[str] | tuple) -> np.ndarray:
+    """Count CONTIGUOUS occurrences of the analyzed token sequence
+    ``terms`` in each text's analyzed token sequence — the phrase-match
+    verify kernel, fully vectorized: one ``tokenize_column`` per batch,
+    then a rolling equality over the FLAT token values with a
+    doc-boundary mask (a window is valid only when its first and last
+    token fall in the same doc), folded per doc with ``bincount``.
+    Shared by the positional query paths, the Phrase filter node and
+    the pytest oracle, so phrase identity has one definition."""
+    toks = tokenize_column(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(toks)
+    offs = toks.offsets.to_numpy()
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    span = len(terms)
+    n = len(flat)
+    if n < span or span == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    m = flat[: n - span + 1] == terms[0]
+    for j in range(1, span):
+        m &= flat[j: n - span + 1 + j] == terms[j]
+    lens = np.diff(offs)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    # boundary mask: window [i, i+span) must not straddle two docs
+    same_doc = doc_of[: n - span + 1] == doc_of[span - 1:]
+    hits = m & same_doc
+    return np.bincount(doc_of[: n - span + 1][hits],
+                       minlength=n_docs).astype(np.int64)
+
+
+def near_pair_counts(texts: pa.Array | pa.ChunkedArray, term_a: str,
+                     term_b: str, slop: int) -> np.ndarray:
+    """Ordered-proximity verify kernel: per text, the number of analyzed
+    token position pairs (i, j) with token[i] == term_a,
+    token[j] == term_b and 0 < j - i <= slop + 1, both positions inside
+    the same doc (slop = extra tokens allowed between the two; slop 0 =
+    adjacent = the bigram phrase). Vectorized like
+    :func:`phrase_occurrences`: one tokenize_column, position arrays on
+    the flat values, a searchsorted window count per a-position clamped
+    to the doc's end."""
+    toks = tokenize_column(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(toks)
+    offs = toks.offsets.to_numpy()
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(offs)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    pa_idx = np.nonzero(flat == term_a)[0]
+    pb_idx = np.nonzero(flat == term_b)[0]
+    if len(pa_idx) == 0 or len(pb_idx) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    # inclusive window end per a-position: min(i + slop + 1, last index
+    # of i's doc) — the clamp is what keeps pairs from straddling docs
+    doc_a = doc_of[pa_idx]
+    hi = np.minimum(pa_idx + slop + 1, offs[1:][doc_a] - 1)
+    n_pairs = (np.searchsorted(pb_idx, hi, side="right")
+               - np.searchsorted(pb_idx, pa_idx, side="right"))
+    return np.bincount(doc_a, weights=n_pairs,
+                       minlength=n_docs).astype(np.int64)
 
 
 def term_frequencies(tokens: list[str]) -> Counter:

@@ -121,6 +121,12 @@ class OracleIndex:
     def all_ids(self) -> np.ndarray:
         return np.arange(self.n_docs, dtype=np.uint64)
 
+    def stored_texts(self, doc_ids: np.ndarray):
+        """Stored text per docID (the Phrase filter node's verify hook)."""
+        import pyarrow as _pa
+        return _pa.array([self.docs[int(d)][3] for d in doc_ids],
+                         _pa.string())
+
     # --- stats ---
 
     def df(self, term: str) -> int:

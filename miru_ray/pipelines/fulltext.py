@@ -30,7 +30,8 @@ __all__ = ["documents_index", "fulltext_topk", "term_stats_prefix",
            "fulltext_highlighted", "term_first_last", "authz_search",
            "fulltext_fielded", "fulltext_scattered",
            "fulltext_lang_analyzed", "fulltext_phrase", "PHRASE_DEFAULT",
-           "fulltext_near", "NEAR_A", "NEAR_B", "NEAR_SLOP"]
+           "fulltext_near", "NEAR_A", "NEAR_B", "NEAR_SLOP",
+           "fulltext_quoted", "QUOTED_PHRASE", "QUOTED_TERM"]
 
 # fulltext_phrase's default query; the SQL oracle interpolates the SAME
 # constant (analyzed through the same tokenize kernel) so engine and
@@ -39,6 +40,10 @@ PHRASE_DEFAULT = "key value"
 
 # fulltext_near's defaults, shared with its oracle the same way
 NEAR_A, NEAR_B, NEAR_SLOP = "scan", "merge", 3
+
+# fulltext_quoted's defaults: a quoted phrase ANDed with a bare term,
+# scored by BM25 over all three terms (Lucene PhraseQuery semantics)
+QUOTED_PHRASE, QUOTED_TERM = PHRASE_DEFAULT, "row"
 
 _CACHE_ROOT = "/tmp/miru_ray_idx"
 
@@ -262,6 +267,22 @@ def fulltext_near(sf_dir: str, term_a: str = NEAR_A, term_b: str = NEAR_B,
         "n_pairs": hits["n_pairs"],
     })
     return out.sort_by("doc_id")
+
+
+def fulltext_quoted(sf_dir: str, k: int = 20) -> pa.Table:
+    """BM25 top-k for a query MIXING a quoted phrase with a bare term —
+    the full query-language form of phrase matching: ``"key value"
+    row`` parses to And(Term(row), Phrase(key, value)); the Phrase node
+    verifies contiguity against stored text INSIDE filter evaluation
+    (functions/filters.py), so it composes under OR/NOT like any
+    filter, and phrase terms score like plain terms (Lucene
+    PhraseQuery). Returns (doc_id, score)."""
+    reader = IndexReader(documents_index(sf_dir))
+    hits = search(reader, f'"{QUOTED_PHRASE}" {QUOTED_TERM}', k=k)
+    return pa.table({
+        "doc_id": orig_doc_ids(hits["url"]),
+        "score": pa.array(np.round(hits["score"].to_numpy(), 6), pa.float64()),
+    })
 
 
 def fulltext_fielded(sf_dir: str, query: str = "sort merge source:src3",

@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from miru_ray.functions.bm25 import bm25_term_scores, topk_order
 from miru_ray.functions.filters import evaluate, parse_query, query_terms
+from miru_ray.functions.tokenize import near_pair_counts, phrase_occurrences
 from miru_ray.functions.postings import intersect_sorted
 from miru_ray.state.reader import IndexReader
 
@@ -168,9 +169,10 @@ def search(reader: IndexReader, query: str, k: int = 10,
         stop = STOPWORDS.get(query_lang, frozenset())
         out = []
         for t in query.split():
-            if t.upper() == "OR" or ":" in t or t.endswith("*"):
-                out.append(t)
-                continue
+            if t.upper() == "OR" or ":" in t or t.endswith("*") \
+                    or '"' in t:
+                out.append(t)   # grammar tokens (incl. quoted-phrase
+                continue        # fragments) pass through unanalyzed
             # Analyze AFTER tokenization, exactly like the index side
             # (tokenize_column_lang): 'the.' or 'the-merge' must shed the
             # stopword sub-token, not sneak a zero-posting Term('the')
@@ -310,39 +312,6 @@ def search_scattered(index_dir: str, query: str, k: int = 10, *,
     })
 
 
-def phrase_occurrences(texts: pa.Array | pa.ChunkedArray,
-                       terms: list[str]) -> np.ndarray:
-    """Count CONTIGUOUS occurrences of the analyzed token sequence
-    ``terms`` in each text's analyzed token sequence — the phrase-match
-    verify kernel, fully vectorized: one ``tokenize_column`` per batch,
-    then a rolling equality over the FLAT token values with a
-    doc-boundary mask (a window is valid only when its first and last
-    token fall in the same doc), folded per doc with ``bincount``.
-    Shared by the engine and the pytest oracle so phrase identity has
-    one definition."""
-    from miru_ray.functions.tokenize import tokenize_column
-    toks = tokenize_column(texts)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    n_docs = len(toks)
-    offs = toks.offsets.to_numpy()
-    flat = toks.values.to_numpy(zero_copy_only=False)
-    L = len(terms)
-    n = len(flat)
-    if n < L or L == 0:
-        return np.zeros(n_docs, dtype=np.int64)
-    m = flat[: n - L + 1] == terms[0]
-    for j in range(1, L):
-        m &= flat[j: n - L + 1 + j] == terms[j]
-    lens = np.diff(offs)
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-    # boundary mask: window [i, i+L) must not straddle two docs
-    same_doc = doc_of[: n - L + 1] == doc_of[L - 1:]
-    hits = m & same_doc
-    return np.bincount(doc_of[: n - L + 1][hits],
-                       minlength=n_docs).astype(np.int64)
-
-
 def _require_stored_text(reader: IndexReader, op: str) -> None:
     """Positional queries verify against the stored-text field; fail
     with an actionable message instead of a schema error mid-gather.
@@ -405,39 +374,6 @@ def _positional_search(reader: IndexReader, terms: list[str], verify,
         out_col: pa.array(np.concatenate(cnt_parts), pa.int64()),
         "url": pa.chunked_array(url_parts, pa.string()),
     })
-
-
-def near_pair_counts(texts: pa.Array | pa.ChunkedArray, term_a: str,
-                     term_b: str, slop: int) -> np.ndarray:
-    """Ordered-proximity verify kernel: per text, the number of analyzed
-    token position pairs (i, j) with token[i] == term_a,
-    token[j] == term_b and 0 < j - i <= slop + 1, both positions inside
-    the same doc (slop = extra tokens allowed between the two; slop 0 =
-    adjacent = the bigram phrase). Vectorized like
-    :func:`phrase_occurrences`: one tokenize_column, position arrays on
-    the flat values, a searchsorted window count per a-position clamped
-    to the doc's end."""
-    from miru_ray.functions.tokenize import tokenize_column
-    toks = tokenize_column(texts)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    n_docs = len(toks)
-    offs = toks.offsets.to_numpy()
-    flat = toks.values.to_numpy(zero_copy_only=False)
-    lens = np.diff(offs)
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-    pa_idx = np.nonzero(flat == term_a)[0]
-    pb_idx = np.nonzero(flat == term_b)[0]
-    if len(pa_idx) == 0 or len(pb_idx) == 0:
-        return np.zeros(n_docs, dtype=np.int64)
-    # inclusive window end per a-position: min(i + slop + 1, last index
-    # of i's doc) — the clamp is what keeps pairs from straddling docs
-    doc_a = doc_of[pa_idx]
-    hi = np.minimum(pa_idx + slop + 1, offs[1:][doc_a] - 1)
-    n_pairs = (np.searchsorted(pb_idx, hi, side="right")
-               - np.searchsorted(pb_idx, pa_idx, side="right"))
-    return np.bincount(doc_a, weights=n_pairs,
-                       minlength=n_docs).astype(np.int64)
 
 
 def near_search(reader: IndexReader, term_a: str, term_b: str,

@@ -264,6 +264,17 @@ class IndexReader:
                     "text" in pq.read_schema(f).names)
         return self._has_stored_text
 
+    def stored_texts(self, doc_ids: np.ndarray) -> pa.ChunkedArray:
+        """Stored text per docID, input order — the PostingsProvider hook
+        the Phrase filter node verifies against. Raises the actionable
+        store_text error on indexes without the stored-field feature."""
+        if not self.has_stored_text:
+            raise ValueError(
+                "phrase queries need an index built with store_text=True "
+                f"(index at {self.index_dir!r} has no stored text column)")
+        return self.gather_docs(doc_ids.astype(np.uint64),
+                                columns=["text"])["text"]
+
     def docs_table(self, part: int) -> pa.Table:
         """The FULL docs.parquet of one partition (all columns, incl.
         stored text). Inspection/debug surface — query paths go through

@@ -425,3 +425,33 @@ def test_near_multi_token_terms_raise(reader):
     from miru_ray.pipelines.search import near_search
     with pytest.raises(ValueError, match="exactly one token"):
         near_search(reader, "don't", "stop")
+
+
+def test_quoted_phrase_query_rank_identical(index_dir, ray_session):
+    """Quoted-phrase query-language support: '"a b" c', negated and
+    OR-mixed forms are rank- AND score-identical between the engine and
+    the brute-force oracle (both share parse_query/evaluate; the Phrase
+    node verifies against each provider's stored text)."""
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.oracle import OracleIndex
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.sources.fixtures import pages_table
+    from miru_ray.state.reader import IndexReader
+    d = index_dir + "_stored"
+    if not os.path.exists(d):
+        build_index(pages_table(300), d,
+                    BuildConfig(num_parts=2, num_shards=2, store_text=True))
+    r = IndexReader(d)
+    o = OracleIndex(pages_table(300), num_parts=2)
+    t = r.gather_docs(np.arange(1, dtype=np.uint64),
+                      columns=["text"])["text"].to_pylist()[0]
+    ph = " ".join(tokenize(t)[1:3])
+    saw = 0
+    for q in [f'"{ph}"', f'"{ph}" needle7 OR needle5', f'-"{ph}" needle7',
+              f'needle7 "{ph}"', '"zzz missing phrase"']:
+        oid, osc = o.search(q, k=10)
+        hits = search(r, q, k=10)
+        assert np.array_equal(hits["doc_id"].to_numpy(), oid), q
+        assert np.array_equal(hits["score"].to_numpy(), osc), q
+        saw += hits.num_rows
+    assert saw > 0
