@@ -455,3 +455,25 @@ def test_quoted_phrase_query_rank_identical(index_dir, ray_session):
         assert np.array_equal(hits["score"].to_numpy(), osc), q
         saw += hits.num_rows
     assert saw > 0
+
+
+def test_scatter_gather_quoted_query(index_dir, ray_session):
+    """A quoted-phrase query through search_scattered: the Phrase node
+    evaluates inside each partition task (stored_texts is partition-
+    local there), and the merged result equals the single-pass search."""
+    from miru_ray.functions.tokenize import tokenize
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.pipelines.search import search_scattered
+    from miru_ray.sources.fixtures import pages_table
+    from miru_ray.state.reader import IndexReader
+    d = index_dir + "_stored"
+    if not os.path.exists(d):
+        build_index(pages_table(300), d,
+                    BuildConfig(num_parts=2, num_shards=2, store_text=True))
+    r = IndexReader(d)
+    t = r.gather_docs(np.arange(1, dtype=np.uint64),
+                      columns=["text"])["text"].to_pylist()[0]
+    q = f'"{" ".join(tokenize(t)[1:3])}"'
+    single = search(r, q, k=10)
+    scattered = search_scattered(d, q, k=10)
+    assert single.equals(scattered) and single.num_rows > 0
