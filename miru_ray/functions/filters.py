@@ -38,6 +38,17 @@ __all__ = [
 
 MAX_WILDCARD_EXPANSION = 100  # cap like MiruAggregateUtil.java:1154-1167
 
+import re as _re
+
+# quoted-phrase syntax: optional '-' negation and optional field: prefix,
+# both only at a token boundary (start or after whitespace)
+_PHRASE_RE = _re.compile(r'(?:^|(?<=\s))(-?)([A-Za-z0-9_]+:)?"([^"]*)"')
+
+# Phrase verification gathers stored text — batch it so a hot phrase
+# (hundreds of thousands of AND candidates x ~KB text) never
+# materializes the whole candidate text set at once
+PHRASE_VERIFY_BATCH = 8192
+
 
 @dataclass(frozen=True)
 class Term:
@@ -110,19 +121,30 @@ def parse_query(q: str, schema=None) -> Filter:
     containing the phrase. Phrases are MUST/MUST_NOT regardless of an
     ``OR`` elsewhere in the query (AND-default operator).
     """
-    import re as _re
     from miru_ray.state.schema import field_ns
     phrase_must: list[Filter] = []
     phrase_not: list[Filter] = []
 
     def take_phrase(m) -> str:
-        toks = tokenize(m.group(2))
-        if toks:
-            node = Term(toks[0]) if len(toks) == 1 else Phrase(tuple(toks))
-            (phrase_not if m.group(1) else phrase_must).append(node)
+        neg, fld, body = m.group(1), m.group(2), m.group(3)
+        toks = tokenize(body)
+        if not toks:
+            return " "
+        if fld:
+            # fielded phrase (site:"example com"): route through the
+            # normal field:value path — field values carry no stored
+            # text to verify contiguity against, so the pre-existing
+            # tokenized-field AND semantics apply ('.' rejoins tokens;
+            # any non-alnum separator splits identically)
+            return f" {neg}{fld}{'.'.join(toks)} "
+        node = Term(toks[0]) if len(toks) == 1 else Phrase(tuple(toks))
+        (phrase_not if neg else phrase_must).append(node)
         return " "
 
-    q = _re.sub(r'(-?)"([^"]*)"', take_phrase, q)
+    # the boundary anchor keeps a hyphenated prefix (well-"known x")
+    # from binding as negation — unanchored quotes fall through to the
+    # plain tokenizer like before quoted syntax existed
+    q = _PHRASE_RE.sub(take_phrase, q)
     raw = q.split()
     must: list[Filter] = []
     should: list[Filter] = []
@@ -195,7 +217,11 @@ def parse_query(q: str, schema=None) -> Filter:
         (must_not if neg else (should if use_or else must)).append(node)
     pos: Filter
     if use_or:
-        pos = Or(tuple(must + should)) if (must or should) else Or(())
+        # with phrases present, an OR with no term operands ('"a b" OR
+        # "c d"') must not contribute an empty-union base that ANDs the
+        # whole query to nothing — fall back to the match-all base
+        pos = Or(tuple(must + should)) if (must or should) else \
+            (And(()) if phrase_must else Or(()))
     else:
         pos = And(tuple(must)) if must else And(())
     if phrase_must:
@@ -312,8 +338,14 @@ def _eval(f: Filter, provider) -> np.ndarray:
         if len(f.terms) == 1:
             return cand   # single-term phrase == the term itself
         from miru_ray.functions.tokenize import phrase_occurrences
-        texts = provider.stored_texts(cand)
-        return cand[phrase_occurrences(texts, list(f.terms)) > 0]
+        terms = list(f.terms)
+        keep = [cand[lo: lo + PHRASE_VERIFY_BATCH][
+                    phrase_occurrences(
+                        provider.stored_texts(
+                            cand[lo: lo + PHRASE_VERIFY_BATCH]),
+                        terms) > 0]
+                for lo in range(0, len(cand), PHRASE_VERIFY_BATCH)]
+        return np.concatenate(keep) if keep else cand[:0]
     if isinstance(f, And):
         if not f.children:
             return provider.all_ids()

@@ -165,14 +165,26 @@ def search(reader: IndexReader, query: str, k: int = 10,
         # Lucene parser (operators/wildcards/field syntax are not terms):
         # the OR operator (en 'or' IS a stopword!), field:value tokens
         # (contain ':'), and prefix patterns (trailing '*').
+        from miru_ray.functions.filters import _PHRASE_RE
         from miru_ray.functions.tokenize import STOPWORDS, tokenize
         stop = STOPWORDS.get(query_lang, frozenset())
+        # quoted spans are held aside WHOLE (interior stopwords must
+        # survive: the Phrase verify kernel matches the stored text's
+        # plain-tokenizer sequence, so '"state of the art"' must not
+        # collapse to '"state art"') and re-substituted after the loop
+        spans: list[str] = []
+
+        def _hold(m) -> str:
+            spans.append(m.group(0))
+            return f"\x01{len(spans) - 1}\x01"
+
+        query = _PHRASE_RE.sub(_hold, query)
         out = []
         for t in query.split():
             if t.upper() == "OR" or ":" in t or t.endswith("*") \
-                    or '"' in t:
-                out.append(t)   # grammar tokens (incl. quoted-phrase
-                continue        # fragments) pass through unanalyzed
+                    or "\x01" in t:
+                out.append(t)   # grammar tokens + held quoted spans
+                continue        # pass through unanalyzed
             # Analyze AFTER tokenization, exactly like the index side
             # (tokenize_column_lang): 'the.' or 'the-merge' must shed the
             # stopword sub-token, not sneak a zero-posting Term('the')
@@ -183,6 +195,8 @@ def search(reader: IndexReader, query: str, k: int = 10,
             if kept:
                 out.append(("-" if neg else "") + ".".join(kept))
         query = " ".join(out)
+        for i, s in enumerate(spans):
+            query = query.replace(f"\x01{i}\x01", s)
     tree = parse_query(query, reader.schema)
     # domains compose as predicates on ONE lazy packed-bitmap mask
     # (1 bit/doc per touched partition) ANDed against candidates during
@@ -214,6 +228,38 @@ def search(reader: IndexReader, query: str, k: int = 10,
         "warc_ts": meta["warc_ts"],
         "lang": meta["lang"],
     })
+
+
+class _RangeRestricted:
+    """PostingsProvider view clipped to one partition's docID range
+    [lo, hi) — used inside scatter tasks so node-level work that scales
+    with the candidate count (the Phrase stored-text verify) runs on
+    partition-local candidates only. Clipping term/prefix/range/all id
+    streams is equivalent to post-filtering the final result because
+    every filter-algebra operation (AND/OR/ANDNOT) commutes with the
+    range restriction."""
+
+    def __init__(self, r: IndexReader, lo: np.uint64, hi: np.uint64):
+        self._r, self._lo, self._hi = r, lo, hi
+        self.schema = r.schema
+
+    def _clip(self, a: np.ndarray) -> np.ndarray:
+        return a[(a >= self._lo) & (a < self._hi)]
+
+    def ids(self, term: str) -> np.ndarray:
+        return self._clip(self._r.ids(term))
+
+    def prefix_union_ids(self, prefix: str, cap: int) -> np.ndarray:
+        return self._clip(self._r.prefix_union_ids(prefix, cap))
+
+    def range_union_ids(self, lo: str, hi: str) -> np.ndarray:
+        return self._clip(self._r.range_union_ids(lo, hi))
+
+    def all_ids(self) -> np.ndarray:
+        return self._clip(self._r.all_ids())
+
+    def stored_texts(self, doc_ids: np.ndarray):
+        return self._r.stored_texts(doc_ids)
 
 
 def search_scattered(index_dir: str, query: str, k: int = 10, *,
@@ -262,7 +308,11 @@ def search_scattered(index_dir: str, query: str, k: int = 10, *,
         lo = np.uint64(r.bases[pi])
         hi = np.uint64(r.bases[pi] + r.counts[pi])
         tree = parse_query(query, r.schema)
-        cand = _eval(tree, r)
+        # evaluate through the range-restricted view, not the full
+        # reader: a Phrase node's stored-text verify then touches ONLY
+        # this partition's candidates — without it every task re-ran
+        # the whole corpus-wide verify before the range slice
+        cand = _eval(tree, _RangeRestricted(r, lo, hi))
         cand = cand[(cand >= lo) & (cand < hi)]
         removed = r.removed_ids()
         if len(removed):

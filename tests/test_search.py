@@ -477,3 +477,62 @@ def test_scatter_gather_quoted_query(index_dir, ray_session):
     single = search(r, q, k=10)
     scattered = search_scattered(d, q, k=10)
     assert single.equals(scattered) and single.num_rows > 0
+
+
+def test_quoted_parser_edge_cases():
+    """Parser fixes: phrase-only OR queries, fielded phrases, hyphenated
+    prefixes, and negation anchoring."""
+    from miru_ray.functions.filters import (And, Phrase, PButNotQ, Term,
+                                            parse_query)
+    # phrase-only OR query: phrases are MUST (AND-composed), the empty
+    # OR group must NOT inject an empty-union base
+    t = parse_query('"a b" OR "c d"')
+    assert t == And((Phrase(("a", "b")), Phrase(("c", "d"))))
+    # fielded phrase routes through the field:value path (tokenized
+    # multi-token AND), leaving no dangling 'field:' text term
+    from miru_ray.state.schema import FieldDef, IndexSchema, field_ns
+    sch = IndexSchema((FieldDef("site", "tokenized"),))
+    t = parse_query('site:"example com"', sch)
+    ns = field_ns("site")
+    assert t == And((And((Term(ns + "example"), Term(ns + "com"))),))
+    # a hyphen INSIDE a word must not bind as phrase negation: the
+    # unanchored quotes fall back to plain tokenization (no Phrase)
+    t = parse_query('well-"known phrase"')
+    assert t == And((And((Term("well"), Term("known"))), Term("phrase")))
+    # anchored negation still works
+    t = parse_query('x -"a b"')
+    assert t == PButNotQ((And((Term("x"),)), Phrase(("a", "b"))))
+
+
+def test_per_lang_quoted_phrase_survives_stopwords(ray_session, tmp_path):
+    """On a per_lang index the quoted span passes through the query
+    analyzer WHOLE: interior stopwords stay in the phrase (the verify
+    kernel matches the plain-tokenized stored text)."""
+    import shutil
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from miru_ray.pipelines.build import BuildConfig, build_index
+    from miru_ray.state.reader import IndexReader
+    d = str(tmp_path / "perlang_quoted")
+    src = d + "_pages"
+    os.makedirs(src, exist_ok=True)
+    base = __import__("datetime").datetime(2024, 1, 1)
+    rows = ["state of the art results", "state art results",
+            "the art of state"]
+    pq.write_table(pa.table({
+        "url": [f"https://q.example/{i}" for i in range(len(rows))],
+        "warc_ts": [base.replace(minute=i) for i in range(len(rows))],
+        "text": rows,
+        "lang": ["en"] * len(rows),
+    }), os.path.join(src, "part-0.parquet"))
+    build_index(src, d, BuildConfig(num_parts=1, num_shards=1,
+                                    store_text=True, analyzer="per_lang"))
+    r = IndexReader(d)
+    # 'of'/'the' are en stopwords: unindexed on a per_lang index, so the
+    # full quoted phrase cannot match (no postings for its stop terms) —
+    # but it must NOT silently collapse to '"state art"' and return the
+    # WRONG doc. Non-stopword phrases must still work analyzed.
+    hits = search(r, '"state art"', k=5, query_lang="en")
+    assert hits.num_rows == 1   # only the literal 'state art' doc
+    hits2 = search(r, '"art results"', k=5, query_lang="en")
+    assert hits2.num_rows == 2
